@@ -1,0 +1,232 @@
+"""Pairwise similarity kernels (reference T2-analog scorers + F1 fn).
+
+Semantics reproduced from the reference:
+  * token-set Jaccard — ``len(s1 & s2) / len(s1 | s2)``
+    (``scripts/construction/build_ali_dataset.py:44-47``).
+  * pairwise match scoring in [0,1] with a threshold (analog of the BERT
+    matcher's positive-class probability, ``src/models/matcher.py:31-37``)
+    — here a weighted blend of Jaccard / Jaro-Winkler / Levenshtein-ratio /
+    TF-IDF-cosine per BASELINE.json north_star.
+
+Batch kernels run inside scorer actors over Arrow batches. The hot path
+uses DuckDB's C++ ``jaro_winkler_similarity`` / ``levenshtein`` scalar
+functions zero-copy over Arrow (one SQL call per batch — vectorized, no
+Python row loop); pure-Python references below are the test oracle.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+MAX_SIM_CHARS = 512  # cap edit-distance inputs: O(n·m) DP on full transcripts
+                     # would dominate; 512 chars ≈ first few turns, matching
+                     # the reference's max_length=256-token truncation
+                     # (configs/ali_tm.yaml:9).
+
+
+# ---------------------------------------------------------------- references
+
+def jaccard_py(s1, s2) -> float:
+    """Reference semantics: build_ali_dataset.py:44-47."""
+    a, b = set(s1), set(s2)
+    if not a and not b:
+        return 0.0
+    return len(a & b) / len(a | b)
+
+
+def levenshtein_py(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def jaro_py(a: str, b: str) -> float:
+    if a == b:
+        return 1.0
+    la, lb = len(a), len(b)
+    if not la or not lb:
+        return 0.0
+    window = max(la, lb) // 2 - 1
+    match_a = [False] * la
+    match_b = [False] * lb
+    matches = 0
+    for i in range(la):
+        lo, hi = max(0, i - window), min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not match_b[j] and a[i] == b[j]:
+                match_a[i] = match_b[j] = True
+                matches += 1
+                break
+    if not matches:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(la):
+        if match_a[i]:
+            while not match_b[k]:
+                k += 1
+            if a[i] != b[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (matches / la + matches / lb + (matches - t) / matches) / 3
+
+
+def jaro_winkler_py(a: str, b: str, p: float = 0.1) -> float:
+    j = jaro_py(a, b)
+    prefix = 0
+    for ca, cb in zip(a[:4], b[:4]):
+        if ca != cb:
+            break
+        prefix += 1
+    return j + prefix * p * (1 - j)
+
+
+# ------------------------------------------------------------- batch kernels
+
+class StringSimKernel:
+    """Per-actor DuckDB connection computing JW + Levenshtein-ratio over an
+    Arrow batch in one vectorized SQL call. Falls back to pure Python if
+    DuckDB is unavailable. Construct once per actor (__init__ state, T1/T2
+    pattern)."""
+
+    def __init__(self, max_chars: int = MAX_SIM_CHARS):
+        self.max_chars = max_chars
+        try:
+            import duckdb
+
+            self.con = duckdb.connect()
+        except Exception:  # pragma: no cover
+            self.con = None
+
+    def __call__(self, left: pa.Array, right: pa.Array):
+        """→ (jaro_winkler: float64 ndarray, levenshtein_ratio: float64 ndarray)."""
+        import pyarrow.compute as pc
+
+        lt = pc.utf8_slice_codeunits(left, 0, self.max_chars)
+        rt = pc.utf8_slice_codeunits(right, 0, self.max_chars)
+        if self.con is not None:
+            batch = pa.table({"a": lt, "b": rt})
+            out = self.con.execute(
+                "SELECT jaro_winkler_similarity(a, b) AS jw,"
+                " CASE WHEN greatest(length(a), length(b)) = 0 THEN 1.0"
+                "      ELSE 1.0 - levenshtein(a, b)::DOUBLE /"
+                "           greatest(length(a), length(b)) END AS lev"
+                " FROM batch"
+            ).arrow()
+            jw = np.asarray(out["jw"].combine_chunks(), dtype=np.float64)
+            lev = np.asarray(out["lev"].combine_chunks(), dtype=np.float64)
+            # duckdb scores ("","") as 0; engine semantics: equal strings → 1.0
+            eq = np.asarray(pc.equal(lt, rt))
+            jw = np.where(eq, 1.0, jw)  # (arrays from duckdb are read-only)
+            return jw, lev
+        a_list = lt.to_pylist()
+        b_list = rt.to_pylist()
+        jw = np.fromiter(
+            (jaro_winkler_py(a or "", b or "") for a, b in zip(a_list, b_list)),
+            np.float64,
+            len(a_list),
+        )
+        lev = np.fromiter(
+            (
+                1.0
+                if max(len(a or ""), len(b or "")) == 0
+                else 1.0 - levenshtein_py(a or "", b or "") / max(len(a or ""), len(b or ""))
+                for a, b in zip(a_list, b_list)
+            ),
+            np.float64,
+            len(a_list),
+        )
+        return jw, lev
+
+
+def batch_jaccard(left_tokens: pa.Array, right_tokens: pa.Array) -> np.ndarray:
+    """Vectorized-ish token-set Jaccard over list<string> pair columns.
+
+    Hashes tokens to uint64 once per batch (vectorized), then per pair
+    intersects sorted unique id arrays with numpy — no Python string ops
+    in the loop.
+    """
+    from ..util import stable_hash64
+
+    def ids_per_row(lst: pa.Array):
+        lst = lst.combine_chunks() if isinstance(lst, pa.ChunkedArray) else lst
+        flat = lst.values
+        h = stable_hash64(flat) if len(flat) else np.empty(0, np.uint64)
+        offsets = np.asarray(lst.offsets)
+        return h, offsets
+
+    lh, lo = ids_per_row(left_tokens)
+    rh, ro = ids_per_row(right_tokens)
+    n = len(lo) - 1
+    out = np.zeros(n, np.float64)
+    for i in range(n):
+        a = np.unique(lh[lo[i]:lo[i + 1]])
+        b = np.unique(rh[ro[i]:ro[i + 1]])
+        if not len(a) and not len(b):
+            continue
+        inter = np.intersect1d(a, b, assume_unique=True).size
+        out[i] = inter / (a.size + b.size - inter)
+    return out
+
+
+def batch_tfidf_cosine(
+    left_tokens: pa.Array,
+    right_tokens: pa.Array,
+    idf: dict | None = None,
+    num_features: int = 1 << 20,
+) -> np.ndarray:
+    """TF-IDF cosine over token-list pairs using the hashing trick.
+
+    ``idf`` maps token-hash (uint64 % num_features) → idf weight; missing
+    tokens get weight 1.0 (hashing-trick default). The IDF table is built
+    once from the corpus and broadcast via ray.put (reference T5 pattern:
+    shared fastText vocab/embeddings, scripts/dm.py:286-299).
+    """
+    from ..util import stable_hash64
+
+    def prep(lst):
+        lst = lst.combine_chunks() if isinstance(lst, pa.ChunkedArray) else lst
+        flat = lst.values
+        h = (
+            (stable_hash64(flat) % np.uint64(num_features)).astype(np.int64)
+            if len(flat)
+            else np.empty(0, np.int64)
+        )
+        return h, np.asarray(lst.offsets)
+
+    lh, lo = prep(left_tokens)
+    rh, ro = prep(right_tokens)
+    n = len(lo) - 1
+    out = np.zeros(n, np.float64)
+    get = idf.get if idf is not None else None
+    for i in range(n):
+        a_ids, a_tf = np.unique(lh[lo[i]:lo[i + 1]], return_counts=True)
+        b_ids, b_tf = np.unique(rh[ro[i]:ro[i + 1]], return_counts=True)
+        if not a_ids.size or not b_ids.size:
+            continue
+        if get is not None:
+            a_w = np.fromiter((get(t, 1.0) for t in a_ids), np.float64, a_ids.size)
+            b_w = np.fromiter((get(t, 1.0) for t in b_ids), np.float64, b_ids.size)
+        else:
+            a_w = np.ones(a_ids.size)
+            b_w = np.ones(b_ids.size)
+        av = a_tf * a_w
+        bv = b_tf * b_w
+        common, ia, ib = np.intersect1d(a_ids, b_ids, assume_unique=True, return_indices=True)
+        if not common.size:
+            continue
+        dot = float(np.dot(av[ia], bv[ib]))
+        na = math.sqrt(float(np.dot(av, av)))
+        nb = math.sqrt(float(np.dot(bv, bv)))
+        out[i] = dot / (na * nb) if na and nb else 0.0
+    return out

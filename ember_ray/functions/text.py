@@ -1,0 +1,85 @@
+"""Text normalization & tokenization kernels (reference M3/M6/M7 analogs).
+
+The stored ``text`` column is NEVER mutated (per-turn text equality
+invariant, BASELINE.json input_hint) — normalization writes derived
+columns only.
+
+Reference semantics reproduced:
+  * attribute-map flattening: ``pv_pairs``-style ``#;#`` / ``#:#``
+    separators → spaces (``src/datamodules/alidatamodule.py:119-126``,
+    ``scripts/dm.py:244-245``).
+  * tokenizer: non-blank tokens only — ``filter(str.strip, cut(s))``
+    (``scripts/construction/build_ali_dataset.py:346-349``); ours is a
+    whitespace/word-regex tokenizer (no jieba for ASCII-ish transcripts).
+  * multi-column concat with null-coalesce (``alidatamodule.py:128-134``).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_WORD_RE = re.compile(r"[^\s.,;:!?()\[\]{}\"']+")
+
+ATTR_SEPS = ("#;#", "#:#")
+
+
+def flatten_attrs(arr: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
+    """Replace ali-style attribute separators with spaces (M6/F3)."""
+    out = arr
+    for sep in ATTR_SEPS:
+        out = pc.replace_substring(out, pattern=sep, replacement=" ")
+    return out
+
+
+def normalize(arr) -> pa.ChunkedArray:
+    """Derived normalization: flatten attrs, lowercase, strip punctuation,
+    collapse whitespace. Never applied to the stored ``text`` column."""
+    out = flatten_attrs(arr)
+    out = pc.utf8_lower(out)
+    out = pc.replace_substring_regex(
+        out, pattern=r"[\s.,;:!?()\[\]{}\"']+", replacement=" "
+    )
+    return pc.utf8_trim_whitespace(out)
+
+
+def tokenize_array(arr) -> pa.Array:
+    """string array → list<string> of non-blank word tokens (M3 analog).
+
+    Vectorized via Arrow: normalize → split on single spaces (normalize
+    guarantees clean single-space separation). Blank tokens are dropped
+    (reference: ``filter(str.strip, jieba.cut(s))``).
+    """
+    norm = normalize(arr)
+    toks = pc.split_pattern(norm, pattern=" ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    # an all-empty input row splits to [""] — rewrite those rows to []
+    empty_rows = np.asarray(pc.equal(norm.combine_chunks() if isinstance(norm, pa.ChunkedArray) else norm, ""))
+    if empty_rows.any():
+        offsets = np.asarray(toks.offsets)
+        flat = np.asarray(toks.values)
+        lists = [
+            [] if empty_rows[i] else flat[offsets[i]:offsets[i + 1]].tolist()
+            for i in range(len(toks))
+        ]
+        return pa.array(lists, pa.list_(pa.string()))
+    return toks
+
+
+def tokenize_py(s: str) -> list[str]:
+    """Single-string reference tokenizer (tests / oracles)."""
+    t = s
+    for sep in ATTR_SEPS:
+        t = t.replace(sep, " ")
+    return [w for w in _WORD_RE.findall(t.lower()) if w.strip()]
+
+
+def concat_coalesce(arrays, sep: str = " ") -> pa.ChunkedArray:
+    """Null-coalescing multi-column concat (M7/F4):
+    ``sep.join(str(x or "") for x in cols)``."""
+    filled = [pc.fill_null(a, "") for a in arrays]
+    return pc.binary_join_element_wise(*filled, sep)

@@ -1,0 +1,258 @@
+"""The flagship entity-resolution pipeline (SURVEY.md §3.4 lifecycle).
+
+read transcripts → assemble conversations (stable turn_idx order) →
+tokenize → MinHash-LSH blocking (salt-free band keys + stop-key cap) →
+pair-gen (canonical ordering + cross-band dedup) → scoring actor pool
+(Jaccard / Jaro-Winkler / Levenshtein / TF-IDF-cosine; broadcast IDF) →
+threshold → distributed min-label transitive clustering → entity ids →
+pairwise F1 vs gold at the same blocking key.
+
+Every wide step and its shuffle key is documented in SURVEY.md §7.2. With a
+``Checkpointer`` the expensive stages persist per-partition Parquet +
+lineage manifests and a re-run skips completed work (scoring resumes at
+partition granularity).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import asdict, dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+from ..stages.assemble import assemble_conversations
+from ..stages.blocking import make_blocks
+from ..stages.cluster import assign_entities, connected_components
+from ..stages.evaluate import pairwise_confusion, prf
+from ..stages.pairs import attach_sides, generate_pairs
+from ..stages.scoring import build_idf, edges_from_scores, score_pairs
+from ..stages.tokenize import add_tokens
+from ..state.checkpoint import Checkpointer, fingerprint
+from ..util import bucket_of
+
+
+@dataclass(frozen=True)
+class ERConfig:
+    num_perm: int = 64
+    num_bands: int = 16
+    max_block_size: int = 64
+    threshold: float = 0.55
+    use_idf: bool = True
+    weights: dict | None = None
+    scorer_concurrency: int | tuple = 4
+    scorer_batch_size: int = 2048
+    num_buckets: int = 64          # hash buckets for bucketed group maps
+    num_partitions: int = 32       # hash-join partitions
+    score_parts: int = 16          # partition-level checkpoint granularity
+    seed: int = 142
+
+    def fp(self, *extra) -> str:
+        return fingerprint(asdict(self), *extra)
+
+
+def _as_dataset(transcripts):
+    import ray.data as rd
+
+    if isinstance(transcripts, str):
+        path = (
+            os.path.join(transcripts, "transcripts.parquet")
+            if os.path.isdir(transcripts)
+            else transcripts
+        )
+        return rd.read_parquet(path)
+    return transcripts
+
+
+def run_er(
+    transcripts,
+    cfg: ERConfig = ERConfig(),
+    gold=None,
+    checkpointer: Checkpointer | None = None,
+    input_fp: str = "",
+):
+    """Run the full ER pipeline.
+
+    Args:
+        transcripts: Dataset, parquet path, or corpus dir containing
+            ``transcripts.parquet``.
+        gold: optional GOLD_CLUSTERS Dataset (or corpus dir implies one).
+        checkpointer: enables per-stage + per-partition resume.
+        input_fp: content fingerprint of the input (lineage key).
+
+    Returns dict with conversations / candidate_pairs / scored / entities
+    Datasets and (if gold) ``metrics``.
+    """
+    import ray
+    import ray.data as rd
+
+    if isinstance(transcripts, str) and os.path.isdir(transcripts) and gold is None:
+        gp = os.path.join(transcripts, "gold_clusters.parquet")
+        if os.path.exists(gp):
+            gold = rd.read_parquet(gp)
+    ds = _as_dataset(transcripts)
+
+    base_fp = cfg.fp(input_fp)
+
+    # --- assemble + tokenize (checkpointed together: "conversations") ------
+    def compute_convs():
+        return add_tokens(assemble_conversations(ds, num_buckets=cfg.num_buckets))
+
+    if checkpointer:
+        convs = checkpointer.run("conversations", base_fp, compute_convs)
+    else:
+        convs = compute_convs().materialize()  # reused by 3 consumers
+
+    # --- IDF table: broadcast once (ray.put), read per scorer actor --------
+    idf_ref = None
+    if cfg.use_idf:
+        idf = build_idf(convs, num_docs=convs.count())
+        idf_ref = ray.put(idf)
+
+    # --- blocking + pair generation (checkpointed: "pairs") ----------------
+    def compute_pairs():
+        blocks = make_blocks(
+            convs, num_perm=cfg.num_perm, num_bands=cfg.num_bands, seed=cfg.seed
+        )
+        return generate_pairs(
+            blocks, max_block_size=cfg.max_block_size, num_buckets=cfg.num_buckets
+        )
+
+    if checkpointer:
+        pairs = checkpointer.run("pairs", base_fp, compute_pairs)
+    else:
+        pairs = compute_pairs().materialize()  # reused: scoring + eval
+
+    # --- scoring (partition-level checkpoint: "score") ---------------------
+    scored = _score_stage(pairs, convs, cfg, idf_ref, checkpointer, base_fp)
+
+    # --- threshold → edges → transitive clustering -------------------------
+    edges = edges_from_scores(scored, threshold=cfg.threshold)
+    comps = connected_components(
+        edges, num_buckets=cfg.num_buckets, num_partitions=cfg.num_partitions
+    )
+    entities = assign_entities(convs, comps, num_partitions=cfg.num_partitions)
+
+    out = {
+        "conversations": convs,
+        "candidate_pairs": pairs,
+        "scored": scored,
+        "entities": entities,
+    }
+    if gold is not None:
+        entities = entities.materialize()
+        out["entities"] = entities
+        conf = pairwise_confusion(
+            pairs, entities, gold, num_partitions=cfg.num_partitions
+        )
+        out["metrics"] = prf(conf)
+    return out
+
+
+def _score_stage(pairs, convs, cfg: ERConfig, idf_ref, checkpointer, base_fp):
+    """Scoring with content-hash partition-level resume.
+
+    The partition of a pair is ``stable_hash(conv_id_left|conv_id_right)
+    % score_parts`` — recomputable from content, so a resumed run (or a run
+    at different parallelism) derives identical partitions without carrying
+    a column through checkpoints (SURVEY.md §7.3 fingerprint rule).
+    """
+    import ray.data as rd
+
+    def attach_and_score(p):
+        with_sides = attach_sides(p, convs, num_partitions=cfg.num_partitions)
+        return score_pairs(
+            with_sides,
+            idf_ref=idf_ref,
+            weights=cfg.weights,
+            concurrency=cfg.scorer_concurrency,
+            batch_size=cfg.scorer_batch_size,
+        )
+
+    if not checkpointer:
+        return attach_and_score(pairs)
+
+    stage, P = "score", cfg.score_parts
+    fp = fingerprint("score", base_fp)
+    done = checkpointer.completed_parts(stage, fp, P)
+    missing = sorted(set(range(P)) - done)
+    for p in done:
+        checkpointer.hits[stage] = checkpointer.hits.get(stage, 0) + 1
+
+    if missing:
+        t0 = time.monotonic()
+        missing_arr = np.array(missing, np.int64)
+
+        def tag_and_filter(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            key = pc.binary_join_element_wise(
+                batch["conv_id_left"], batch["conv_id_right"], "|"
+            )
+            part = bucket_of(key, P)
+            batch = batch.append_column("part", pa.array(part, pa.int64()))
+            return batch.filter(pc.is_in(batch["part"], pa.array(missing_arr)))
+
+        subset = pairs.map_batches(
+            tag_and_filter, batch_format="pyarrow", zero_copy_batch=True
+        ).drop_columns(["part"])
+        scored_sub = attach_and_score(subset)
+
+        def retag(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            key = pc.binary_join_element_wise(
+                batch["conv_id_left"], batch["conv_id_right"], "|"
+            )
+            return batch.append_column(
+                "part", pa.array(bucket_of(key, P), pa.int64())
+            )
+
+        tmp = os.path.join(checkpointer.stage_dir(stage, fp) + ".run", "")
+        if os.path.exists(tmp):
+            import shutil
+
+            shutil.rmtree(tmp)
+        scored_sub.map_batches(
+            retag, batch_format="pyarrow", zero_copy_batch=True
+        ).write_parquet(tmp, partition_cols=["part"])
+        wall = time.monotonic() - t0
+        for p in missing:
+            checkpointer.misses[stage] = checkpointer.misses.get(stage, 0) + 1
+            pdir = os.path.join(tmp, f"part={p}")
+            if not os.path.exists(pdir):  # empty partition: commit empty dir
+                os.makedirs(pdir, exist_ok=True)
+            rows = _dir_num_rows(pdir)
+            checkpointer.commit_part(
+                stage, fp, p, pdir, row_count=rows,
+                wall_s=wall / max(1, len(missing)), pairs_scored=rows,
+            )
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    dirs = [
+        d
+        for d in checkpointer.part_data_dirs(stage, fp, P)
+        if _dir_num_rows(d) > 0
+    ]
+    if not dirs:
+        from ..schema import SCORED_PAIRS
+
+        return rd.from_arrow(SCORED_PAIRS.empty_table())
+    out = rd.read_parquet(dirs)
+    if "part" in out.schema().names:  # hive dir name may re-infer the column
+        out = out.drop_columns(["part"])
+    return out
+
+
+def _dir_num_rows(d: str) -> int:
+    import glob
+
+    import pyarrow.parquet as pq
+
+    n = 0
+    for f in glob.glob(os.path.join(d, "*.parquet")):
+        n += pq.read_metadata(f).num_rows
+    return n

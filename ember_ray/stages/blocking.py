@@ -1,0 +1,48 @@
+"""Blocking: conversations + tokens → (block_key, conv_id) membership rows.
+
+Replaces the reference's unscalable all-pairs cluster-profile comparison
+(top-12-similar-clusters blocking, ``build_ali_dataset.py:36,133-217``)
+with MinHash-LSH band keys (SURVEY.md §7.1 step 3): two conversations share
+a band key with probability ≈ 1−(1−J^r)^b for token-Jaccard J, so
+Jaccard-similar records co-locate under ``groupby(block_key)`` without any
+global pairwise scan.
+
+Stateless ``map_batches`` over zero-copy Arrow; the per-batch kernel is
+numpy over pre-hashed tokens.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.minhash import lsh_band_keys, minhash_signatures
+
+
+def make_blocks(
+    conversations,
+    num_perm: int = 64,
+    num_bands: int = 16,
+    seed: int = 142,
+):
+    """conversations (needs ``conv_id`` + ``tokens``) → BLOCKS dataset."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        sig = minhash_signatures(batch["tokens"], num_perm=num_perm, seed=seed)
+        keys = lsh_band_keys(sig, num_bands=num_bands)
+        conv = batch["conv_id"].combine_chunks() if isinstance(
+            batch["conv_id"], pa.ChunkedArray
+        ) else batch["conv_id"]
+        counts = np.fromiter((len(k) for k in keys), np.int64, len(keys))
+        flat_keys = [k for ks in keys for k in ks]
+        idx = np.repeat(np.arange(len(keys)), counts)
+        return pa.table(
+            {
+                "block_key": pa.array(flat_keys, pa.string()),
+                "conv_id": conv.take(pa.array(idx)),
+            }
+        )
+
+    return conversations.select_columns(["conv_id", "tokens"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )

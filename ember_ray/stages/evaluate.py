@@ -1,0 +1,70 @@
+"""Pairwise evaluation: predicted entities vs gold clusters on the
+candidate-pair set.
+
+Reference analog: positive-class F1/precision/recall accumulated across
+batches (``src/models/matcher.py:14-24,26-42``, torchmetrics with
+``ignore_index=0``; A4). Evaluation is conditioned on the candidate pairs
+produced by blocking — exactly as the reference evaluates on its
+constructed pair table, "at the same blocking key" (BASELINE.json).
+
+Partial+final aggregate: each Arrow batch reduces to one (tp,fp,fn,tn)
+row inside ``map_batches``; the driver sums the tiny partials and computes
+P/R/F1 — no materialization of the pair table.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def _attach(pairs, table, key_new: tuple[str, str], value: str, num_partitions: int):
+    """Join `table`(conv_id,value) onto one pair side with renamed columns."""
+    from ..util import hash_join
+
+    side_key, value_name = key_new
+    renamed = table.rename_columns({"conv_id": side_key, value: value_name})
+    return hash_join(pairs, renamed, on=side_key, num_partitions=num_partitions)
+
+
+def pairwise_confusion(candidate_pairs, entities, gold, num_partitions: int = 32):
+    """candidate pairs × predicted entities × gold clusters → dict of
+    tp/fp/fn/tn counts (positive class = "same entity")."""
+    ds = candidate_pairs.select_columns(["conv_id_left", "conv_id_right"])
+    ds = _attach(ds, entities, ("conv_id_left", "entity_left"), "entity_id", num_partitions)
+    ds = _attach(ds, entities, ("conv_id_right", "entity_right"), "entity_id", num_partitions)
+    ds = _attach(ds, gold, ("conv_id_left", "cluster_left"), "cluster_id", num_partitions)
+    ds = _attach(ds, gold, ("conv_id_right", "cluster_right"), "cluster_id", num_partitions)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        pred = np.asarray(batch["entity_left"]) == np.asarray(batch["entity_right"])
+        true = np.asarray(batch["cluster_left"]) == np.asarray(batch["cluster_right"])
+        tp = int(np.sum(pred & true))
+        fp = int(np.sum(pred & ~true))
+        fn = int(np.sum(~pred & true))
+        tn = int(np.sum(~pred & ~true))
+        return pa.table(
+            {
+                "tp": pa.array([tp], pa.int64()),
+                "fp": pa.array([fp], pa.int64()),
+                "fn": pa.array([fn], pa.int64()),
+                "tn": pa.array([tn], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    totals = {k: 0 for k in ("tp", "fp", "fn", "tn")}
+    for row in parts.take_all():  # tiny: one row per batch
+        for k in totals:
+            totals[k] += row[k]
+    return totals
+
+
+def prf(confusion: dict) -> dict:
+    """Positive-class precision/recall/F1 (matcher.py:14-24 semantics)."""
+    tp, fp, fn = confusion["tp"], confusion["fp"], confusion["fn"]
+    p = tp / (tp + fp) if tp + fp else 0.0
+    r = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * p * r / (p + r) if p + r else 0.0
+    return {"precision": p, "recall": r, "f1": f1, **confusion}

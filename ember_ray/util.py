@@ -1,0 +1,175 @@
+"""Shared utilities: stable content-derived hashing and bucketed group maps.
+
+Determinism rule (SURVEY.md §4 "Determinism"): all bucketing / salting /
+splitting is content-hash-derived, never RNG- or time-derived, so two runs
+(and two cluster sizes) produce identical partitioning decisions.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_HASH_SEED = 142  # reference's global seed (build_ali_dataset.py:14)
+
+
+def stable_hash64(values, seed: int = _HASH_SEED) -> np.ndarray:
+    """Vectorized stable 64-bit hash of a string/int array → uint64 ndarray.
+
+    Uses polars' xxhash kernel (seeded, process-independent) — unlike
+    Python's ``hash()`` this is stable across workers and runs.
+    """
+    import polars as pl
+
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        s = pl.from_arrow(values)
+    else:
+        s = pl.Series(values)
+    return s.hash(seed=seed).to_numpy()
+
+
+def bucket_of(values, num_buckets: int, seed: int = _HASH_SEED) -> np.ndarray:
+    """Deterministic bucket id in [0, num_buckets) per value."""
+    return (stable_hash64(values, seed) % np.uint64(num_buckets)).astype(np.int64)
+
+
+def add_bucket_column(
+    ds,
+    key: str,
+    num_buckets: int,
+    col: str = "__bucket",
+    seed: int = _HASH_SEED,
+):
+    """Append a deterministic hash-bucket column to a Dataset (zero-copy Arrow)."""
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        b = bucket_of(batch[key], num_buckets, seed)
+        return batch.append_column(col, pa.array(b, pa.int64()))
+
+    return ds.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bucketed_group_map(
+    ds,
+    key: str,
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    num_buckets: int,
+    seed: int = _HASH_SEED,
+    **map_groups_kwargs,
+):
+    """Hash-partitioned group apply: one vectorized pandas call per BUCKET.
+
+    ``groupby(key).map_groups`` costs one Python call per group — with
+    millions of small groups (conversations, blocks) that dominates wall
+    time. Instead: tag each row with ``hash(key) % num_buckets``, shuffle
+    once on the small int bucket key, and let ``fn`` handle all groups in a
+    bucket with a single vectorized ``df.groupby`` — the scalable pattern
+    for the reference's per-cluster loops (build_ali_dataset.py:60-130).
+
+    ``fn`` receives the bucket DataFrame (without the bucket column) and
+    must return a DataFrame.
+    """
+    tagged = add_bucket_column(ds, key, num_buckets, seed=seed)
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.drop(columns=["__bucket"])
+        out = fn(df)
+        # emit Arrow blocks: Ray 2.49's rename/project ops choke on pandas
+        # blocks, and Arrow keeps downstream stages zero-copy
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return tagged.groupby("__bucket").map_groups(
+        per_bucket, batch_format="pandas", **map_groups_kwargs
+    )
+
+
+def compact_nonempty(ds):
+    """Materialize and drop 0-row blocks (zero-copy block-ref reshuffle).
+
+    Works around a Ray 2.49 hash-shuffle issue: `_shuffle_block` returns
+    early for a 0-row input block BEFORE the one-shot schema broadcast to
+    aggregators (`hash_shuffle.py:223` vs `_has_schemas_broadcasted`), so a
+    downstream `Dataset.join` whose input starts with an empty block can
+    fail with "No match ... for key field on left side". Join inputs in
+    this engine pass through here first.
+    """
+    import ray
+    import ray.data as rd
+
+    mat = ds if hasattr(ds, "iter_internal_ref_bundles") else ds
+    mat = mat.materialize()
+    refs = []
+    n_empty = 0
+    for rb in mat.iter_internal_ref_bundles():
+        for block_ref, meta in rb.blocks:
+            if meta.num_rows:
+                refs.append(block_ref)
+            else:
+                n_empty += 1
+    if not n_empty:
+        return mat
+    if not refs:
+        return mat  # fully empty; callers must special-case before joining
+    return rd.from_arrow_refs(refs)
+
+
+def hash_join(
+    left,
+    right,
+    *,
+    on: str,
+    right_on: str | None = None,
+    how: str = "inner",
+    num_partitions: int = 32,
+):
+    """Hash-partitioned ``Dataset.join`` with empty-block/empty-input
+    handling (see compact_nonempty). Column names must be disjoint apart
+    from the keys (call sites rename beforehand)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    right_on = right_on or on
+    lc = compact_nonempty(left)
+    rc = compact_nonempty(right)
+    ln, rn = lc.count(), rc.count()
+    if ln == 0 or (rn == 0 and how == "inner"):
+        lschema = lc.schema()
+        rschema = rc.schema()
+        fields = list(zip(lschema.names, lschema.types))
+        fields += [
+            (n, t)
+            for n, t in zip(rschema.names, rschema.types)
+            if n != right_on
+        ]
+        empty = pa.Table.from_pylist([], schema=pa.schema(fields))
+        return rd.from_arrow(empty)
+    if rn == 0 and how == "left_outer":
+        rschema = rc.schema()
+        extra = [(n, t) for n, t in zip(rschema.names, rschema.types) if n != right_on]
+
+        def add_nulls(batch: pa.Table) -> pa.Table:
+            for n, t in extra:
+                batch = batch.append_column(n, pa.nulls(batch.num_rows, t))
+            return batch
+
+        return lc.map_batches(add_nulls, batch_format="pyarrow")
+    return lc.join(
+        rc,
+        join_type=how,
+        num_partitions=num_partitions,
+        on=(on,),
+        right_on=(right_on,) if right_on != on else None,
+    )
+
+
+def canonical_pairs(left: np.ndarray, right: np.ndarray):
+    """Order pair endpoints so left < right (U2 canonical ordering,
+    build_ali_dataset.py:85-87 self/symmetric pair removal)."""
+    swap = left > right
+    lo = np.where(swap, right, left)
+    hi = np.where(swap, left, right)
+    keep = lo != hi
+    return lo[keep], hi[keep]

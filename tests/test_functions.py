@@ -1,0 +1,148 @@
+"""Unit tests for scalar/vectorized kernels (no Ray needed)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ember_ray.functions.minhash import (
+    char_shingles,
+    hamming64,
+    lsh_band_keys,
+    minhash_signatures,
+    simhash,
+)
+from ember_ray.functions.similarity import (
+    StringSimKernel,
+    batch_jaccard,
+    batch_tfidf_cosine,
+    jaccard_py,
+    jaro_winkler_py,
+    levenshtein_py,
+)
+from ember_ray.functions.text import concat_coalesce, normalize, tokenize_array, tokenize_py
+from ember_ray.util import canonical_pairs, stable_hash64
+
+
+def test_tokenize_matches_py():
+    texts = [
+        "Hello, World!  foo",
+        "color#:#red#;#size#:#XL",
+        "",
+        "  a  b\tc\nd ",
+        "UPPER lower MiXeD.",
+    ]
+    arr = pa.array(texts, pa.string())
+    out = tokenize_array(arr).to_pylist()
+    assert out == [tokenize_py(t) for t in texts]
+    assert out[1] == ["color", "red", "size", "xl"]
+    assert out[2] == []
+
+
+def test_normalize_flattens_attr_separators():
+    arr = pa.array(["k#:#v#;#x#:#y"])
+    assert normalize(arr).to_pylist() == ["k v x y"]
+
+
+def test_concat_coalesce():
+    a = pa.array(["x", None])
+    b = pa.array([None, "y"])
+    assert concat_coalesce([a, b]).to_pylist() == ["x ", " y"]
+
+
+def test_jaccard_reference_semantics():
+    # build_ali_dataset.py:44-47 semantics
+    assert jaccard_py(["a", "b"], ["b", "c"]) == pytest.approx(1 / 3)
+    assert jaccard_py([], []) == 0.0
+    assert jaccard_py(["a"], ["a", "a"]) == 1.0
+
+
+def test_batch_jaccard_matches_py():
+    left = pa.array([["a", "b", "c"], ["x"], [], ["q", "q", "r"]], pa.list_(pa.string()))
+    right = pa.array([["b", "c", "d"], ["x"], ["y"], ["r", "s"]], pa.list_(pa.string()))
+    got = batch_jaccard(left, right)
+    want = [
+        jaccard_py(l, r) for l, r in zip(left.to_pylist(), right.to_pylist())
+    ]
+    assert np.allclose(got, want)
+
+
+def test_levenshtein_py():
+    assert levenshtein_py("kitten", "sitting") == 3
+    assert levenshtein_py("", "abc") == 3
+    assert levenshtein_py("abc", "abc") == 0
+
+
+def test_jaro_winkler_known_values():
+    assert jaro_winkler_py("MARTHA", "MARHTA") == pytest.approx(0.9611, abs=1e-4)
+    assert jaro_winkler_py("", "") == 1.0
+    assert jaro_winkler_py("abc", "") == 0.0
+
+
+def test_duckdb_kernel_matches_python():
+    kern = StringSimKernel()
+    a = ["martha", "kitten", "same", ""]
+    b = ["marhta", "sitting", "same", ""]
+    jw, lev = kern(pa.array(a), pa.array(b))
+    for i in range(len(a)):
+        assert jw[i] == pytest.approx(jaro_winkler_py(a[i].upper(), b[i].upper()) if False else jaro_winkler_py(a[i], b[i]), abs=1e-6)
+        m = max(len(a[i]), len(b[i]))
+        want = 1.0 if m == 0 else 1.0 - levenshtein_py(a[i], b[i]) / m
+        assert lev[i] == pytest.approx(want, abs=1e-9)
+
+
+def test_tfidf_cosine_identical_and_disjoint():
+    l = pa.array([["a", "b"], ["a", "b"]], pa.list_(pa.string()))
+    r = pa.array([["a", "b"], ["c", "d"]], pa.list_(pa.string()))
+    got = batch_tfidf_cosine(l, r)
+    assert got[0] == pytest.approx(1.0)
+    assert got[1] == 0.0
+
+
+def test_minhash_similarity_estimates_jaccard():
+    rng = np.random.default_rng(0)
+    vocab = [f"w{i}" for i in range(200)]
+    a = vocab[:100]
+    b = vocab[50:150]  # true J = 50/150
+    arr = pa.array([a, b], pa.list_(pa.string()))
+    sig = minhash_signatures(arr, num_perm=256)
+    est = float(np.mean(sig[0] == sig[1]))
+    assert abs(est - 1 / 3) < 0.1
+
+
+def test_lsh_band_keys_shared_for_identical():
+    arr = pa.array([["a", "b", "c"], ["a", "b", "c"], ["x", "y", "z"]],
+                   pa.list_(pa.string()))
+    sig = minhash_signatures(arr, num_perm=16)
+    keys = lsh_band_keys(sig, num_bands=4)
+    assert keys[0] == keys[1]
+    assert set(keys[0]).isdisjoint(keys[2])
+    assert len(keys[0]) == 4
+
+
+def test_simhash_near_duplicates_close():
+    base = [f"w{i}" for i in range(64)]
+    pert = base[:60] + ["q1", "q2", "q3", "q4"]
+    other = [f"z{i}" for i in range(64)]
+    arr = pa.array([base, pert, other], pa.list_(pa.string()))
+    h = simhash(arr)
+    d_near = hamming64(h[:1], h[1:2])[0]
+    d_far = hamming64(h[:1], h[2:3])[0]
+    assert d_near < d_far
+
+
+def test_char_shingles():
+    out = char_shingles(pa.array(["abcdef", ""]), k=3).to_pylist()
+    assert out[0] == ["abc", "bcd", "cde", "def"]
+    assert out[1] == []
+
+
+def test_stable_hash_is_deterministic():
+    a = stable_hash64(["x", "y"])
+    b = stable_hash64(["x", "y"])
+    assert (a == b).all()
+    assert a[0] != a[1]
+
+
+def test_canonical_pairs():
+    lo, hi = canonical_pairs(np.array(["b", "a", "c"]), np.array(["a", "b", "c"]))
+    assert list(lo) == ["a", "a"] and list(hi) == ["b", "b"]

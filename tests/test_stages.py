@@ -1,0 +1,195 @@
+"""Stage-level tests over tiny in-memory datasets (session-scoped Ray)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def rd(ray_session):
+    import ray.data as rd
+
+    return rd
+
+
+def test_assembly_per_turn_text_equality(rd, tiny_corpus):
+    """BASELINE.json invariant: turns concatenated byte-identical in stable
+    turn_idx order (rows arrive shuffled on disk)."""
+    from ember_ray.stages.assemble import assemble_conversations
+
+    raw = pq.read_table(f"{tiny_corpus}/transcripts.parquet")
+    ds = rd.read_parquet(f"{tiny_corpus}/transcripts.parquet")
+    convs = assemble_conversations(ds, num_buckets=8).to_pandas()
+
+    df = raw.to_pandas()
+    expect = (
+        df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .groupby("conv_id")["text"]
+        .agg("\n".join)
+    )
+    got = convs.set_index("conv_id")["text"]
+    assert len(got) == len(expect)
+    for cid in expect.index:
+        assert got[cid] == expect[cid]  # byte-exact
+    nt = df.groupby("conv_id")["turn_idx"].size()
+    assert (convs.set_index("conv_id")["n_turns"].sort_index() == nt.sort_index()).all()
+
+
+def test_tokenize_stage(rd):
+    from ember_ray.stages.tokenize import add_tokens
+
+    ds = rd.from_items([{"conv_id": "a", "text": "Hello, World k#:#v"}])
+    out = add_tokens(ds).take_all()
+    assert out[0]["tokens"] == ["hello", "world", "k", "v"]
+
+
+def test_blocking_near_dups_share_block(rd):
+    from ember_ray.stages.blocking import make_blocks
+    from ember_ray.stages.tokenize import add_tokens
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = " ".join(f"tok{i}" for i in range(57)) + " zz1 zz2 zz3"
+    far = " ".join(f"other{i}" for i in range(60))
+    ds = rd.from_items(
+        [
+            {"conv_id": "a", "text": base},
+            {"conv_id": "b", "text": near},
+            {"conv_id": "c", "text": far},
+        ]
+    )
+    blocks = make_blocks(add_tokens(ds), num_perm=64, num_bands=16).to_pandas()
+    by_key = blocks.groupby("block_key")["conv_id"].agg(set)
+    assert any(v >= {"a", "b"} for v in by_key.values)
+    assert not any(v >= {"a", "c"} for v in by_key.values)
+
+
+def test_pair_generation_cap_and_dedup(rd):
+    from ember_ray.stages.pairs import generate_pairs
+
+    rows = []
+    # block X: 3 members → 3 pairs; block Y repeats one pair (dedup);
+    # block Z: 5 members with cap 4 → dropped entirely
+    for cid in ["a", "b", "c"]:
+        rows.append({"block_key": "X", "conv_id": cid})
+    for cid in ["a", "b"]:
+        rows.append({"block_key": "Y", "conv_id": cid})
+    for cid in ["p", "q", "r", "s", "t"]:
+        rows.append({"block_key": "Z", "conv_id": cid})
+    # duplicate membership rows must not create self-pairs
+    rows.append({"block_key": "X", "conv_id": "a"})
+    ds = rd.from_items(rows)
+    pairs = generate_pairs(ds, max_block_size=4, num_buckets=4).to_pandas()
+    got = {tuple(r) for r in pairs[["conv_id_left", "conv_id_right"]].itertuples(index=False)}
+    assert got == {("a", "b"), ("a", "c"), ("b", "c")}
+
+
+def test_attach_sides(rd):
+    from ember_ray.stages.pairs import attach_sides
+
+    pairs = rd.from_items([{"conv_id_left": "a", "conv_id_right": "b"}])
+    convs = rd.from_items(
+        [
+            {"conv_id": "a", "text": "ta", "tokens": ["ta"]},
+            {"conv_id": "b", "text": "tb", "tokens": ["tb"]},
+        ]
+    )
+    out = attach_sides(pairs, convs, num_partitions=2).take_all()
+    assert len(out) == 1
+    assert out[0]["text_left"] == "ta" and out[0]["text_right"] == "tb"
+
+
+def test_scoring_identical_vs_disjoint(rd):
+    from ember_ray.stages.scoring import PairScorer
+
+    batch = pa.table(
+        {
+            "conv_id_left": ["a", "x"],
+            "conv_id_right": ["b", "y"],
+            "text_left": ["hello world foo", "completely different words"],
+            "text_right": ["hello world foo", "zzz qqq ppp"],
+            "tokens_left": pa.array([["hello", "world", "foo"], ["completely", "different", "words"]], pa.list_(pa.string())),
+            "tokens_right": pa.array([["hello", "world", "foo"], ["zzz", "qqq", "ppp"]], pa.list_(pa.string())),
+        }
+    )
+    out = PairScorer()(batch).to_pydict()
+    assert out["score"][0] == pytest.approx(1.0, abs=1e-9)
+    assert out["score"][1] < 0.5
+    assert out["jaccard"] == [1.0, 0.0]
+
+
+def test_connected_components_transitive_closure(rd):
+    from ember_ray.stages.cluster import connected_components
+
+    edges = rd.from_items(
+        [
+            {"src": "b", "dst": "a"},
+            {"src": "b", "dst": "c"},
+            {"src": "c", "dst": "d"},  # chain a-b-c-d
+            {"src": "e", "dst": "f"},  # separate component
+        ]
+    )
+    labels = connected_components(edges, num_buckets=4, num_partitions=4).to_pandas()
+    lab = dict(zip(labels["node"], labels["label"]))
+    assert lab["a"] == lab["b"] == lab["c"] == lab["d"] == "a"
+    assert lab["e"] == lab["f"] == "e"
+
+
+def test_assign_entities_singletons(rd):
+    from ember_ray.stages.cluster import assign_entities
+
+    convs = rd.from_items([{"conv_id": c} for c in ["a", "b", "z"]])
+    comps = rd.from_items([{"node": "a", "label": "a"}, {"node": "b", "label": "a"}])
+    ents = assign_entities(convs, comps, num_partitions=2).to_pandas()
+    e = dict(zip(ents["conv_id"], ents["entity_id"]))
+    assert e == {"a": "a", "b": "a", "z": "z"}
+
+
+def test_pairwise_eval_counts(rd):
+    from ember_ray.stages.evaluate import pairwise_confusion, prf
+
+    pairs = rd.from_items(
+        [
+            {"conv_id_left": "a", "conv_id_right": "b"},  # TP
+            {"conv_id_left": "a", "conv_id_right": "c"},  # FP
+            {"conv_id_left": "b", "conv_id_right": "d"},  # FN
+            {"conv_id_left": "c", "conv_id_right": "d"},  # TN
+        ]
+    )
+    entities = rd.from_items(
+        [
+            {"conv_id": "a", "entity_id": "e1"},
+            {"conv_id": "b", "entity_id": "e1"},
+            {"conv_id": "c", "entity_id": "e1"},
+            {"conv_id": "d", "entity_id": "e2"},
+        ]
+    )
+    gold = rd.from_items(
+        [
+            {"conv_id": "a", "cluster_id": 1},
+            {"conv_id": "b", "cluster_id": 1},
+            {"conv_id": "c", "cluster_id": 2},
+            {"conv_id": "d", "cluster_id": 1},
+        ]
+    )
+    conf = pairwise_confusion(pairs, entities, gold, num_partitions=2)
+    assert (conf["tp"], conf["fp"], conf["fn"], conf["tn"]) == (1, 1, 1, 1)
+    m = prf(conf)
+    assert m["precision"] == 0.5 and m["recall"] == 0.5 and m["f1"] == 0.5
+
+
+def test_idf_build(rd):
+    from ember_ray.stages.scoring import build_idf
+
+    ds = rd.from_items(
+        [
+            {"tokens": ["a", "b"]},
+            {"tokens": ["a", "c"]},
+            {"tokens": ["a"]},
+        ]
+    )
+    idf = build_idf(ds, num_docs=3)
+    # 3 distinct tokens → 3 entries; "a" (df=3) has smallest idf
+    assert len(idf) == 3
+    assert min(idf.values()) == pytest.approx(np.log(2.0))
