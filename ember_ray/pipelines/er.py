@@ -38,7 +38,11 @@ class ERConfig:
     num_perm: int = 64
     num_bands: int = 16
     max_block_size: int = 64
-    threshold: float = 0.55
+    threshold: float = 0.7  # empirically the pos/neg score gap midpoint on
+                            # the synthetic corpus sits at ~0.69 (neg p100
+                            # 0.66, pos p0 0.73); a config knob, like the
+                            # reference's decision threshold on matcher
+                            # probability
     use_idf: bool = True
     weights: dict | None = None
     scorer_concurrency: int | tuple = 4
@@ -232,16 +236,19 @@ def _score_stage(pairs, convs, cfg: ERConfig, idf_ref, checkpointer, base_fp):
 
         shutil.rmtree(tmp, ignore_errors=True)
 
-    dirs = [
-        d
+    import glob as _glob
+
+    files = [
+        f
         for d in checkpointer.part_data_dirs(stage, fp, P)
+        for f in sorted(_glob.glob(os.path.join(d, "*.parquet")))
         if _dir_num_rows(d) > 0
     ]
-    if not dirs:
+    if not files:
         from ..schema import SCORED_PAIRS
 
         return rd.from_arrow(SCORED_PAIRS.empty_table())
-    out = rd.read_parquet(dirs)
+    out = rd.read_parquet(files)
     if "part" in out.schema().names:  # hive dir name may re-infer the column
         out = out.drop_columns(["part"])
     return out

@@ -1,0 +1,98 @@
+"""End-to-end gates: pairwise F1 >= 0.99 vs gold at the same blocking key
+(BASELINE.json target) and partition-level resume without rescoring."""
+
+import glob
+import json
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def er_cfg():
+    from ember_ray.pipelines.er import ERConfig
+
+    return ERConfig(
+        num_perm=64,
+        num_bands=16,
+        max_block_size=64,
+        threshold=0.7,
+        scorer_concurrency=2,
+        num_buckets=8,
+        num_partitions=4,
+        score_parts=4,
+    )
+
+
+def test_er_pipeline_f1(ray_session, e2e_corpus, er_cfg):
+    from ember_ray.pipelines.er import run_er
+
+    out = run_er(e2e_corpus, er_cfg)
+    m = out["metrics"]
+    assert m["tp"] + m["fn"] > 0, "fixture must contain gold-positive candidate pairs"
+    assert m["f1"] >= 0.99, f"pairwise F1 gate failed: {m}"
+
+
+def test_er_resume_skips_completed_partitions(ray_session, tiny_corpus, er_cfg, tmp_path):
+    """Kill/resume semantics: after a completed run, invalidate 2 scoring
+    partitions; the re-run must recompute ONLY those (manifest hits
+    counted) and reproduce identical outputs."""
+    from ember_ray.pipelines.er import run_er
+    from ember_ray.state.checkpoint import Checkpointer
+
+    root = str(tmp_path / "ckpt")
+    ck1 = Checkpointer(root)
+    out1 = run_er(tiny_corpus, er_cfg, checkpointer=ck1)
+    scored1 = out1["scored"].to_pandas().sort_values(
+        ["conv_id_left", "conv_id_right"]
+    ).reset_index(drop=True)
+    assert ck1.misses.get("score", 0) == er_cfg.score_parts
+
+    # simulate a killed run: two partitions' manifests never landed
+    score_dirs = glob.glob(os.path.join(root, "stage=score", "fp=*"))
+    assert score_dirs
+    removed = 0
+    for p in (0, 1):
+        m = os.path.join(score_dirs[0], f"part={p}.manifest.json")
+        if os.path.exists(m):
+            os.remove(m)
+            shutil.rmtree(os.path.join(score_dirs[0], f"part={p}"), ignore_errors=True)
+            removed += 1
+    assert removed == 2
+
+    ck2 = Checkpointer(root)
+    out2 = run_er(tiny_corpus, er_cfg, checkpointer=ck2)
+    # upstream stages: pure manifest hits, zero recompute
+    assert ck2.hits.get("conversations") == 1 and ck2.misses.get("conversations", 0) == 0
+    assert ck2.hits.get("pairs") == 1 and ck2.misses.get("pairs", 0) == 0
+    # scoring: only the 2 invalidated partitions recomputed
+    assert ck2.misses.get("score") == 2
+    assert ck2.hits.get("score") == er_cfg.score_parts - 2
+
+    scored2 = out2["scored"].to_pandas().sort_values(
+        ["conv_id_left", "conv_id_right"]
+    ).reset_index(drop=True)
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(scored1, scored2)
+    assert out1["metrics"]["f1"] == out2["metrics"]["f1"]
+
+
+def test_manifest_contents(ray_session, tiny_corpus, er_cfg, tmp_path):
+    from ember_ray.pipelines.er import run_er
+    from ember_ray.state.checkpoint import Checkpointer
+
+    root = str(tmp_path / "ck")
+    run_er(tiny_corpus, er_cfg, checkpointer=Checkpointer(root))
+    manifests = glob.glob(os.path.join(root, "**", "*.manifest.json"), recursive=True)
+    stage_manifests = glob.glob(os.path.join(root, "**", "manifest.json"), recursive=True)
+    assert len(manifests) == er_cfg.score_parts
+    assert len(stage_manifests) >= 2
+    m = json.load(open(manifests[0]))
+    for key in ("stage", "partition_id", "input_fingerprint", "row_count", "wall_s"):
+        assert key in m
+    sm = json.load(open(stage_manifests[0]))
+    for key in ("stage", "input_fingerprint", "row_count", "wall_s"):
+        assert key in sm
