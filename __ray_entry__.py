@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in ember_ray) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` maps SURVEY.md §2 operators (plus the training-data-pipeline
+extensions: dedup suite, ANN search, text analysis, multimodal plumbing,
+and the flagship ER pipeline) to callables over ``sf_dir``;
+``oracle_sql()`` provides the DuckDB equivalent for every
+SQL-expressible entry with IDENTICAL column names. Float aggregates are
+rounded on both sides (see relational._round_cols) so value-hash
+comparison is exact.
 """
 
 from __future__ import annotations
@@ -19,26 +18,212 @@ from collections.abc import Callable
 from typing import Any
 
 
+def _er_corpus(sf_dir: str) -> str:
+    """Deterministic synthetic transcript corpus scaled to the sf level
+    (the transcripts shape is the engine's primary input; the driver's
+    TPC-H-ish tables don't carry one, so it is synthesised per
+    BASELINE.json input_hint — seeded, no external data)."""
+    from ember_ray.synth import SynthConfig, ensure_corpus
+
+    sf = 0.001
+    try:
+        import re
+
+        m = re.search(r"sf([0-9.]+)", sf_dir)
+        if m:
+            sf = float(m.group(1))
+    except Exception:
+        pass
+    n_clusters = max(20, int(2000 * sf))
+    cfg = SynthConfig(
+        n_clusters=n_clusters,
+        max_cluster_size=5,
+        distractors_per_cluster=2,
+        n_singletons=max(10, n_clusters // 2),
+        seed=142,
+    )
+    return ensure_corpus(cfg)
+
+
+def _er_cfg():
+    from ember_ray.pipelines.er import ERConfig
+
+    return ERConfig(scorer_concurrency=2, num_buckets=16, num_partitions=8,
+                    score_parts=8)
+
+
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship ER pipeline on the sf0.001-scale synthetic transcript
+    corpus: assemble → block → pair → score → cluster; returns the
+    (conv_id, entity_id) assignment Dataset."""
+    from ember_ray.pipelines.er import run_er
+
+    corpus = _er_corpus("/root/testdata/sf0.001")
+    out = run_er(corpus, _er_cfg())
+    return out["entities"]
+
+
+_ER_CACHE: dict[str, dict] = {}
+
+
+def _er_run(sf_dir: str) -> dict:
+    corpus = _er_corpus(sf_dir)
+    if corpus not in _ER_CACHE:
+        from ember_ray.pipelines.er import run_er
+
+        _ER_CACHE[corpus] = run_er(corpus, _er_cfg())
+    return _ER_CACHE[corpus]
+
+
+def _q_er_entities(sf_dir: str):
+    return _er_run(sf_dir)["entities"]
+
+
+def _q_er_scored(sf_dir: str):
+    return _er_run(sf_dir)["scored"]
+
+
+def _q_er_metrics(sf_dir: str):
+    import pandas as pd
+
+    return pd.DataFrame([_er_run(sf_dir)["metrics"]])
+
+
+def _q_er_conversations(sf_dir: str):
+    from ember_ray.pipelines.er import _as_dataset
+    from ember_ray.stages.assemble import assemble_conversations
+
+    return assemble_conversations(_as_dataset(_er_corpus(sf_dir)), num_buckets=16)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ember_ray.pipelines import ann, dedup, multimodal, relational, textops
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- relational operators (SURVEY §2; oracle-checked) -------------
+        "filter_project": relational.filter_project,        # M2/M4/M10
+        "groupby_count": relational.groupby_count,          # A2
+        "distinct": relational.distinct_values,             # A3
+        "group_size_filter": relational.group_size_filter,  # M5
+        "semi_join": relational.semi_join,                  # J4
+        "anti_join": relational.anti_join,                  # J3
+        "join_agg": relational.join_agg,                    # J1/J2 analog
+        "topk": relational.topk,                            # O3
+        "union_dedup": relational.union_dedup,              # U1/U2
+        "assembly": relational.assembly,                    # A1 analog
+        "pricing_summary": relational.pricing_summary,      # partial+final agg
+        "concat_cols": relational.concat_cols,              # M7/F4
+        # --- text analysis ------------------------------------------------
+        "token_count": textops.token_count,
+        "quality_scores": textops.quality_scores,
+        "quality_by_lang": textops.quality_by_lang,
+        "lang_id": textops.lang_id,                         # rows-only
+        "fingerprints": textops.fingerprints,               # rows-only
+        # --- dedup suite --------------------------------------------------
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_minhash": dedup.dedup_minhash,               # rows-only
+        "dedup_simhash": dedup.dedup_simhash,               # rows-only
+        "dedup_ngram": dedup.dedup_ngram,                   # rows-only
+        "dedup_embedding": dedup.dedup_embedding,           # rows-only
+        # --- similarity search -------------------------------------------
+        "ann_topk": ann.ann_topk,
+        "ann_topk_lsh": ann.ann_topk_lsh,                   # rows-only
+        # --- multimodal plumbing -----------------------------------------
+        "mm_payload_sizes": multimodal.payload_sizes,
+        "mm_features": multimodal.mm_features,              # rows-only
+        # --- flagship ER pipeline (synthetic transcripts; rows-only) -----
+        "er_conversations": _q_er_conversations,
+        "er_scored_pairs": _q_er_scored,
+        "er_entities": _q_er_entities,
+        "er_metrics": _q_er_metrics,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop = "('the','a','of','and','to')"
+    return {
+        "filter_project": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE lang IN ('en','de') AND n_chars > 120"
+        ),
+        "groupby_count": (
+            "SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value "
+            "FROM events GROUP BY event_type"
+        ),
+        "distinct": "SELECT DISTINCT lang FROM documents",
+        "group_size_filter": (
+            "SELECT user_id, count(*) AS n FROM events "
+            "GROUP BY user_id HAVING count(*) >= 10"
+        ),
+        "semi_join": (
+            "SELECT c_custkey, c_name FROM customer "
+            "WHERE c_custkey IN (SELECT o_custkey FROM orders)"
+        ),
+        "anti_join": (
+            "SELECT c_custkey, c_name FROM customer "
+            "WHERE c_custkey NOT IN "
+            "(SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')"
+        ),
+        "join_agg": (
+            "SELECT c_mktsegment, count(*) AS n_orders, "
+            "round(sum(o_totalprice), 2) AS sum_price "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment"
+        ),
+        "topk": (
+            "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem "
+            "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 15"
+        ),
+        "union_dedup": (
+            "SELECT DISTINCT doc_id, lang FROM documents "
+            "WHERE doc_id < 300 OR doc_id >= 200"
+        ),
+        "assembly": (
+            "SELECT user_id, count(*) AS n_events, "
+            "string_agg(event_type, '|' ORDER BY ts, event_id) AS event_seq "
+            "FROM events GROUP BY user_id"
+        ),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_base_price, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+            "count(*) AS n "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "concat_cols": (
+            "SELECT doc_id, coalesce(lang, '') || ' ' || coalesce(source, '') "
+            "AS combined FROM documents"
+        ),
+        "token_count": (
+            "SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens "
+            "FROM documents"
+        ),
+        "quality_scores": (
+            "SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens, "
+            f"len(list_filter(string_split(text, ' '), x -> x IN {stop}))::BIGINT "
+            "AS n_stopwords FROM documents"
+        ),
+        "quality_by_lang": (
+            "SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars, "
+            "max(n_chars) AS max_chars FROM documents GROUP BY lang"
+        ),
+        "dedup_exact": (
+            "SELECT min(doc_id) AS doc_id, count(*) AS n_dups "
+            "FROM documents GROUP BY text"
+        ),
+        "ann_topk": (
+            "WITH q AS (SELECT vec_id AS qid, embedding AS e FROM embeddings "
+            "WHERE vec_id < 8), "
+            "s AS (SELECT q.qid AS query_id, v.vec_id, "
+            "round(list_cosine_similarity(q.e, v.embedding), 6) AS cosine "
+            "FROM q CROSS JOIN embeddings v) "
+            "SELECT query_id, vec_id, cosine FROM s "
+            "QUALIFY row_number() OVER "
+            "(PARTITION BY query_id ORDER BY cosine DESC, vec_id) <= 10"
+        ),
+        "mm_payload_sizes": (
+            "SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes "
+            "FROM documents"
+        ),
+    }

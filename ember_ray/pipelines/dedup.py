@@ -1,0 +1,325 @@
+"""Deduplication suite over the ``documents`` table: exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Each is the scalable shape (ray_guide "Aggregation at scale" near-dup
+recipe): shingle/sketch per batch → explode to bucket keys → one
+``groupby(bucket)`` shuffle → candidate pairs → vectorized verify. No
+driver-side loops over rows; no global in-memory sets.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.minhash import (
+    char_shingles,
+    hamming64,
+    lsh_band_keys,
+    minhash_signatures,
+    simhash,
+)
+from ..functions.similarity import batch_jaccard
+from ..functions.text import tokenize_array
+from ..util import bucketed_group_map, hash_join
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+
+# ------------------------------------------------------------------ exact
+def dedup_exact(sf_dir: str):
+    """Exact text dedup: hash-partition on text, keep min doc_id per group
+    (reference U2 pattern without the in-memory anti-join). Oracle:
+    GROUP BY text → min(doc_id), count(*)."""
+    ds = _docs(sf_dir)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("text", sort=False)["doc_id"]
+        return pd.DataFrame(
+            {
+                "doc_id": g.min().to_numpy(),
+                "n_dups": g.size().to_numpy().astype("int64"),
+            }
+        )
+
+    return bucketed_group_map(ds, key="text", fn=fn, num_buckets=16)
+
+
+# ----------------------------------------------------------- minhash + LSH
+def _pairs_from_blocks(blocks, id_col: str, num_buckets: int, cap: int = 256):
+    def pairgen(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("block_key", kind="mergesort")
+        keys = df["block_key"].to_numpy()
+        ids_all = df[id_col].to_numpy()
+        bounds = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1], True])
+        l, r = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            ids = np.unique(ids_all[s:e])
+            if ids.size < 2 or ids.size > cap:
+                continue
+            i, j = np.triu_indices(ids.size, k=1)
+            l.append(ids[i])
+            r.append(ids[j])
+        if not l:
+            return pd.DataFrame({f"{id_col}_left": pd.array([], "int64"),
+                                 f"{id_col}_right": pd.array([], "int64")})
+        return pd.DataFrame(
+            {f"{id_col}_left": np.concatenate(l), f"{id_col}_right": np.concatenate(r)}
+        )
+
+    paired = bucketed_group_map(blocks, key="block_key", fn=pairgen,
+                                num_buckets=num_buckets)
+    return bucketed_group_map(
+        paired,
+        key=f"{id_col}_left",
+        fn=lambda df: df.drop_duplicates([f"{id_col}_left", f"{id_col}_right"]),
+        num_buckets=num_buckets,
+    )
+
+
+def dedup_minhash(sf_dir: str, threshold: float = 0.8, num_perm: int = 64,
+                  num_bands: int = 8, num_buckets: int = 16):
+    """MinHash-LSH near-dup pairs verified by exact token Jaccard ≥ τ.
+
+    shingle → minhash → band keys → groupby(band) → candidate pairs →
+    join texts back → vectorized Jaccard verify."""
+    docs = _docs(sf_dir)
+
+    def block_fn(t: pa.Table) -> pa.Table:
+        toks = tokenize_array(t["text"])
+        sig = minhash_signatures(toks, num_perm=num_perm)
+        keys = lsh_band_keys(sig, num_bands=num_bands)
+        counts = np.fromiter((len(k) for k in keys), np.int64, len(keys))
+        idx = np.repeat(np.arange(len(keys)), counts)
+        ids = np.asarray(t["doc_id"])[idx]
+        return pa.table(
+            {
+                "block_key": pa.array([k for ks in keys for k in ks], pa.string()),
+                "doc_id": pa.array(ids, pa.int64()),
+            }
+        )
+
+    blocks = docs.map_batches(block_fn, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = _pairs_from_blocks(blocks, "doc_id", num_buckets)
+
+    left = docs.rename_columns({"doc_id": "doc_id_left", "text": "text_left"})
+    right = docs.rename_columns({"doc_id": "doc_id_right", "text": "text_right"})
+    with_text = hash_join(
+        hash_join(pairs, left, on="doc_id_left", num_partitions=num_buckets),
+        right,
+        on="doc_id_right",
+        num_partitions=num_buckets,
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        jac = batch_jaccard(tokenize_array(t["text_left"]), tokenize_array(t["text_right"]))
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "doc_id_left": pa.array(np.asarray(t["doc_id_left"])[keep], pa.int64()),
+                "doc_id_right": pa.array(np.asarray(t["doc_id_right"])[keep], pa.int64()),
+                "jaccard": pa.array(np.round(jac[keep], 6), pa.float64()),
+            }
+        )
+
+    return with_text.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------- simhash
+def dedup_simhash(sf_dir: str, max_hamming: int = 12, num_buckets: int = 16):
+    """SimHash near-dup: 64-bit fingerprints, candidates via 4×16-bit
+    band buckets (any shared band ⇒ candidate), verify Hamming ≤ k."""
+    docs = _docs(sf_dir)
+
+    def block_fn(t: pa.Table) -> pa.Table:
+        h = simhash(tokenize_array(t["text"]))
+        ids = np.asarray(t["doc_id"])
+        bands, keys_ids, fps = [], [], []
+        for b in range(4):
+            band = (h >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            bands.extend(f"s{b}:{v:04x}" for v in band)
+            keys_ids.append(ids)
+            fps.append(h)
+        return pa.table(
+            {
+                "block_key": pa.array(bands, pa.string()),
+                "doc_id": pa.array(np.concatenate(keys_ids), pa.int64()),
+                "fp": pa.array(np.concatenate(fps), pa.uint64()),
+            }
+        )
+
+    blocks = docs.map_batches(block_fn, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = _pairs_from_blocks(
+        blocks.select_columns(["block_key", "doc_id"]), "doc_id", num_buckets
+    )
+
+    fps = docs.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "fp": pa.array(simhash(tokenize_array(t["text"])), pa.uint64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    left = fps.rename_columns({"doc_id": "doc_id_left", "fp": "fp_left"})
+    right = fps.rename_columns({"doc_id": "doc_id_right", "fp": "fp_right"})
+    with_fp = hash_join(
+        hash_join(pairs, left, on="doc_id_left", num_partitions=num_buckets),
+        right,
+        on="doc_id_right",
+        num_partitions=num_buckets,
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        d = hamming64(
+            np.asarray(t["fp_left"]).astype(np.uint64),
+            np.asarray(t["fp_right"]).astype(np.uint64),
+        )
+        keep = d <= max_hamming
+        return pa.table(
+            {
+                "doc_id_left": pa.array(np.asarray(t["doc_id_left"])[keep], pa.int64()),
+                "doc_id_right": pa.array(np.asarray(t["doc_id_right"])[keep], pa.int64()),
+                "hamming": pa.array(d[keep], pa.int64()),
+            }
+        )
+
+    return with_fp.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------- n-gram jaccard
+def dedup_ngram(sf_dir: str, k: int = 5, threshold: float = 0.55,
+                num_perm: int = 64, num_bands: int = 16, num_buckets: int = 16):
+    """Char-n-gram Jaccard near-dup: shingle-level MinHash-LSH candidates,
+    exact n-gram-set Jaccard verify (catches word-reordering dups that
+    token Jaccard misses)."""
+    docs = _docs(sf_dir)
+
+    def block_fn(t: pa.Table) -> pa.Table:
+        sh = char_shingles(t["text"], k=k)
+        sig = minhash_signatures(sh, num_perm=num_perm)
+        keys = lsh_band_keys(sig, num_bands=num_bands)
+        counts = np.fromiter((len(x) for x in keys), np.int64, len(keys))
+        idx = np.repeat(np.arange(len(keys)), counts)
+        ids = np.asarray(t["doc_id"])[idx]
+        return pa.table(
+            {
+                "block_key": pa.array([x for xs in keys for x in xs], pa.string()),
+                "doc_id": pa.array(ids, pa.int64()),
+            }
+        )
+
+    blocks = docs.map_batches(block_fn, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = _pairs_from_blocks(blocks, "doc_id", num_buckets)
+    left = docs.rename_columns({"doc_id": "doc_id_left", "text": "text_left"})
+    right = docs.rename_columns({"doc_id": "doc_id_right", "text": "text_right"})
+    with_text = hash_join(
+        hash_join(pairs, left, on="doc_id_left", num_partitions=num_buckets),
+        right,
+        on="doc_id_right",
+        num_partitions=num_buckets,
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        jac = batch_jaccard(
+            char_shingles(t["text_left"], k=k), char_shingles(t["text_right"], k=k)
+        )
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "doc_id_left": pa.array(np.asarray(t["doc_id_left"])[keep], pa.int64()),
+                "doc_id_right": pa.array(np.asarray(t["doc_id_right"])[keep], pa.int64()),
+                "ngram_jaccard": pa.array(np.round(jac[keep], 6), pa.float64()),
+            }
+        )
+
+    return with_text.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------------- embedding cosine
+def dedup_embedding(sf_dir: str, threshold: float = 0.35, num_buckets: int = 16):
+    """Embedding-cosine near-dup: random-hyperplane LSH buckets (8-bit sign
+    sketch of the normalized vector) → candidate pairs within bucket →
+    exact cosine verify. The sign sketch is the scale path; brute-force
+    per-bucket cosine is exact within candidates."""
+    import ray.data as rd
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    rng = np.random.default_rng(142)
+    planes = rng.standard_normal((8, 64))
+
+    def block_fn(t: pa.Table) -> pa.Table:
+        vecs = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        bits = (vecs @ planes.T > 0).astype(np.uint8)
+        key = (bits * (1 << np.arange(8, dtype=np.uint8))).sum(axis=1)
+        return pa.table(
+            {
+                "block_key": pa.array([f"h{v:02x}" for v in key], pa.string()),
+                "vec_id": t["vec_id"],
+            }
+        )
+
+    blocks = emb.map_batches(block_fn, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = _pairs_from_blocks(blocks, "vec_id", num_buckets, cap=4096)
+
+    def to_fixed(t: pa.Table, side: str) -> pa.Table:
+        return pa.table({f"vec_id_{side}": t["vec_id"], f"emb_{side}": t["embedding"]})
+
+    left = emb.map_batches(lambda t: to_fixed(t, "left"), batch_format="pyarrow")
+    right = emb.map_batches(lambda t: to_fixed(t, "right"), batch_format="pyarrow")
+    # list<float> can't ride the Arrow hash join → pack to fixed-width binary
+    def pack(t: pa.Table, col: str) -> pa.Table:
+        if t.num_rows == 0:
+            return t.drop_columns([col]).append_column(
+                col + "_bin", pa.array([], pa.binary())
+            )
+        vecs = np.stack(t[col].to_pandas().to_numpy()).astype(np.float32)
+        blob = pa.array([v.tobytes() for v in vecs], pa.binary())
+        return t.drop_columns([col]).append_column(col + "_bin", blob)
+
+    left = left.map_batches(lambda t: pack(t, "emb_left"), batch_format="pyarrow")
+    right = right.map_batches(lambda t: pack(t, "emb_right"), batch_format="pyarrow")
+    joined = hash_join(
+        hash_join(pairs, left, on="vec_id_left", num_partitions=num_buckets),
+        right,
+        on="vec_id_right",
+        num_partitions=num_buckets,
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "vec_id_left": pa.array([], pa.int64()),
+                    "vec_id_right": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        a = np.stack([np.frombuffer(b, np.float32) for b in t["emb_left_bin"].to_pylist()]).astype(np.float64)
+        b = np.stack([np.frombuffer(x, np.float32) for x in t["emb_right_bin"].to_pylist()]).astype(np.float64)
+        sim = (a * b).sum(1) / np.maximum(
+            np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1), 1e-12
+        )
+        keep = sim >= threshold
+        return pa.table(
+            {
+                "vec_id_left": pa.array(np.asarray(t["vec_id_left"])[keep], pa.int64()),
+                "vec_id_right": pa.array(np.asarray(t["vec_id_right"])[keep], pa.int64()),
+                "cosine": pa.array(np.round(sim[keep], 6), pa.float64()),
+            }
+        )
+
+    return joined.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,276 @@
+"""Oracle-checked relational operators over the driver testdata tables.
+
+One function per SURVEY.md §2 operator family, each taking ``sf_dir`` and
+returning a ``ray.data.Dataset`` whose schema/column names match the
+DuckDB oracle SQL in ``__ray_entry__.oracle_sql`` exactly.
+
+Scale discipline (applies to every function here):
+  * reads prune columns at the source (``read_parquet(columns=[...])``);
+  * per-batch work is vectorized Arrow/numpy;
+  * small sides are broadcast (``ray.put`` + ``pc.is_in``), never shuffled;
+  * aggregates pre-combine per batch before the ``groupby`` shuffle where
+    the key count is bounded.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..util import bucketed_group_map
+
+
+def _rp(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
+
+
+def _round_cols(ds, cols: tuple[str, ...], ndigits: int = 2):
+    """Round float columns post-aggregate: float sums accumulate in a
+    different order here vs DuckDB, so oracle-checked outputs round
+    explicitly on both sides."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        for c in cols:
+            t = t.set_column(
+                t.schema.get_field_index(c),
+                c,
+                pc.round(t[c], ndigits=ndigits),
+            )
+        return t
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------------------- M2/M4/M10
+def filter_project(sf_dir: str):
+    """Vectorized predicate filter + projection (reference M2/M4: isin
+    filters, build_ali_corpus.py:23-25, build_ali_dataset.py:352-353)."""
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.is_in(t["lang"], value_set=pa.array(["en", "de"])),
+            pc.greater(t["n_chars"], 120),
+        )
+        return t.filter(mask)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------------------------- A2/A3
+def groupby_count(sf_dir: str):
+    """Group sizes + sums (reference A2 value_counts,
+    build_ali_dataset.py:355-356)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "value"])
+    agg = ds.groupby("event_type").aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="sum_value")
+    )
+    return _round_cols(agg, ("sum_value",))
+
+
+def distinct_values(sf_dir: str):
+    """Distinct (reference A3 unique/nunique, build_ali_dataset.py:74,147)."""
+    import ray.data as rd
+
+    ds = _rp(sf_dir, "documents", columns=["lang"])
+    vals = sorted(ds.unique("lang"))
+    return rd.from_arrow(pa.table({"lang": pa.array(vals, pa.string())}))
+
+
+# ----------------------------------------------------------------------- M5
+def group_size_filter(sf_dir: str):
+    """Keep groups with >= 10 members (reference M5: drop clusters with <10
+    records, build_ali_dataset.py:355-358). Partial per-batch counts →
+    small groupby → filter, no raw-row shuffle."""
+    from ray.data.aggregate import Sum
+
+    ds = _rp(sf_dir, "events", columns=["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u, c = np.unique(np.asarray(t["user_id"]), return_counts=True)
+        return pa.table({"user_id": pa.array(u, pa.int64()),
+                         "n": pa.array(c, pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = parts.groupby("user_id").aggregate(Sum("n", alias_name="n"))
+    return agg.filter(expr="n >= 10")
+
+
+# ------------------------------------------------------------------- J4/J3
+def semi_join(sf_dir: str):
+    """Broadcast-hash semi join (reference J4 `isin` semi joins):
+    customers having at least one order."""
+    import ray
+
+    custkeys = set(_rp(sf_dir, "orders", columns=["o_custkey"]).unique("o_custkey"))
+    ref = ray.put(np.fromiter(custkeys, np.int64))
+    ds = _rp(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        return t.filter(pc.is_in(t["c_custkey"], value_set=pa.array(keys)))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def anti_join(sf_dir: str):
+    """Broadcast anti join (reference J3 left-anti via merge indicator,
+    build_ali_dataset.py:88-97): customers with no 'F'-status orders
+    (predicate chosen so the result is non-empty at every sf)."""
+    import ray
+
+    orders = _rp(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
+    f_orders = orders.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderstatus"], "F")).select(["o_custkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    custkeys = set(f_orders.unique("o_custkey"))
+    ref = ray.put(np.fromiter(custkeys, np.int64))
+    ds = _rp(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        return t.filter(
+            pc.invert(pc.is_in(t["c_custkey"], value_set=pa.array(keys)))
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# -------------------------------------------------------------- large join
+def join_agg(sf_dir: str):
+    """Hash-partitioned large join + aggregate (reference J1/J2 rephrased on
+    TPC-H-ish tables): orders ⋈ customer → per-mktsegment counts."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..util import hash_join
+
+    orders = _rp(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = _rp(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = hash_join(
+        orders.rename_columns({"o_custkey": "c_custkey"}),
+        cust,
+        on="c_custkey",
+        num_partitions=16,
+    )
+    agg = joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="sum_price")
+    )
+    return _round_cols(agg, ("sum_price",))
+
+
+# ----------------------------------------------------------------------- O3
+def topk(sf_dir: str):
+    """Global top-k by sort+limit (reference O3: top-12 similar clusters,
+    build_ali_dataset.py:160-169). Deterministic tie-break on full key."""
+    ds = _rp(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+    return ds.sort(
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        descending=[True, False, False],
+    ).limit(15)
+
+
+# ------------------------------------------------------------------- U1/U2
+def union_dedup(sf_dir: str):
+    """Union of two overlapping slices + exact dedup (reference U1 concat +
+    U2 pair dedup): canonical key ordering + hash-partition + per-group
+    first — no global in-memory set."""
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "lang"])
+    lo = docs.filter(expr="doc_id < 300")
+    hi = docs.filter(expr="doc_id >= 200")
+    both = lo.union(hi)
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates("doc_id")
+
+    return bucketed_group_map(both, key="doc_id", fn=dedup, num_buckets=8)
+
+
+# ------------------------------------------------------------------ A1 (!)
+def assembly(sf_dir: str):
+    """The conversation-assembly analog on driver data: events grouped by
+    user_id, event_type concatenated in (ts, event_id) order (reference A1
+    group-union aggregate + the north-star stable-ordering groupby)."""
+    ds = _rp(sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = df.groupby("user_id", sort=False)
+        return pd.DataFrame(
+            {
+                "user_id": g.size().index.to_numpy(),
+                "n_events": g.size().to_numpy().astype("int64"),
+                "event_seq": g["event_type"].agg("|".join).to_numpy(),
+            }
+        )
+
+    return bucketed_group_map(ds, key="user_id", fn=fn, num_buckets=16)
+
+
+# ---------------------------------------------------- A4-style partial agg
+def pricing_summary(sf_dir: str):
+    """TPC-H-Q1-shaped grouped aggregate with per-batch pre-aggregation
+    (the partial+final pattern of the reference's metric accumulation, A4
+    matcher.py:14-24)."""
+    from ray.data.aggregate import Sum
+
+    ds = _rp(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            n=("l_quantity", "size"),
+        ).reset_index()
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = (
+        parts.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("n", alias_name="n"),
+        )
+    )
+    return _round_cols(agg, ("sum_qty", "sum_base_price", "sum_disc_price"))
+
+
+# ------------------------------------------------------------------- M7/F4
+def concat_cols(sf_dir: str):
+    """Null-coalescing multi-column concat (reference M7,
+    alidatamodule.py:128-134)."""
+    from ..functions.text import concat_coalesce
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        comb = concat_coalesce([t["lang"], t["source"]])
+        return pa.table({"doc_id": t["doc_id"], "combined": comb})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,143 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID, quality scoring, token counting, document fingerprinting.
+
+These extend the reference's text surface (M3 tokenizer / M6 flatten / M7
+concat) with the operations a 100 TB corpus pipeline needs. All are
+stateless vectorized ``map_batches`` except language-ID, whose n-gram
+profile table is per-actor state (reference T1 pattern).
+
+Oracle notes: oracle-checked outputs stick to integer columns (token /
+stopword counts) — float aggregates are rounded explicitly where used so
+the DuckDB comparison is exact.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def _rp(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def token_count(sf_dir: str):
+    """Per-doc whitespace token count (SQL: len(string_split(text, ' ')))."""
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = pc.list_value_length(pc.split_pattern(t["text"], pattern=" "))
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_tokens": pc.cast(n, pa.int64())}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quality_scores(sf_dir: str):
+    """Per-doc quality counters: token count + stopword count (integer —
+    exact vs the DuckDB list_filter oracle)."""
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    stop = pa.array(list(STOPWORDS))
+
+    def fn(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        n = pc.cast(pc.list_value_length(toks), pa.int64())
+        flat = pc.list_flatten(toks)
+        is_stop = pc.is_in(flat, value_set=stop)
+        lst = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        offsets = np.asarray(lst.offsets)
+        stop_np = np.asarray(
+            is_stop.combine_chunks() if isinstance(is_stop, pa.ChunkedArray) else is_stop
+        ).astype(np.int64)
+        csum = np.concatenate([[0], np.cumsum(stop_np)])
+        per_row = csum[offsets[1:]] - csum[offsets[:-1]]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": n,
+                "n_stopwords": pa.array(per_row, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quality_by_lang(sf_dir: str):
+    """Corpus-level quality profile per language (integer sums — exact)."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    ds = _rp(sf_dir, "documents", columns=["lang", "n_chars"])
+    return ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="sum_chars"),
+        Max("n_chars", alias_name="max_chars"),
+    )
+
+
+class LangId:
+    """Heuristic n-gram language-ID (actor-pool stage, T1 pattern: profile
+    table built once per actor in __init__). Deterministic; rows-only check
+    (not SQL-expressible)."""
+
+    PROFILES = {
+        "en": ("the", "and", "ing", "ion", "of "),
+        "de": ("der", "die", "und", "sch", "ein"),
+        "fr": ("les", "des", "ent", "que", "ion"),
+        "es": ("los", "las", "ión", "ent", "que"),
+        "zh": (),  # CJK detected by codepoint range
+    }
+
+    def __init__(self):
+        self.profiles = {
+            lang: tuple(g for g in grams) for lang, grams in self.PROFILES.items()
+        }
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        preds = []
+        for s in texts:
+            s = (s or "").lower()
+            if any("一" <= ch <= "鿿" for ch in s[:200]):
+                preds.append("zh")
+                continue
+            best, best_n = "en", -1
+            for lang, grams in self.profiles.items():
+                n = sum(s.count(g) for g in grams)
+                if n > best_n:
+                    best, best_n = lang, n
+            preds.append(best)
+        return pa.table(
+            {"doc_id": t["doc_id"], "lang_pred": pa.array(preds, pa.string())}
+        )
+
+
+def lang_id(sf_dir: str, concurrency: int = 2):
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        LangId, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency, batch_size=2048,
+    )
+
+
+def fingerprints(sf_dir: str):
+    """Stable 64-bit content fingerprint per document (rolling/stable hash
+    of normalized text). Deterministic across runs/workers; rows-only."""
+    from ..functions.text import normalize
+    from ..util import stable_hash64
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        h = stable_hash64(normalize(t["text"]))
+        fp = pa.array([f"{x:016x}" for x in h], pa.string())
+        return pa.table({"doc_id": t["doc_id"], "fp": fp})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
