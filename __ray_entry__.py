@@ -113,6 +113,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assembly": relational.assembly,                    # A1 analog
         "pricing_summary": relational.pricing_summary,      # partial+final agg
         "concat_cols": relational.concat_cols,              # M7/F4
+        "group_topk": relational.group_topk,                # O1/O2
+        "deterministic_split": relational.deterministic_split,  # O5
+        "regex_clean": relational.regex_clean,              # M6/F3
+        "overlap_stats": relational.overlap_stats,          # A5
+        "window_agg": relational.window_agg,                # windowed agg
         # --- text analysis ------------------------------------------------
         "token_count": textops.token_count,
         "quality_scores": textops.quality_scores,
@@ -147,7 +152,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE lang IN ('en','de') AND n_chars > 120"
         ),
         "groupby_count": (
-            "SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value "
+            "SELECT event_type, count(*) AS n, round(sum(value) * 100) / 100 AS sum_value "
             "FROM events GROUP BY event_type"
         ),
         "distinct": "SELECT DISTINCT lang FROM documents",
@@ -166,7 +171,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "join_agg": (
             "SELECT c_mktsegment, count(*) AS n_orders, "
-            "round(sum(o_totalprice), 2) AS sum_price "
+            "round(sum(o_totalprice) * 100) / 100 AS sum_price "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "GROUP BY c_mktsegment"
         ),
@@ -185,15 +190,38 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "
-            "round(sum(l_quantity), 2) AS sum_qty, "
-            "round(sum(l_extendedprice), 2) AS sum_base_price, "
-            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+            "round(sum(l_quantity) * 100) / 100 AS sum_qty, "
+            "round(sum(l_extendedprice) * 100) / 100 AS sum_base_price, "
+            "round(sum(l_extendedprice * (1 - l_discount)) * 100) / 100 AS sum_disc_price, "
             "count(*) AS n "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
         "concat_cols": (
             "SELECT doc_id, coalesce(lang, '') || ' ' || coalesce(source, '') "
             "AS combined FROM documents"
+        ),
+        "group_topk": (
+            "SELECT user_id, event_id, round(value * 1000000) / 1000000 AS value FROM events "
+            "QUALIFY row_number() OVER "
+            "(PARTITION BY user_id ORDER BY value DESC, event_id) <= 2"
+        ),
+        "deterministic_split": (
+            "SELECT doc_id, lang FROM documents WHERE doc_id % 10 < 7"
+        ),
+        "regex_clean": (
+            "SELECT doc_id, regexp_replace(text, '[0-9]+', '#', 'g') "
+            "AS cleaned FROM documents"
+        ),
+        "overlap_stats": (
+            "SELECT count(DISTINCT user_id) AS n_users, "
+            "count(DISTINCT CASE WHEN user_id IN "
+            "(SELECT c_custkey FROM customer) THEN user_id END) AS n_overlap "
+            "FROM events"
+        ),
+        "window_agg": (
+            "SELECT date_trunc('hour', ts) AS window_start, event_type, "
+            "count(*) AS n, round(sum(value) * 100) / 100 AS sum_value "
+            "FROM events GROUP BY 1, 2"
         ),
         "token_count": (
             "SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens "

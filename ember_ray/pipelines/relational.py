@@ -33,16 +33,20 @@ def _rp(sf_dir: str, table: str, columns=None):
 
 
 def _round_cols(ds, cols: tuple[str, ...], ndigits: int = 2):
-    """Round float columns post-aggregate: float sums accumulate in a
-    different order here vs DuckDB, so oracle-checked outputs round
-    explicitly on both sides."""
+    """Round float columns post-aggregate to BITWISE-identical doubles on
+    both sides: float sums accumulate in a different order here vs DuckDB
+    (one-ulp differences), and ``pc.round``/DuckDB ``round`` may then round
+    to different neighbouring doubles. Recipe used on BOTH sides instead:
+    ``rint(x * 10^d) / 10^d`` — the scaled value is an exact integer double
+    and a single IEEE division yields identical bits everywhere. Oracle SQL
+    mirrors this as ``round(x * 10^d) / 10^d``."""
+    scale = float(10 ** ndigits)
 
     def fn(t: pa.Table) -> pa.Table:
         for c in cols:
+            v = np.rint(np.asarray(t[c], dtype=np.float64) * scale) / scale
             t = t.set_column(
-                t.schema.get_field_index(c),
-                c,
-                pc.round(t[c], ndigits=ndigits),
+                t.schema.get_field_index(c), c, pa.array(v, pa.float64())
             )
         return t
 
@@ -274,3 +278,107 @@ def concat_cols(sf_dir: str):
         return pa.table({"doc_id": t["doc_id"], "combined": comb})
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------------------------- O1/O2
+def group_topk(sf_dir: str):
+    """Per-group sort + head-k (reference O1/O2: per-cluster hardest-half
+    selection, build_ali_dataset.py:102-110,188-197): top-2 events by value
+    per user. Per-group top-k inside a bucketed group map — no global sort."""
+    ds = _rp(sf_dir, "events", columns=["user_id", "event_id", "value"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["user_id", "value", "event_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return df.groupby("user_id", sort=False).head(2)
+
+    out = bucketed_group_map(ds, key="user_id", fn=fn, num_buckets=16)
+    return _round_cols(out, ("value",), ndigits=6)
+
+
+# ----------------------------------------------------------------------- O5
+def deterministic_split(sf_dir: str):
+    """Content-derived (never RNG-state) split (reference O5
+    train_test_split, build_ali_dataset.py:263-296 — made deterministic per
+    SURVEY §4): 'train' = doc_id mod 10 < 7. Pure vectorized filter."""
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def filt(t: pa.Table) -> pa.Table:
+        mod = pc.subtract(
+            t["doc_id"], pc.multiply(pc.divide(t["doc_id"], 10), 10)
+        )
+        return t.filter(pc.less(mod, 7))
+
+    return ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------------------------- M6/F3
+def regex_clean(sf_dir: str):
+    """Vectorized regex normalization (reference M6/F3: pv_pairs
+    '#;#'/'#:#' flattening, alidatamodule.py:119-126, dm.py:244-245):
+    digit runs → '#'. RE2 semantics on both sides (pc.replace_substring_regex
+    / DuckDB regexp_replace)."""
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        cleaned = pc.replace_substring_regex(t["text"], pattern="[0-9]+",
+                                             replacement="#")
+        return pa.table({"doc_id": t["doc_id"], "cleaned": cleaned})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ----------------------------------------------------------------------- A5
+def overlap_stats(sf_dir: str):
+    """Overlap-ratio statistic (reference A5: fraction of test ids seen in
+    train, stat_wdc.py:17-63): distinct event users ∩ customer keys.
+    Broadcast the distinct customer-key set; count distinct users once."""
+    users = _rp(sf_dir, "events", columns=["user_id"]).unique("user_id")
+    cust = set(_rp(sf_dir, "customer", columns=["c_custkey"]).unique("c_custkey"))
+    n_users = len(set(users))
+    n_overlap = len(set(users) & cust)
+    return pa.table(
+        {
+            "n_users": pa.array([n_users], pa.int64()),
+            "n_overlap": pa.array([n_overlap], pa.int64()),
+        }
+    )
+
+
+# -------------------------------------------------------- windowed aggregate
+def window_agg(sf_dir: str):
+    """Tumbling-window aggregate (beyond the reference — the streaming-shaped
+    op a training-data pipeline needs; SURVEY §2.10 notes the reference has
+    none): events bucketed into 1-hour windows, count + sum per
+    (window_start, event_type). Window assignment is a stateless vectorized
+    timestamp floor per batch with per-batch pre-aggregation, so the shuffle
+    carries only (window, type) partials — the partial+final pattern."""
+    from ray.data.aggregate import Sum
+
+    ds = _rp(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["window_start"] = df["ts"].dt.floor("h")
+        g = df.groupby(["window_start", "event_type"], sort=False).agg(
+            n=("value", "size"), sum_value=("value", "sum")
+        ).reset_index()
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = parts.groupby(["window_start", "event_type"]).aggregate(
+        Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value")
+    )
+
+    def cast_us(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("window_start")
+        return t.set_column(
+            i, "window_start", pc.cast(t["window_start"], pa.timestamp("us"))
+        )
+
+    agg = agg.map_batches(cast_us, batch_format="pyarrow", zero_copy_batch=True)
+    return _round_cols(agg, ("sum_value",))
