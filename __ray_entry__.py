@@ -96,6 +96,26 @@ def _q_er_conversations(sf_dir: str):
     return assemble_conversations(_as_dataset(_er_corpus(sf_dir)), num_buckets=16)
 
 
+_BENCH_CACHE: dict[str, dict] = {}
+
+
+def _bench_run(sf_dir: str) -> dict:
+    corpus = _er_corpus(sf_dir)
+    if corpus not in _BENCH_CACHE:
+        from ember_ray.pipelines.benchmark import build_labeled_pairs
+
+        _BENCH_CACHE[corpus] = build_labeled_pairs(corpus, num_buckets=16)
+    return _BENCH_CACHE[corpus]
+
+
+def _q_bench_pairs_all(sf_dir: str):
+    return _bench_run(sf_dir)["all"]
+
+
+def _q_bench_pairs_train(sf_dir: str):
+    return _bench_run(sf_dir)["train"]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from ember_ray.pipelines import ann, dedup, multimodal, relational, textops
 
@@ -136,6 +156,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal plumbing -----------------------------------------
         "mm_payload_sizes": multimodal.payload_sizes,
         "mm_features": multimodal.mm_features,              # rows-only
+        # --- labeled-benchmark construction (reference §3.1; rows-only) --
+        "bench_pairs_all": _q_bench_pairs_all,
+        "bench_pairs_train": _q_bench_pairs_train,
         # --- flagship ER pipeline (synthetic transcripts; rows-only) -----
         "er_conversations": _q_er_conversations,
         "er_scored_pairs": _q_er_scored,

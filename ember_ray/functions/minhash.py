@@ -45,42 +45,63 @@ def minhash_signatures(
 
     sig[i] = min over the doc's token hashes h of (a_i·h + b_i) mod 2^61−1.
     Empty docs get the max-hash sentinel signature.
+
+    Fully vectorized: one (num_perm × tokens) multiply-add per chunk and a
+    ``np.minimum.reduceat`` over document offsets — no per-doc Python loop.
+    Chunked so the permutation matrix stays ≲64 MB.
     """
     a, b = _perm_params(num_perm, seed)
     h, offsets = token_hashes(tokens)
     n = len(offsets) - 1
     sig = np.full((n, num_perm), _MAX_HASH, dtype=np.uint64)
+    if not len(h):
+        return sig
     # overflow-free (mod 2^64) multiply-add is fine: we only need a fixed
     # deterministic permutation family, not number-theoretic guarantees
-    for i in range(n):
-        hh = h[offsets[i]:offsets[i + 1]]
-        if not hh.size:
-            continue
-        hh = np.unique(hh)
-        m = (a[:, None] * hh[None, :] + b[:, None]) & _MERSENNE
-        sig[i] = m.min(axis=1)
+    max_tok = max(1, (64 << 20) // (8 * num_perm))  # ≈64MB scratch
+    doc_starts = offsets[:-1]
+    doc_ends = offsets[1:]
+    i = 0
+    while i < n:
+        j = i
+        while j < n and doc_ends[j] - doc_starts[i] <= max_tok:
+            j += 1
+        j = max(j, i + 1)  # at least one doc, even if huge
+        lo, hi = doc_starts[i], doc_ends[j - 1]
+        if hi > lo:
+            hh = h[lo:hi]
+            m = (a[:, None] * hh[None, :] + b[:, None]) & _MERSENNE
+            idx = (doc_starts[i:j] - lo).astype(np.int64)
+            nonempty = doc_ends[i:j] > doc_starts[i:j]
+            red = np.minimum.reduceat(m, np.minimum(idx, hi - lo - 1), axis=1).T
+            sig[i:j][nonempty] = red[nonempty]
+        i = j
     return sig
 
 
-def lsh_band_keys(sig: np.ndarray, num_bands: int) -> list[list[str]]:
-    """Signature matrix → per-doc list of band keys ``"b{band}:{hash:x}"``.
+_BAND_SALT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def lsh_band_keys(sig: np.ndarray, num_bands: int) -> np.ndarray:
+    """Signature matrix → (n_docs, num_bands) uint64 band-key matrix.
 
     num_perm must divide into num_bands equal rows-per-band; two docs share
-    a band key iff their signatures agree on that band's rows.
+    a band key iff their signatures agree on that band's rows. Keys are
+    uint64 (band index mixed in, so keys from different bands never
+    collide) — 8 bytes through the shuffle instead of a 21-char string,
+    and no per-key Python string formatting.
     """
     n, num_perm = sig.shape
     assert num_perm % num_bands == 0, "num_perm must be divisible by num_bands"
     r = num_perm // num_bands
-    keys: list[list[str]] = [[] for _ in range(n)]
-    mult = np.uint64(0x9E3779B97F4A7C15)
+    out = np.empty((n, num_bands), np.uint64)
     for band in range(num_bands):
         chunk = sig[:, band * r:(band + 1) * r]
-        mix = np.zeros(n, np.uint64)
+        mix = np.full(n, np.uint64(band + 1), np.uint64)
         for j in range(r):
-            mix = (mix ^ chunk[:, j]) * mult
-        for i in range(n):
-            keys[i].append(f"b{band}:{mix[i]:016x}")
-    return keys
+            mix = (mix ^ chunk[:, j]) * _BAND_SALT
+        out[:, band] = mix
+    return out
 
 
 def simhash(tokens: pa.Array, seed: int = 142) -> np.ndarray:

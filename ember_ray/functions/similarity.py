@@ -21,10 +21,13 @@ import math
 import numpy as np
 import pyarrow as pa
 
-MAX_SIM_CHARS = 512  # cap edit-distance inputs: O(n·m) DP on full transcripts
-                     # would dominate; 512 chars ≈ first few turns, matching
-                     # the reference's max_length=256-token truncation
-                     # (configs/ali_tm.yaml:9).
+MAX_SIM_CHARS = 128  # cap edit-distance inputs: O(n·m) DP on full transcripts
+                     # would dominate (~1 ms/pair at 512 chars, measured).
+                     # Separation is insensitive to the cap on transcript
+                     # text (pos_p1 0.710@128 vs 0.719@512, neg_p99 ~0.666
+                     # at both on the 6k-cluster synthetic corpus) while
+                     # cost drops 3.6×; analog of the reference's
+                     # max_length=256-token truncation (configs/ali_tm.yaml:9).
 
 
 # ---------------------------------------------------------------- references
@@ -105,6 +108,11 @@ class StringSimKernel:
             import duckdb
 
             self.con = duckdb.connect()
+            # the enclosing actor owns num_cpus=1; duckdb defaults to ALL
+            # machine cores, which oversubscribes the node as the actor
+            # pool widens (N actors × all-cores threads) and flatlines
+            # scaling. One thread per actor; parallelism comes from the pool.
+            self.con.execute("SET threads = 1")
         except Exception:  # pragma: no cover
             self.con = None
 
@@ -179,18 +187,35 @@ def batch_jaccard(left_tokens: pa.Array, right_tokens: pa.Array) -> np.ndarray:
     return out
 
 
+def idf_weights(ids: np.ndarray, idf) -> np.ndarray:
+    """Vectorized IDF lookup: ``idf = (tid_sorted, values)`` from
+    ``build_idf``; ids absent from the table get weight 1.0 (hashing-trick
+    default)."""
+    w = np.ones(len(ids), np.float64)
+    if idf is None or len(ids) == 0:
+        return w
+    tid, vals = idf
+    if len(tid) == 0:
+        return w
+    pos = np.searchsorted(tid, ids)
+    pos_c = np.clip(pos, 0, len(tid) - 1)
+    hit = tid[pos_c] == ids
+    w[hit] = vals[pos_c[hit]]
+    return w
+
+
 def batch_tfidf_cosine(
     left_tokens: pa.Array,
     right_tokens: pa.Array,
-    idf: dict | None = None,
+    idf=None,
     num_features: int = 1 << 20,
 ) -> np.ndarray:
     """TF-IDF cosine over token-list pairs using the hashing trick.
 
-    ``idf`` maps token-hash (uint64 % num_features) → idf weight; missing
-    tokens get weight 1.0 (hashing-trick default). The IDF table is built
-    once from the corpus and broadcast via ray.put (reference T5 pattern:
-    shared fastText vocab/embeddings, scripts/dm.py:286-299).
+    ``idf`` is the ``(tid_sorted, values)`` pair from ``build_idf`` (numpy,
+    broadcast zero-copy via ray.put — reference T5 pattern: shared fastText
+    vocab/embeddings, scripts/dm.py:286-299); weights resolve for the whole
+    batch in one vectorized ``searchsorted``, never per-token python gets.
     """
     from ..util import stable_hash64
 
@@ -206,22 +231,21 @@ def batch_tfidf_cosine(
 
     lh, lo = prep(left_tokens)
     rh, ro = prep(right_tokens)
+    lw = idf_weights(lh, idf)
+    rw = idf_weights(rh, idf)
     n = len(lo) - 1
     out = np.zeros(n, np.float64)
-    get = idf.get if idf is not None else None
     for i in range(n):
-        a_ids, a_tf = np.unique(lh[lo[i]:lo[i + 1]], return_counts=True)
-        b_ids, b_tf = np.unique(rh[ro[i]:ro[i + 1]], return_counts=True)
+        sl = slice(lo[i], lo[i + 1])
+        sr = slice(ro[i], ro[i + 1])
+        a_ids, a_first, a_tf = np.unique(lh[sl], return_index=True,
+                                         return_counts=True)
+        b_ids, b_first, b_tf = np.unique(rh[sr], return_index=True,
+                                         return_counts=True)
         if not a_ids.size or not b_ids.size:
             continue
-        if get is not None:
-            a_w = np.fromiter((get(t, 1.0) for t in a_ids), np.float64, a_ids.size)
-            b_w = np.fromiter((get(t, 1.0) for t in b_ids), np.float64, b_ids.size)
-        else:
-            a_w = np.ones(a_ids.size)
-            b_w = np.ones(b_ids.size)
-        av = a_tf * a_w
-        bv = b_tf * b_w
+        av = a_tf * lw[sl][a_first]
+        bv = b_tf * rw[sr][b_first]
         common, ia, ib = np.intersect1d(a_ids, b_ids, assume_unique=True, return_indices=True)
         if not common.size:
             continue
@@ -230,3 +254,39 @@ def batch_tfidf_cosine(
         nb = math.sqrt(float(np.dot(bv, bv)))
         out[i] = dot / (na * nb) if na and nb else 0.0
     return out
+
+
+def encode_tokens_to_string(tokens: pa.Array, alphabet: int = 1 << 14,
+                            base: int = 0x4E00):
+    """Encode each token as ONE unicode codepoint (hash % alphabet + base,
+    inside the CJK block, below the surrogate range) so sequence-edit
+    kernels run over ~n-token strings instead of ~n-char strings.
+
+    Levenshtein/Jaro-Winkler cost O(len_a·len_b): on full transcript text
+    capped at 512 chars that is ~1 ms/pair (measured; the scorer's
+    dominant cost); on token codes (~100/conv) it is ~25× cheaper AND the
+    distance becomes token-level edit distance — the natural unit for
+    transcripts, like the reference's token-based matcher inputs
+    (configs/ali_tm.yaml:9 max_length=256 TOKENS, not chars).
+
+    Hash collisions (1/16384 per token pair) only ever make two different
+    tokens compare equal — a sub-percent perturbation, deterministic
+    across runs/cluster sizes (stable_hash64).
+
+    Returns (encoded: list[str], as python list) aligned with the input rows.
+    """
+    from ..util import stable_hash64
+
+    lst = tokens.combine_chunks() if isinstance(tokens, pa.ChunkedArray) else tokens
+    flat = lst.values
+    if len(flat):
+        codes = (stable_hash64(flat) % np.uint64(alphabet)).astype(np.uint32)
+        codes += np.uint32(base)
+        all_chars = "".join(map(chr, codes.tolist()))
+    else:
+        all_chars = ""
+    offsets = np.asarray(lst.offsets)
+    return pa.array(
+        [all_chars[offsets[i]:offsets[i + 1]] for i in range(len(offsets) - 1)],
+        pa.string(),
+    )

@@ -24,7 +24,7 @@ from ..functions.minhash import (
 )
 from ..functions.similarity import batch_jaccard
 from ..functions.text import tokenize_array
-from ..util import bucketed_group_map, hash_join
+from ..util import bucketed_group_map, bucketed_join
 
 
 def _docs(sf_dir: str):
@@ -97,13 +97,12 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8, num_perm: int = 64,
     def block_fn(t: pa.Table) -> pa.Table:
         toks = tokenize_array(t["text"])
         sig = minhash_signatures(toks, num_perm=num_perm)
-        keys = lsh_band_keys(sig, num_bands=num_bands)
-        counts = np.fromiter((len(k) for k in keys), np.int64, len(keys))
-        idx = np.repeat(np.arange(len(keys)), counts)
+        keys = lsh_band_keys(sig, num_bands=num_bands)  # (n, bands) uint64
+        idx = np.repeat(np.arange(keys.shape[0]), num_bands)
         ids = np.asarray(t["doc_id"])[idx]
         return pa.table(
             {
-                "block_key": pa.array([k for ks in keys for k in ks], pa.string()),
+                "block_key": pa.array(keys.ravel(), pa.uint64()),
                 "doc_id": pa.array(ids, pa.int64()),
             }
         )
@@ -113,11 +112,11 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8, num_perm: int = 64,
 
     left = docs.rename_columns({"doc_id": "doc_id_left", "text": "text_left"})
     right = docs.rename_columns({"doc_id": "doc_id_right", "text": "text_right"})
-    with_text = hash_join(
-        hash_join(pairs, left, on="doc_id_left", num_partitions=num_buckets),
+    with_text = bucketed_join(
+        bucketed_join(pairs, left, on="doc_id_left", num_buckets=num_buckets),
         right,
         on="doc_id_right",
-        num_partitions=num_buckets,
+        num_buckets=num_buckets,
     )
 
     def verify(t: pa.Table) -> pa.Table:
@@ -173,11 +172,11 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 12, num_buckets: int = 16):
     )
     left = fps.rename_columns({"doc_id": "doc_id_left", "fp": "fp_left"})
     right = fps.rename_columns({"doc_id": "doc_id_right", "fp": "fp_right"})
-    with_fp = hash_join(
-        hash_join(pairs, left, on="doc_id_left", num_partitions=num_buckets),
+    with_fp = bucketed_join(
+        bucketed_join(pairs, left, on="doc_id_left", num_buckets=num_buckets),
         right,
         on="doc_id_right",
-        num_partitions=num_buckets,
+        num_buckets=num_buckets,
     )
 
     def verify(t: pa.Table) -> pa.Table:
@@ -208,13 +207,12 @@ def dedup_ngram(sf_dir: str, k: int = 5, threshold: float = 0.55,
     def block_fn(t: pa.Table) -> pa.Table:
         sh = char_shingles(t["text"], k=k)
         sig = minhash_signatures(sh, num_perm=num_perm)
-        keys = lsh_band_keys(sig, num_bands=num_bands)
-        counts = np.fromiter((len(x) for x in keys), np.int64, len(keys))
-        idx = np.repeat(np.arange(len(keys)), counts)
+        keys = lsh_band_keys(sig, num_bands=num_bands)  # (n, bands) uint64
+        idx = np.repeat(np.arange(keys.shape[0]), num_bands)
         ids = np.asarray(t["doc_id"])[idx]
         return pa.table(
             {
-                "block_key": pa.array([x for xs in keys for x in xs], pa.string()),
+                "block_key": pa.array(keys.ravel(), pa.uint64()),
                 "doc_id": pa.array(ids, pa.int64()),
             }
         )
@@ -223,11 +221,11 @@ def dedup_ngram(sf_dir: str, k: int = 5, threshold: float = 0.55,
     pairs = _pairs_from_blocks(blocks, "doc_id", num_buckets)
     left = docs.rename_columns({"doc_id": "doc_id_left", "text": "text_left"})
     right = docs.rename_columns({"doc_id": "doc_id_right", "text": "text_right"})
-    with_text = hash_join(
-        hash_join(pairs, left, on="doc_id_left", num_partitions=num_buckets),
+    with_text = bucketed_join(
+        bucketed_join(pairs, left, on="doc_id_left", num_buckets=num_buckets),
         right,
         on="doc_id_right",
-        num_partitions=num_buckets,
+        num_buckets=num_buckets,
     )
 
     def verify(t: pa.Table) -> pa.Table:
@@ -292,11 +290,11 @@ def dedup_embedding(sf_dir: str, threshold: float = 0.35, num_buckets: int = 16)
 
     left = left.map_batches(lambda t: pack(t, "emb_left"), batch_format="pyarrow")
     right = right.map_batches(lambda t: pack(t, "emb_right"), batch_format="pyarrow")
-    joined = hash_join(
-        hash_join(pairs, left, on="vec_id_left", num_partitions=num_buckets),
+    joined = bucketed_join(
+        bucketed_join(pairs, left, on="vec_id_left", num_buckets=num_buckets),
         right,
         on="vec_id_right",
-        num_partitions=num_buckets,
+        num_buckets=num_buckets,
     )
 
     def verify(t: pa.Table) -> pa.Table:

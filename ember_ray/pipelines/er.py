@@ -98,20 +98,28 @@ def run_er(
     ds = _as_dataset(transcripts)
 
     base_fp = cfg.fp(input_fp)
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        return out
 
     # --- assemble + tokenize (checkpointed together: "conversations") ------
     def compute_convs():
         return add_tokens(assemble_conversations(ds, num_buckets=cfg.num_buckets))
 
     if checkpointer:
-        convs = checkpointer.run("conversations", base_fp, compute_convs)
+        convs = timed("assemble", lambda: checkpointer.run(
+            "conversations", base_fp, compute_convs))
     else:
-        convs = compute_convs().materialize()  # reused by 3 consumers
+        convs = timed("assemble", lambda: compute_convs().materialize())
 
     # --- IDF table: broadcast once (ray.put), read per scorer actor --------
     idf_ref = None
     if cfg.use_idf:
-        idf = build_idf(convs, num_docs=convs.count())
+        idf = timed("idf", lambda: build_idf(convs, num_docs=convs.count()))
         idf_ref = ray.put(idf)
 
     # --- blocking + pair generation (checkpointed: "pairs") ----------------
@@ -124,18 +132,21 @@ def run_er(
         )
 
     if checkpointer:
-        pairs = checkpointer.run("pairs", base_fp, compute_pairs)
+        pairs = timed("pairs", lambda: checkpointer.run(
+            "pairs", base_fp, compute_pairs))
     else:
-        pairs = compute_pairs().materialize()  # reused: scoring + eval
+        pairs = timed("pairs", lambda: compute_pairs().materialize())
 
     # --- scoring (partition-level checkpoint: "score") ---------------------
-    scored = _score_stage(pairs, convs, cfg, idf_ref, checkpointer, base_fp)
+    scored = timed("score", lambda: _score_stage(
+        pairs, convs, cfg, idf_ref, checkpointer, base_fp
+    ).materialize())  # consumed by edges + metrics + callers
 
     # --- threshold → edges → transitive clustering -------------------------
     edges = edges_from_scores(scored, threshold=cfg.threshold)
-    comps = connected_components(
+    comps = timed("cluster", lambda: connected_components(
         edges, num_buckets=cfg.num_buckets, num_partitions=cfg.num_partitions
-    )
+    ))
     entities = assign_entities(convs, comps, num_partitions=cfg.num_partitions)
 
     out = {
@@ -143,13 +154,14 @@ def run_er(
         "candidate_pairs": pairs,
         "scored": scored,
         "entities": entities,
+        "timings": timings,
     }
     if gold is not None:
-        entities = entities.materialize()
+        entities = timed("entities", lambda: entities.materialize())
         out["entities"] = entities
-        conf = pairwise_confusion(
+        conf = timed("eval", lambda: pairwise_confusion(
             pairs, entities, gold, num_partitions=cfg.num_partitions
-        )
+        ))
         out["metrics"] = prf(conf)
     return out
 

@@ -29,16 +29,15 @@ def make_blocks(
 
     def fn(batch: pa.Table) -> pa.Table:
         sig = minhash_signatures(batch["tokens"], num_perm=num_perm, seed=seed)
-        keys = lsh_band_keys(sig, num_bands=num_bands)
+        keys = lsh_band_keys(sig, num_bands=num_bands)  # (n, bands) uint64
         conv = batch["conv_id"].combine_chunks() if isinstance(
             batch["conv_id"], pa.ChunkedArray
         ) else batch["conv_id"]
-        counts = np.fromiter((len(k) for k in keys), np.int64, len(keys))
-        flat_keys = [k for ks in keys for k in ks]
-        idx = np.repeat(np.arange(len(keys)), counts)
+        n = keys.shape[0]
+        idx = np.repeat(np.arange(n), num_bands)
         return pa.table(
             {
-                "block_key": pa.array(flat_keys, pa.string()),
+                "block_key": pa.array(keys.ravel(), pa.uint64()),
                 "conv_id": conv.take(pa.array(idx)),
             }
         )

@@ -17,23 +17,68 @@ from __future__ import annotations
 import pyarrow as pa
 
 
+def _broadcast_attach(pairs, entities, gold):
+    """Map-side attach of entity/cluster ids to both pair sides from a
+    driver-broadcast zero-copy Arrow index (``ray.put`` once; workers read
+    it zero-copy — a python dict would unpickle per task and serialize the
+    stage)."""
+    import ray
+
+    from ..util import broadcast_lookup, build_broadcast_index
+
+    ent = entities.to_pandas()
+    gld = gold.select_columns(["conv_id", "cluster_id"]).to_pandas()
+    side = ent.merge(gld, on="conv_id", how="outer")
+    ref = ray.put(build_broadcast_index(side, "conv_id",
+                                        ["entity_id", "cluster_id"]))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        idx = ray.get(ref)
+        l, r = batch["conv_id_left"], batch["conv_id_right"]
+        return pa.table(
+            {
+                "entity_left": broadcast_lookup(idx, l, "entity_id"),
+                "entity_right": broadcast_lookup(idx, r, "entity_id"),
+                "cluster_left": broadcast_lookup(idx, l, "cluster_id"),
+                "cluster_right": broadcast_lookup(idx, r, "cluster_id"),
+            }
+        )
+
+    return pairs.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _attach(pairs, table, key_new: tuple[str, str], value: str, num_partitions: int):
     """Join `table`(conv_id,value) onto one pair side with renamed columns."""
-    from ..util import hash_join
+    from ..util import bucketed_join
 
     side_key, value_name = key_new
     renamed = table.rename_columns({"conv_id": side_key, value: value_name})
-    return hash_join(pairs, renamed, on=side_key, num_partitions=num_partitions)
+    return bucketed_join(pairs, renamed, on=side_key,
+                         num_buckets=num_partitions)
 
 
-def pairwise_confusion(candidate_pairs, entities, gold, num_partitions: int = 32):
+def pairwise_confusion(
+    candidate_pairs,
+    entities,
+    gold,
+    num_partitions: int = 32,
+    broadcast_threshold: int = 5_000_000,
+):
     """candidate pairs × predicted entities × gold clusters → dict of
-    tp/fp/fn/tn counts (positive class = "same entity")."""
+    tp/fp/fn/tn counts (positive class = "same entity").
+
+    Hybrid attach (like the small-side rule for joins): when the
+    (conv_id → entity/cluster) maps fit on the driver they are broadcast
+    once via ``ray.put`` and looked up map-side — zero shuffles instead of
+    four; above the threshold the shuffle-join path runs."""
     ds = candidate_pairs.select_columns(["conv_id_left", "conv_id_right"])
-    ds = _attach(ds, entities, ("conv_id_left", "entity_left"), "entity_id", num_partitions)
-    ds = _attach(ds, entities, ("conv_id_right", "entity_right"), "entity_id", num_partitions)
-    ds = _attach(ds, gold, ("conv_id_left", "cluster_left"), "cluster_id", num_partitions)
-    ds = _attach(ds, gold, ("conv_id_right", "cluster_right"), "cluster_id", num_partitions)
+    if entities.count() <= broadcast_threshold:
+        ds = _broadcast_attach(ds, entities, gold)
+    else:
+        ds = _attach(ds, entities, ("conv_id_left", "entity_left"), "entity_id", num_partitions)
+        ds = _attach(ds, entities, ("conv_id_right", "entity_right"), "entity_id", num_partitions)
+        ds = _attach(ds, gold, ("conv_id_left", "cluster_left"), "cluster_id", num_partitions)
+        ds = _attach(ds, gold, ("conv_id_right", "cluster_right"), "cluster_id", num_partitions)
 
     def partial(batch: pa.Table) -> pa.Table:
         import numpy as np

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from ..util import bucketed_group_map
 
@@ -56,12 +57,14 @@ def generate_pairs(
             return pd.DataFrame(
                 {"conv_id_left": pd.array([], "str"), "conv_id_right": pd.array([], "str")}
             )
+        # local combiner: different bands of the same pair often land in
+        # the same bucket — dedup before shuffle #2 to cut its volume
         return pd.DataFrame(
             {
                 "conv_id_left": np.concatenate(out_l),
                 "conv_id_right": np.concatenate(out_r),
             }
-        )
+        ).drop_duplicates(["conv_id_left", "conv_id_right"])
 
     paired = bucketed_group_map(
         blocks, key="block_key", fn=pairs_in_bucket, num_buckets=num_buckets
@@ -76,25 +79,49 @@ def generate_pairs(
 
 
 def attach_sides(pairs, conversations, num_partitions: int = 32,
-                 columns: tuple[str, ...] = ("text",)):
-    """Hash-join conversation payloads onto both pair sides.
+                 columns: tuple[str, ...] = ("text",),
+                 broadcast_threshold: int = 1_000_000):
+    """Join conversation payloads onto both pair sides.
 
-    Both sides are large → two hash-partitioned ``Dataset.join``s (NOT a
-    broadcast; SURVEY.md §7.2 shuffle table). Columns are renamed before
-    joining so no suffix collision logic is needed.
+    Hybrid (the small-side rule): when the conversation payload table fits
+    on the driver (≤ ``broadcast_threshold`` rows) it is broadcast once via
+    ``ray.put`` and attached map-side — zero shuffles; otherwise two
+    hash-partitioned bucketed joins (SURVEY.md §7.2 shuffle table). At
+    10^12-turn scale the join path always runs.
 
-    Only ``text`` is shipped — Arrow's hash join can't carry
-    ``list<string>`` payloads, and re-deriving tokens vectorized in the
-    scorer is cheaper than doubling the shuffle bytes with a token column.
+    Only ``text`` is shipped — re-deriving tokens vectorized in the scorer
+    is cheaper than doubling the shuffle/broadcast bytes with a token
+    column.
     """
-    from ..util import hash_join
+    from ..util import bucketed_join
 
     cols = ["conv_id", *columns]
+    if conversations.count() <= broadcast_threshold:
+        import ray
+
+        from ..util import broadcast_lookup, build_broadcast_index, dataset_to_arrow
+
+        side = dataset_to_arrow(conversations.select_columns(cols))
+        ref = ray.put(build_broadcast_index(side, "conv_id", list(columns)))
+
+        def attach(batch: pa.Table) -> pa.Table:
+            idx = ray.get(ref)  # zero-copy arrow/numpy from the object store
+            out = {n: batch[n] for n in batch.schema.names}
+            for c in columns:
+                out[f"{c}_left"] = broadcast_lookup(idx, batch["conv_id_left"], c)
+                out[f"{c}_right"] = broadcast_lookup(idx, batch["conv_id_right"], c)
+            return pa.table(out)
+
+        return pairs.map_batches(attach, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
     left = conversations.select_columns(cols).rename_columns(
         {c: f"{c}_left" for c in cols}
     )
     right = conversations.select_columns(cols).rename_columns(
         {c: f"{c}_right" for c in cols}
     )
-    out = hash_join(pairs, left, on="conv_id_left", num_partitions=num_partitions)
-    return hash_join(out, right, on="conv_id_right", num_partitions=num_partitions)
+    out = bucketed_join(pairs, left, on="conv_id_left",
+                        num_buckets=num_partitions)
+    return bucketed_join(out, right, on="conv_id_right",
+                         num_buckets=num_partitions)

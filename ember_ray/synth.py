@@ -56,6 +56,9 @@ def _make_vocab(rng: np.random.Generator, size: int) -> list[str]:
     return out
 
 
+GEN_VERSION = 3  # bump when generated content changes (busts the corpus cache)
+
+
 @dataclass(frozen=True)
 class SynthConfig:
     n_clusters: int = 40
@@ -68,7 +71,8 @@ class SynthConfig:
 
     def fingerprint(self) -> str:
         return hashlib.sha256(
-            json.dumps(asdict(self), sort_keys=True).encode()
+            json.dumps({**asdict(self), "gen_version": GEN_VERSION},
+                       sort_keys=True).encode()
         ).hexdigest()[:16]
 
 
@@ -127,20 +131,23 @@ def _distract(rng: np.random.Generator, topic, turns, vocab: list[str]):
     return out
 
 
-def generate(cfg: SynthConfig) -> tuple[pa.Table, pa.Table]:
-    """Build (transcripts, gold_clusters) Arrow tables, fully deterministic."""
-    rng = np.random.default_rng(cfg.seed)
-    vocab = _make_vocab(rng, cfg.vocab_size)
+def _gen_chunk(args) -> tuple[list, list]:
+    """One deterministic chunk of the corpus: clusters
+    [``cluster_base``, …) + its share of singletons. Seeded by
+    ``(seed, chunk_id)`` so output is independent of worker scheduling."""
+    cfg_dict, chunk_id, n_clusters, n_singletons, cluster_base, vocab = args
+    cfg = SynthConfig(**cfg_dict)
+    rng = np.random.default_rng([cfg.seed, chunk_id])
 
     conv_rows: list[tuple[str, int, str, str, str, int]] = []  # ts as int us
     gold: list[tuple[str, int]] = []
-    next_cluster = 0
+    next_cluster = cluster_base
     next_conv = 0
     base_ts = 1_700_000_000_000_000  # fixed epoch-us origin
 
     def emit(conv_turns, cluster_id: int):
         nonlocal next_conv
-        cid = f"c{next_conv:08d}"
+        cid = f"c{chunk_id:05d}_{next_conv:07d}"
         next_conv += 1
         ts = base_ts + int(rng.integers(0, 10**9))
         for idx, (role, text, tool) in enumerate(conv_turns):
@@ -148,7 +155,7 @@ def generate(cfg: SynthConfig) -> tuple[pa.Table, pa.Table]:
             conv_rows.append((cid, idx, role, text, tool, ts))
         gold.append((cid, cluster_id))
 
-    for _ in range(cfg.n_clusters):
+    for _ in range(n_clusters):
         topic, turns = _gen_template(rng, vocab, cfg)
         size = int(rng.integers(2, cfg.max_cluster_size + 1))
         cluster_id = next_cluster
@@ -159,10 +166,50 @@ def generate(cfg: SynthConfig) -> tuple[pa.Table, pa.Table]:
             emit(_distract(rng, topic, turns, vocab), next_cluster)
             next_cluster += 1
 
-    for _ in range(cfg.n_singletons):
+    for _ in range(n_singletons):
         _, turns = _gen_template(rng, vocab, cfg)
         emit([(r, " ".join(t), tl) for r, t, tl in turns], next_cluster)
         next_cluster += 1
+
+    return conv_rows, gold
+
+
+_CHUNK_CLUSTERS = 250
+
+
+def generate(cfg: SynthConfig) -> tuple[pa.Table, pa.Table]:
+    """Build (transcripts, gold_clusters) Arrow tables, fully deterministic.
+
+    Large configs generate in parallel chunks (process pool), each chunk
+    seeded by (seed, chunk_id) with a precomputed cluster-id base — the
+    result is identical regardless of pool size or scheduling order.
+    """
+    vocab = _make_vocab(np.random.default_rng(cfg.seed), cfg.vocab_size)
+
+    # partition work into chunks of ≤_CHUNK_CLUSTERS clusters (+ a pro-rata
+    # share of singletons), with deterministic cluster-id bases
+    n_chunks = max(1, -(-max(cfg.n_clusters, 1) // _CHUNK_CLUSTERS))
+    cfg_dict = asdict(cfg)
+    jobs = []
+    cluster_base = 0
+    for i in range(n_chunks):
+        nc = cfg.n_clusters // n_chunks + (1 if i < cfg.n_clusters % n_chunks else 0)
+        ns = cfg.n_singletons // n_chunks + (
+            1 if i < cfg.n_singletons % n_chunks else 0
+        )
+        jobs.append((cfg_dict, i, nc, ns, cluster_base, vocab))
+        cluster_base += nc * (1 + cfg.distractors_per_cluster) + ns
+
+    if n_chunks == 1:
+        results = [_gen_chunk(jobs[0])]
+    else:
+        from concurrent.futures import ProcessPoolExecutor
+
+        with ProcessPoolExecutor(max_workers=min(16, n_chunks)) as ex:
+            results = list(ex.map(_gen_chunk, jobs))
+
+    conv_rows = [r for rows, _ in results for r in rows]
+    gold = [g for _, golds in results for g in golds]
 
     conv_id, turn_idx, role, text, tool, ts = zip(*conv_rows)
     transcripts = pa.table(
@@ -202,8 +249,17 @@ def ensure_corpus(cfg: SynthConfig, root: str = "/tmp/ember_ray_synth") -> str:
     perm = np.random.default_rng(cfg.seed + 1).permutation(len(transcripts))
     transcripts = transcripts.take(pa.array(perm))
     tmp = out + ".tmp"
-    os.makedirs(tmp, exist_ok=True)
-    pq.write_table(transcripts, os.path.join(tmp, "transcripts.parquet"))
+    os.makedirs(os.path.join(tmp, "transcripts.parquet"), exist_ok=True)
+    # many files, not one: read parallelism (and hence every downstream
+    # map stage's task count) follows file/block count — a single giant
+    # file caps the whole pipeline at a handful of tasks
+    n_files = max(1, min(64, transcripts.num_rows // 50_000))
+    rows_per = -(-transcripts.num_rows // n_files)
+    for i in range(n_files):
+        pq.write_table(
+            transcripts.slice(i * rows_per, rows_per),
+            os.path.join(tmp, "transcripts.parquet", f"part-{i:03d}.parquet"),
+        )
     pq.write_table(gold_t, os.path.join(tmp, "gold_clusters.parquet"))
     with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
         f.write(cfg.fingerprint())

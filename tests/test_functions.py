@@ -113,10 +113,10 @@ def test_lsh_band_keys_shared_for_identical():
     arr = pa.array([["a", "b", "c"], ["a", "b", "c"], ["x", "y", "z"]],
                    pa.list_(pa.string()))
     sig = minhash_signatures(arr, num_perm=16)
-    keys = lsh_band_keys(sig, num_bands=4)
-    assert keys[0] == keys[1]
-    assert set(keys[0]).isdisjoint(keys[2])
-    assert len(keys[0]) == 4
+    keys = lsh_band_keys(sig, num_bands=4)  # (n, bands) uint64 matrix
+    assert (keys[0] == keys[1]).all()
+    assert set(keys[0].tolist()).isdisjoint(keys[2].tolist())
+    assert keys.shape == (3, 4)
 
 
 def test_simhash_near_duplicates_close():

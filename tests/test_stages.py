@@ -130,10 +130,15 @@ def test_connected_components_transitive_closure(rd):
             {"src": "e", "dst": "f"},  # separate component
         ]
     )
-    labels = connected_components(edges, num_buckets=4, num_partitions=4).to_pandas()
-    lab = dict(zip(labels["node"], labels["label"]))
-    assert lab["a"] == lab["b"] == lab["c"] == lab["d"] == "a"
-    assert lab["e"] == lab["f"] == "e"
+    # both paths must agree: driver union-find fast path (threshold hit)
+    # and the distributed min-label rounds (threshold 0)
+    for thr in (2_000_000, 0):
+        labels = connected_components(
+            edges, num_buckets=4, num_partitions=4, driver_threshold=thr
+        ).to_pandas()
+        lab = dict(zip(labels["node"], labels["label"]))
+        assert lab["a"] == lab["b"] == lab["c"] == lab["d"] == "a"
+        assert lab["e"] == lab["f"] == "e"
 
 
 def test_assign_entities_singletons(rd):
@@ -141,9 +146,13 @@ def test_assign_entities_singletons(rd):
 
     convs = rd.from_items([{"conv_id": c} for c in ["a", "b", "z"]])
     comps = rd.from_items([{"node": "a", "label": "a"}, {"node": "b", "label": "a"}])
-    ents = assign_entities(convs, comps, num_partitions=2).to_pandas()
-    e = dict(zip(ents["conv_id"], ents["entity_id"]))
-    assert e == {"a": "a", "b": "a", "z": "z"}
+    # both paths: broadcast lookup (threshold hit) and left-outer join
+    for thr in (5_000_000, 0):
+        ents = assign_entities(
+            convs, comps, num_partitions=2, broadcast_threshold=thr
+        ).to_pandas()
+        e = dict(zip(ents["conv_id"], ents["entity_id"]))
+        assert e == {"a": "a", "b": "a", "z": "z"}
 
 
 def test_pairwise_eval_counts(rd):
@@ -173,10 +182,15 @@ def test_pairwise_eval_counts(rd):
             {"conv_id": "d", "cluster_id": 1},
         ]
     )
-    conf = pairwise_confusion(pairs, entities, gold, num_partitions=2)
-    assert (conf["tp"], conf["fp"], conf["fn"], conf["tn"]) == (1, 1, 1, 1)
-    m = prf(conf)
-    assert m["precision"] == 0.5 and m["recall"] == 0.5 and m["f1"] == 0.5
+    # both attach paths must agree: broadcast (threshold hit) and
+    # shuffle-join (threshold 0)
+    for thr in (5_000_000, 0):
+        conf = pairwise_confusion(
+            pairs, entities, gold, num_partitions=2, broadcast_threshold=thr
+        )
+        assert (conf["tp"], conf["fp"], conf["fn"], conf["tn"]) == (1, 1, 1, 1)
+        m = prf(conf)
+        assert m["precision"] == 0.5 and m["recall"] == 0.5 and m["f1"] == 0.5
 
 
 def test_idf_build(rd):
@@ -189,7 +203,8 @@ def test_idf_build(rd):
             {"tokens": ["a"]},
         ]
     )
-    idf = build_idf(ds, num_docs=3)
+    tid, vals = build_idf(ds, num_docs=3)
     # 3 distinct tokens → 3 entries; "a" (df=3) has smallest idf
-    assert len(idf) == 3
-    assert min(idf.values()) == pytest.approx(np.log(2.0))
+    assert len(tid) == len(vals) == 3
+    assert (np.diff(tid) > 0).all()  # sorted for searchsorted lookup
+    assert vals.min() == pytest.approx(np.log(2.0))
