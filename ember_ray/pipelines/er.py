@@ -38,6 +38,9 @@ class ERConfig:
     num_perm: int = 64
     num_bands: int = 16
     max_block_size: int = 64
+    on_oversize: str = "drop"  # skew policy for hot block keys: "drop"
+                               # (stop-key) or "salt" (deterministic
+                               # sub-block split; see generate_pairs)
     threshold: float = 0.7  # empirically the pos/neg score gap midpoint on
                             # the synthetic corpus sits at ~0.69 (neg p100
                             # 0.66, pos p0 0.73); a config knob, like the
@@ -128,7 +131,8 @@ def run_er(
             convs, num_perm=cfg.num_perm, num_bands=cfg.num_bands, seed=cfg.seed
         )
         return generate_pairs(
-            blocks, max_block_size=cfg.max_block_size, num_buckets=cfg.num_buckets
+            blocks, max_block_size=cfg.max_block_size,
+            num_buckets=cfg.num_buckets, on_oversize=cfg.on_oversize,
         )
 
     if checkpointer:

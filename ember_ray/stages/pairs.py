@@ -34,8 +34,24 @@ def generate_pairs(
     blocks,
     max_block_size: int = 64,
     num_buckets: int = 64,
+    on_oversize: str = "drop",
 ):
-    """BLOCKS dataset → CANDIDATE_PAIRS dataset (deduped, left<right)."""
+    """BLOCKS dataset → CANDIDATE_PAIRS dataset (deduped, left<right).
+
+    ``on_oversize`` controls the skew policy for blocks above
+    ``max_block_size``:
+      * ``"drop"`` (default): treat the key as a stop-key — an LSH band
+        shared by thousands of records carries no discriminative signal
+        but would cost O(n²) pairs; true near-dups still meet in rarer
+        bands (the reference's SIMILAR_CLUSTER_NUM=12 fan-out cap analog).
+      * ``"salt"``: deterministically split the block's members into
+        ⌈n/max⌉ salted sub-blocks (``stable_hash(conv_id) % k``) and pair
+        within each — bounds cost at O(n·max) while keeping signal from
+        hot keys; the salt is content-derived, so identical across runs
+        and cluster sizes (the salted, skew-aware shuffle of the north
+        star).
+    """
+    from ..util import bucket_of
 
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values("block_key", kind="mergesort")
@@ -45,14 +61,28 @@ def generate_pairs(
         bounds = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1], True])
         out_l: list[np.ndarray] = []
         out_r: list[np.ndarray] = []
+
+        def emit(ids: np.ndarray):
+            i, j = np.triu_indices(ids.size, k=1)
+            out_l.append(ids[i])
+            out_r.append(ids[j])
+
         for s, e in zip(bounds[:-1], bounds[1:]):
             ids = np.unique(ids_all[s:e])
             n = ids.size
-            if n < 2 or n > max_block_size:
+            if n < 2:
                 continue
-            i, j = np.triu_indices(n, k=1)
-            out_l.append(ids[i])
-            out_r.append(ids[j])
+            if n > max_block_size:
+                if on_oversize == "drop":
+                    continue
+                k = -(-n // max_block_size)
+                salt = bucket_of(ids, k)
+                for sub_id in range(k):
+                    sub = ids[salt == sub_id]
+                    if sub.size >= 2:
+                        emit(sub)
+                continue
+            emit(ids)
         if not out_l:
             return pd.DataFrame(
                 {"conv_id_left": pd.array([], "str"), "conv_id_right": pd.array([], "str")}

@@ -208,3 +208,34 @@ def test_idf_build(rd):
     assert len(tid) == len(vals) == 3
     assert (np.diff(tid) > 0).all()  # sorted for searchsorted lookup
     assert vals.min() == pytest.approx(np.log(2.0))
+
+
+def test_generate_pairs_salted_oversize(rd):
+    import pyarrow as pa
+
+    from ember_ray.stages.pairs import generate_pairs
+
+    # one hot block of 40 ids with max_block_size=10
+    blocks = rd.from_arrow(
+        pa.table(
+            {
+                "block_key": pa.array([1] * 40, pa.uint64()),
+                "conv_id": pa.array([f"c{i:03d}" for i in range(40)]),
+            }
+        )
+    )
+    dropped = generate_pairs(blocks, max_block_size=10, num_buckets=4).to_pandas()
+    assert len(dropped) == 0  # stop-key policy
+    salted = generate_pairs(
+        blocks, max_block_size=10, num_buckets=4, on_oversize="salt"
+    ).to_pandas()
+    # bounded: far fewer than the full 40*39/2=780, but signal kept
+    assert 0 < len(salted) < 300
+    assert (salted.conv_id_left < salted.conv_id_right).all()
+    # deterministic across bucketing levels (content-derived salt)
+    salted2 = generate_pairs(
+        blocks, max_block_size=10, num_buckets=2, on_oversize="salt"
+    ).to_pandas()
+    a = salted.sort_values(["conv_id_left", "conv_id_right"]).reset_index(drop=True)
+    b = salted2.sort_values(["conv_id_left", "conv_id_right"]).reset_index(drop=True)
+    assert a.equals(b)
