@@ -65,15 +65,22 @@ def _driver_cc(edges) -> "pa.Table":
     node INDEX in a component is also the minimum ``conv_id`` — the final
     ``nodes[lab]`` therefore matches the distributed min-label fixpoint
     exactly."""
+    import polars as pl
+
     from ..util import dataset_to_arrow
 
     tbl = dataset_to_arrow(edges)
-    src_s = np.asarray(tbl["src"])
-    dst_s = np.asarray(tbl["dst"])
-    nodes, codes = np.unique(np.concatenate([src_s, dst_s]), return_inverse=True)
+    # polars string sort/search beats numpy object-array np.unique by ~an
+    # order of magnitude on 10^6-edge lists (this runs on the driver —
+    # constant time that would otherwise cap scaling efficiency)
+    all_s = pl.concat([pl.from_arrow(tbl["src"]), pl.from_arrow(tbl["dst"])])
+    nodes_pl = all_s.unique().sort()
+    codes = nodes_pl.search_sorted(all_s).to_numpy().astype(np.int64)
+    nodes = nodes_pl.to_numpy()
     n = len(nodes)
-    src = codes[: len(src_s)]
-    dst = codes[len(src_s):]
+    n_edges_rows = tbl.num_rows
+    src = codes[:n_edges_rows]
+    dst = codes[n_edges_rows:]
     lab = np.arange(n, dtype=np.int64)
     while True:
         old = lab.copy()

@@ -24,23 +24,27 @@ def _broadcast_attach(pairs, entities, gold):
     stage)."""
     import ray
 
-    from ..util import broadcast_lookup, build_broadcast_index
+    from ..util import broadcast_lookup, build_broadcast_index, dataset_to_arrow
 
-    ent = entities.to_pandas()
-    gld = gold.select_columns(["conv_id", "cluster_id"]).to_pandas()
-    side = ent.merge(gld, on="conv_id", how="outer")
-    ref = ray.put(build_broadcast_index(side, "conv_id",
-                                        ["entity_id", "cluster_id"]))
+    # two independent indexes (no driver-side pandas merge — that outer
+    # merge on 10^5-row string keys was pure constant time on the driver)
+    ent_tbl = dataset_to_arrow(entities.materialize())
+    gld_tbl = dataset_to_arrow(
+        gold.select_columns(["conv_id", "cluster_id"]).materialize()
+    )
+    eref = ray.put(build_broadcast_index(ent_tbl, "conv_id", ["entity_id"]))
+    gref = ray.put(build_broadcast_index(gld_tbl, "conv_id", ["cluster_id"]))
 
     def attach(batch: pa.Table) -> pa.Table:
-        idx = ray.get(ref)
+        eidx = ray.get(eref)
+        gidx = ray.get(gref)
         l, r = batch["conv_id_left"], batch["conv_id_right"]
         return pa.table(
             {
-                "entity_left": broadcast_lookup(idx, l, "entity_id"),
-                "entity_right": broadcast_lookup(idx, r, "entity_id"),
-                "cluster_left": broadcast_lookup(idx, l, "cluster_id"),
-                "cluster_right": broadcast_lookup(idx, r, "cluster_id"),
+                "entity_left": broadcast_lookup(eidx, l, "entity_id"),
+                "entity_right": broadcast_lookup(eidx, r, "entity_id"),
+                "cluster_left": broadcast_lookup(gidx, l, "cluster_id"),
+                "cluster_right": broadcast_lookup(gidx, r, "cluster_id"),
             }
         )
 

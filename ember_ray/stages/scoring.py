@@ -59,16 +59,18 @@ def build_idf(conversations_tok, num_docs: int | None = None):
     parts = conversations_tok.select_columns(["tokens"]).map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
-    from ray.data.aggregate import Sum
-
-    agg = parts.groupby("tid").aggregate(Sum("df", alias_name="df"))
+    # final combine on the driver: the partials are (batch-unique tid, df)
+    # rows bounded by batches × 2^20 — a numpy bincount over the gathered
+    # partials beats a full groupby SHUFFLE whose fixed cost would sit on
+    # the critical path at every cluster size (partial+final semantics
+    # unchanged)
     from ..util import dataset_to_arrow
 
-    tbl = dataset_to_arrow(agg.materialize())
-    tid = np.asarray(tbl["tid"], np.int64)
-    df = np.asarray(tbl["df"], np.float64)
-    order = np.argsort(tid, kind="stable")
-    tid, df = tid[order], df[order]
+    tbl = dataset_to_arrow(parts.materialize())
+    tid_all = np.asarray(tbl["tid"], np.int64) if tbl.num_rows else np.empty(0, np.int64)
+    df_all = np.asarray(tbl["df"], np.float64) if tbl.num_rows else np.empty(0, np.float64)
+    tid, inv = np.unique(tid_all, return_inverse=True)
+    df = np.bincount(inv, weights=df_all) if len(tid) else np.empty(0, np.float64)
     n = float(num_docs) if num_docs is not None else float(df.max() if len(df) else 1)
     return tid, np.log(1.0 + n / df)
 
