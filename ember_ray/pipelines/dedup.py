@@ -35,6 +35,47 @@ def _docs(sf_dir: str):
     )
 
 
+def _attach_pair_sides(pairs, table, key, columns, num_buckets,
+                       broadcast_threshold: int = 1_000_000):
+    """Attach payload ``columns`` of ``table`` to both pair sides.
+
+    Hybrid small-side rule (same as ER attach_sides): below the threshold
+    the payload table is broadcast once as a zero-copy Arrow index and
+    both sides resolve map-side (no shuffle); above it, two bucketed hash
+    joins. Handles list-typed payloads (embeddings) in both paths — the
+    bucketed join merges in pandas, which carries list columns the Arrow
+    hash join cannot.
+    """
+    import ray
+
+    from ..util import (broadcast_lookup, build_broadcast_index,
+                        bucketed_join, dataset_to_arrow)
+
+    lk, rk = f"{key}_left", f"{key}_right"
+    if table.count() <= broadcast_threshold:
+        tbl = dataset_to_arrow(table.materialize())
+        ref = ray.put(build_broadcast_index(tbl, key, list(columns)))
+
+        def attach(batch: pa.Table) -> pa.Table:
+            idx = ray.get(ref)
+            out = {nm: batch[nm] for nm in batch.schema.names}
+            for c in columns:
+                out[f"{c}_left"] = broadcast_lookup(idx, batch[lk], c)
+                out[f"{c}_right"] = broadcast_lookup(idx, batch[rk], c)
+            return pa.table(out)
+
+        return pairs.map_batches(attach, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    cols = [key, *columns]
+    left = table.select_columns(cols).rename_columns(
+        {c: f"{c}_left" for c in cols})
+    right = table.select_columns(cols).rename_columns(
+        {c: f"{c}_right" for c in cols})
+    out = bucketed_join(pairs, left, on=lk, num_buckets=num_buckets)
+    return bucketed_join(out, right, on=rk, num_buckets=num_buckets)
+
+
 # ------------------------------------------------------------------ exact
 def dedup_exact(sf_dir: str):
     """Exact text dedup: hash-partition on text, keep min doc_id per group
@@ -110,14 +151,7 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8, num_perm: int = 64,
     blocks = docs.map_batches(block_fn, batch_format="pyarrow", zero_copy_batch=True)
     pairs = _pairs_from_blocks(blocks, "doc_id", num_buckets)
 
-    left = docs.rename_columns({"doc_id": "doc_id_left", "text": "text_left"})
-    right = docs.rename_columns({"doc_id": "doc_id_right", "text": "text_right"})
-    with_text = bucketed_join(
-        bucketed_join(pairs, left, on="doc_id_left", num_buckets=num_buckets),
-        right,
-        on="doc_id_right",
-        num_buckets=num_buckets,
-    )
+    with_text = _attach_pair_sides(pairs, docs, "doc_id", ["text"], num_buckets)
 
     def verify(t: pa.Table) -> pa.Table:
         jac = batch_jaccard(tokenize_array(t["text_left"]), tokenize_array(t["text_right"]))
@@ -170,14 +204,7 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 12, num_buckets: int = 16):
         ),
         batch_format="pyarrow",
     )
-    left = fps.rename_columns({"doc_id": "doc_id_left", "fp": "fp_left"})
-    right = fps.rename_columns({"doc_id": "doc_id_right", "fp": "fp_right"})
-    with_fp = bucketed_join(
-        bucketed_join(pairs, left, on="doc_id_left", num_buckets=num_buckets),
-        right,
-        on="doc_id_right",
-        num_buckets=num_buckets,
-    )
+    with_fp = _attach_pair_sides(pairs, fps, "doc_id", ["fp"], num_buckets)
 
     def verify(t: pa.Table) -> pa.Table:
         d = hamming64(
@@ -219,14 +246,7 @@ def dedup_ngram(sf_dir: str, k: int = 5, threshold: float = 0.55,
 
     blocks = docs.map_batches(block_fn, batch_format="pyarrow", zero_copy_batch=True)
     pairs = _pairs_from_blocks(blocks, "doc_id", num_buckets)
-    left = docs.rename_columns({"doc_id": "doc_id_left", "text": "text_left"})
-    right = docs.rename_columns({"doc_id": "doc_id_right", "text": "text_right"})
-    with_text = bucketed_join(
-        bucketed_join(pairs, left, on="doc_id_left", num_buckets=num_buckets),
-        right,
-        on="doc_id_right",
-        num_buckets=num_buckets,
-    )
+    with_text = _attach_pair_sides(pairs, docs, "doc_id", ["text"], num_buckets)
 
     def verify(t: pa.Table) -> pa.Table:
         jac = batch_jaccard(
@@ -273,29 +293,8 @@ def dedup_embedding(sf_dir: str, threshold: float = 0.35, num_buckets: int = 16)
     blocks = emb.map_batches(block_fn, batch_format="pyarrow", zero_copy_batch=True)
     pairs = _pairs_from_blocks(blocks, "vec_id", num_buckets, cap=4096)
 
-    def to_fixed(t: pa.Table, side: str) -> pa.Table:
-        return pa.table({f"vec_id_{side}": t["vec_id"], f"emb_{side}": t["embedding"]})
-
-    left = emb.map_batches(lambda t: to_fixed(t, "left"), batch_format="pyarrow")
-    right = emb.map_batches(lambda t: to_fixed(t, "right"), batch_format="pyarrow")
-    # list<float> can't ride the Arrow hash join → pack to fixed-width binary
-    def pack(t: pa.Table, col: str) -> pa.Table:
-        if t.num_rows == 0:
-            return t.drop_columns([col]).append_column(
-                col + "_bin", pa.array([], pa.binary())
-            )
-        vecs = np.stack(t[col].to_pandas().to_numpy()).astype(np.float32)
-        blob = pa.array([v.tobytes() for v in vecs], pa.binary())
-        return t.drop_columns([col]).append_column(col + "_bin", blob)
-
-    left = left.map_batches(lambda t: pack(t, "emb_left"), batch_format="pyarrow")
-    right = right.map_batches(lambda t: pack(t, "emb_right"), batch_format="pyarrow")
-    joined = bucketed_join(
-        bucketed_join(pairs, left, on="vec_id_left", num_buckets=num_buckets),
-        right,
-        on="vec_id_right",
-        num_buckets=num_buckets,
-    )
+    joined = _attach_pair_sides(pairs, emb, "vec_id", ["embedding"],
+                                num_buckets)
 
     def verify(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -306,8 +305,8 @@ def dedup_embedding(sf_dir: str, threshold: float = 0.35, num_buckets: int = 16)
                     "cosine": pa.array([], pa.float64()),
                 }
             )
-        a = np.stack([np.frombuffer(b, np.float32) for b in t["emb_left_bin"].to_pylist()]).astype(np.float64)
-        b = np.stack([np.frombuffer(x, np.float32) for x in t["emb_right_bin"].to_pylist()]).astype(np.float64)
+        a = np.stack(t["embedding_left"].to_pandas().to_numpy()).astype(np.float64)
+        b = np.stack(t["embedding_right"].to_pandas().to_numpy()).astype(np.float64)
         sim = (a * b).sum(1) / np.maximum(
             np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1), 1e-12
         )

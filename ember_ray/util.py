@@ -242,17 +242,33 @@ def bucketed_join(
         + [(c, types[c]) for c in rpay]
     )
     pd_how = {"inner": "inner", "left_outer": "left"}[how]
+    acero_how = {"inner": "inner", "left_outer": "left outer"}[how]
+    # pandas merge silently corrupts integer payloads once the null
+    # padding forces a float64 round-trip (uint64 fingerprints lose low
+    # bits above 2^53) — so the per-bucket merge runs in Arrow (Acero
+    # join, types preserved) and falls back to pandas ONLY for payloads
+    # Acero can't carry (list/nested columns, e.g. embeddings)
+    nested_payload = any(
+        pa.types.is_nested(types[c]) for c in (*lpay, *rpay)
+    )
 
-    def merge_bucket(df: pd.DataFrame) -> pa.Table:
-        l = df[df["__side"] == 0][[on, *lpay]]
-        r = df[df["__side"] == 1][[on, *rpay]]
-        out = l.merge(r, on=on, how=pd_how)
-        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+    def merge_bucket(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.equal(tbl["__side"], 0)
+        l = tbl.filter(mask).select([on, *lpay])
+        r = tbl.filter(pc.invert(mask)).select([on, *rpay])
+        if nested_payload:
+            out = l.to_pandas().merge(r.to_pandas(), on=on, how=pd_how)
+            return pa.Table.from_pandas(out, schema=out_schema,
+                                        preserve_index=False)
+        joined = l.join(r, keys=on, join_type=acero_how)
+        return joined.select(out_schema.names).cast(out_schema)
 
     tagged = add_bucket_column(both, on, num_buckets, seed=seed)
     return tagged.groupby("__bucket").map_groups(
-        lambda df: merge_bucket(df.drop(columns=["__bucket"])),
-        batch_format="pandas",
+        lambda t: merge_bucket(t.drop_columns(["__bucket"])),
+        batch_format="pyarrow",
     )
 
 
