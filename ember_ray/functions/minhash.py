@@ -50,33 +50,10 @@ def minhash_signatures(
     ``np.minimum.reduceat`` over document offsets — no per-doc Python loop.
     Chunked so the permutation matrix stays ≲64 MB.
     """
-    a, b = _perm_params(num_perm, seed)
-    h, offsets = token_hashes(tokens)
-    n = len(offsets) - 1
-    sig = np.full((n, num_perm), _MAX_HASH, dtype=np.uint64)
-    if not len(h):
-        return sig
     # overflow-free (mod 2^64) multiply-add is fine: we only need a fixed
     # deterministic permutation family, not number-theoretic guarantees
-    max_tok = max(1, (64 << 20) // (8 * num_perm))  # ≈64MB scratch
-    doc_starts = offsets[:-1]
-    doc_ends = offsets[1:]
-    i = 0
-    while i < n:
-        j = i
-        while j < n and doc_ends[j] - doc_starts[i] <= max_tok:
-            j += 1
-        j = max(j, i + 1)  # at least one doc, even if huge
-        lo, hi = doc_starts[i], doc_ends[j - 1]
-        if hi > lo:
-            hh = h[lo:hi]
-            m = (a[:, None] * hh[None, :] + b[:, None]) & _MERSENNE
-            idx = (doc_starts[i:j] - lo).astype(np.int64)
-            nonempty = doc_ends[i:j] > doc_starts[i:j]
-            red = np.minimum.reduceat(m, np.minimum(idx, hi - lo - 1), axis=1).T
-            sig[i:j][nonempty] = red[nonempty]
-        i = j
-    return sig
+    h, offsets = token_hashes(tokens)
+    return _minhash_from_hashes(h, offsets, num_perm, seed)
 
 
 _BAND_SALT = np.uint64(0x9E3779B97F4A7C15)
@@ -144,3 +121,95 @@ def char_shingles(texts: pa.Array, k: int = 5) -> pa.Array:
         ],
         pa.list_(pa.string()),
     )
+
+
+def _minhash_from_hashes(h: np.ndarray, offsets: np.ndarray, num_perm: int,
+                         seed: int) -> np.ndarray:
+    """Core MinHash over pre-hashed elements (see minhash_signatures)."""
+    a, b = _perm_params(num_perm, seed)
+    n = len(offsets) - 1
+    sig = np.full((n, num_perm), _MAX_HASH, dtype=np.uint64)
+    if not len(h):
+        return sig
+    max_tok = max(1, (64 << 20) // (8 * num_perm))
+    doc_starts = offsets[:-1]
+    doc_ends = offsets[1:]
+    i = 0
+    while i < n:
+        j = i
+        while j < n and doc_ends[j] - doc_starts[i] <= max_tok:
+            j += 1
+        j = max(j, i + 1)
+        lo, hi = doc_starts[i], doc_ends[j - 1]
+        if hi > lo:
+            hh = h[lo:hi]
+            m = (a[:, None] * hh[None, :] + b[:, None]) & _MERSENNE
+            idx = (doc_starts[i:j] - lo).astype(np.int64)
+            nonempty = doc_ends[i:j] > doc_starts[i:j]
+            red = np.minimum.reduceat(m, np.minimum(idx, hi - lo - 1), axis=1).T
+            sig[i:j][nonempty] = red[nonempty]
+        i = j
+    return sig
+
+
+_ROLL_BASE = np.uint64(1099511628211)  # FNV prime as polynomial base
+
+
+def char_shingle_hashes(texts: pa.Array, k: int = 5):
+    """string column → (flat uint64 k-byte rolling-hash shingle ids,
+    offsets per row) — the vectorized scale path for n-gram near-dup.
+
+    A polynomial rolling hash over the column's CONCATENATED utf-8 byte
+    buffer: one sliding-window pass computes every window hash, then
+    ragged-range indexing selects each row's valid windows (windows that
+    straddle row boundaries are never selected). Shingles are byte-level
+    (equivalent to char-level for ASCII; a deterministic, similarity-
+    preserving approximation for multi-byte text). Rows shorter than k
+    contribute one whole-row shingle; empty rows contribute none —
+    mirroring the py reference ``char_shingles``.
+    """
+    arr = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+    if len(arr) == 0:
+        return np.empty(0, np.uint64), np.zeros(1, np.int64)
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    off_buf, data_buf = arr.buffers()[1], arr.buffers()[2]
+    if data_buf is None:
+        return np.empty(0, np.uint64), np.zeros(len(arr) + 1, np.int64)
+    offs_all = np.frombuffer(off_buf, off_dtype)
+    offs = offs_all[arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(data_buf, np.uint8, count=offs[-1])
+    lens = offs[1:] - offs[:-1]
+
+    # window hashes over the whole buffer (k-1 bogus tail values unused)
+    N = len(data)
+    H = np.zeros(max(0, N - k + 1), np.uint64)
+    if len(H):
+        powers = _ROLL_BASE ** np.arange(k, dtype=np.uint64)
+        d64 = data.astype(np.uint64)
+        for j in range(k):
+            H += (d64[j: N - k + 1 + j] + np.uint64(1)) * powers[j]
+
+    counts = np.where(lens == 0, 0, np.maximum(lens - k + 1, 1)).astype(np.int64)
+    out_offsets = np.concatenate([[0], np.cumsum(counts)])
+    total = int(out_offsets[-1])
+    out = np.empty(total, np.uint64)
+
+    # rows with >= k bytes: ragged-range gather from H
+    long_mask = lens >= k
+    if long_mask.any():
+        c_long = counts * long_mask
+        starts = np.repeat(offs[:-1], c_long)
+        within = np.arange(int(c_long.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(c_long) - c_long, c_long
+        )
+        vals = H[starts + within]
+        dest = np.repeat(out_offsets[:-1], c_long) + within
+        out[dest] = vals
+
+    # short non-empty rows: one whole-row polynomial hash each (few)
+    short_idx = np.flatnonzero((~long_mask) & (lens > 0))
+    for i in short_idx:
+        b = data[offs[i]:offs[i + 1]].astype(np.uint64)
+        p = _ROLL_BASE ** np.arange(len(b), dtype=np.uint64)
+        out[out_offsets[i]] = np.uint64(((b + np.uint64(1)) * p).sum(dtype=np.uint64))
+    return out, out_offsets

@@ -157,6 +157,21 @@ class StringSimKernel:
         return jw, lev
 
 
+def batch_jaccard_hashes(lh: np.ndarray, lo: np.ndarray,
+                         rh: np.ndarray, ro: np.ndarray) -> np.ndarray:
+    """Set Jaccard per pair over pre-hashed element ids + offsets."""
+    n = len(lo) - 1
+    out = np.zeros(n, np.float64)
+    for i in range(n):
+        a = np.unique(lh[lo[i]:lo[i + 1]])
+        b = np.unique(rh[ro[i]:ro[i + 1]])
+        if not len(a) and not len(b):
+            continue
+        inter = np.intersect1d(a, b, assume_unique=True).size
+        out[i] = inter / (a.size + b.size - inter)
+    return out
+
+
 def batch_jaccard(left_tokens: pa.Array, right_tokens: pa.Array) -> np.ndarray:
     """Vectorized-ish token-set Jaccard over list<string> pair columns.
 
@@ -175,16 +190,7 @@ def batch_jaccard(left_tokens: pa.Array, right_tokens: pa.Array) -> np.ndarray:
 
     lh, lo = ids_per_row(left_tokens)
     rh, ro = ids_per_row(right_tokens)
-    n = len(lo) - 1
-    out = np.zeros(n, np.float64)
-    for i in range(n):
-        a = np.unique(lh[lo[i]:lo[i + 1]])
-        b = np.unique(rh[ro[i]:ro[i + 1]])
-        if not len(a) and not len(b):
-            continue
-        inter = np.intersect1d(a, b, assume_unique=True).size
-        out[i] = inter / (a.size + b.size - inter)
-    return out
+    return batch_jaccard_hashes(lh, lo, rh, ro)
 
 
 def idf_weights(ids: np.ndarray, idf) -> np.ndarray:

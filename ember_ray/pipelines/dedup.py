@@ -16,13 +16,14 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions.minhash import (
-    char_shingles,
+    _minhash_from_hashes,
+    char_shingle_hashes,
     hamming64,
     lsh_band_keys,
     minhash_signatures,
     simhash,
 )
-from ..functions.similarity import batch_jaccard
+from ..functions.similarity import batch_jaccard, batch_jaccard_hashes
 from ..functions.text import tokenize_array
 from ..util import bucketed_group_map, bucketed_join
 
@@ -232,8 +233,8 @@ def dedup_ngram(sf_dir: str, k: int = 5, threshold: float = 0.55,
     docs = _docs(sf_dir)
 
     def block_fn(t: pa.Table) -> pa.Table:
-        sh = char_shingles(t["text"], k=k)
-        sig = minhash_signatures(sh, num_perm=num_perm)
+        sh, so = char_shingle_hashes(t["text"], k=k)  # rolling-hash shingles
+        sig = _minhash_from_hashes(sh, so, num_perm, 142)
         keys = lsh_band_keys(sig, num_bands=num_bands)  # (n, bands) uint64
         idx = np.repeat(np.arange(keys.shape[0]), num_bands)
         ids = np.asarray(t["doc_id"])[idx]
@@ -249,9 +250,9 @@ def dedup_ngram(sf_dir: str, k: int = 5, threshold: float = 0.55,
     with_text = _attach_pair_sides(pairs, docs, "doc_id", ["text"], num_buckets)
 
     def verify(t: pa.Table) -> pa.Table:
-        jac = batch_jaccard(
-            char_shingles(t["text_left"], k=k), char_shingles(t["text_right"], k=k)
-        )
+        lh, lo = char_shingle_hashes(t["text_left"], k=k)
+        rh, ro = char_shingle_hashes(t["text_right"], k=k)
+        jac = batch_jaccard_hashes(lh, lo, rh, ro)
         keep = jac >= threshold
         return pa.table(
             {

@@ -146,3 +146,28 @@ def test_stable_hash_is_deterministic():
 def test_canonical_pairs():
     lo, hi = canonical_pairs(np.array(["b", "a", "c"]), np.array(["a", "b", "c"]))
     assert list(lo) == ["a", "a"] and list(hi) == ["b", "b"]
+
+
+def test_char_shingle_hashes_matches_reference():
+    import numpy as np
+
+    from ember_ray.functions.minhash import char_shingle_hashes
+
+    texts = pa.array(["abcdefgh", "ab", "", "abcdefgh", "xbcdefgh"])
+    h, offs = char_shingle_hashes(texts, k=5)
+    counts = np.diff(offs)
+    # lengths mirror char_shingles: L-k+1 for long rows, 1 short, 0 empty
+    assert counts.tolist() == [4, 1, 0, 4, 4]
+    # identical strings → identical shingle ids
+    assert (h[offs[0]:offs[1]] == h[offs[3]:offs[4]]).all()
+    # one-char difference → exactly the first window differs
+    a = h[offs[0]:offs[1]]
+    b = h[offs[4]:offs[5]]
+    assert a[0] != b[0] and (a[1:] == b[1:]).all()
+    # windows never straddle rows: the split column has only the two
+    # whole-row windows; the joined string additionally has straddlers
+    h2, _ = char_shingle_hashes(pa.array(["abcde", "fghij"]), k=5)
+    h3, _ = char_shingle_hashes(pa.array(["abcdefghij"]), k=5)
+    assert len(h2) == 2 and len(h3) == 6
+    assert h2[0] == h3[0] and h2[1] == h3[5]  # same content, same id
+    assert h3[2] not in set(h2.tolist())      # straddler "cdefg" absent
