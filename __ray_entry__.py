@@ -116,6 +116,16 @@ def _q_bench_pairs_train(sf_dir: str):
     return _bench_run(sf_dir)["train"]
 
 
+def _q_bench_scenario_counts(sf_dir: str):
+    import pandas as pd
+
+    b = _bench_run(sf_dir)
+    names = ("train", "val", "test", "test_rl", "test_cfm", "test_om")
+    return pd.DataFrame(
+        {"split": list(names), "n_pairs": [b[n].count() for n in names]}
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from ember_ray.pipelines import ann, dedup, multimodal, relational, textops
 
@@ -159,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- labeled-benchmark construction (reference §3.1; rows-only) --
         "bench_pairs_all": _q_bench_pairs_all,
         "bench_pairs_train": _q_bench_pairs_train,
+        "bench_scenario_counts": _q_bench_scenario_counts,
         # --- flagship ER pipeline (synthetic transcripts; rows-only) -----
         "er_conversations": _q_er_conversations,
         "er_scored_pairs": _q_er_scored,

@@ -205,13 +205,7 @@ def build_labeled_pairs(corpus_dir: str, num_buckets: int = 64,
     def finish(label: int):
         def fn(batch: pa.Table) -> pa.Table:
             n = batch.num_rows
-            # split on the LEFT cluster id (cluster-level split; a negative
-            # pair whose clusters straddle splits goes with its left side,
-            # like the reference assigns negatives to the anchor cluster)
-            h = stable_hash64(
-                np.asarray(batch["cluster_id_left"]).astype(np.int64)
-            ) % np.uint64(10)
-            split = np.where(h < 7, "train", np.where(h < 8, "val", "test"))
+            split = _scenario_split(batch)
             return pa.table(
                 {
                     "conv_id_left": batch["conv_id_left"],
@@ -226,13 +220,51 @@ def build_labeled_pairs(corpus_dir: str, num_buckets: int = 64,
 
     pos_l = pos.map_batches(finish(1), batch_format="pyarrow", zero_copy_batch=True)
     neg_l = neg.map_batches(finish(0), batch_format="pyarrow", zero_copy_batch=True)
-    all_pairs = pos_l.union(neg_l).materialize()
-    return {
-        "train": all_pairs.filter(expr="split == 'train'"),
-        "val": all_pairs.filter(expr="split == 'val'"),
-        "test": all_pairs.filter(expr="split == 'test'"),
-        "all": all_pairs,
+    all_pairs = pos_l.union(neg_l).filter(expr="split != 'drop'").materialize()
+    out = {
+        name: all_pairs.filter(expr=f"split == '{name}'")
+        for name in ("train", "val", "test", "test_rl", "test_cfm", "test_om")
     }
+    out["all"] = all_pairs
+    return out
+
+
+def _scenario_split(batch: pa.Table) -> np.ndarray:
+    """Per-pair scenario assignment (reference build_datasets semantics,
+    build_ali_dataset.py:262-342), content-hash-derived so it is a pure
+    function of ids — no driver-held membership sets:
+
+      * 20% of clusters are EXTRA clusters → pairs wholly inside them are
+        ``test_om`` (open matching: unseen clusters);
+      * within main clusters, 40% of records are EXTRA records
+        (get_extra_records_ids 60/40 split): a main×extra pair is
+        ``test_rl`` (new record vs known corpus), extra×extra is
+        ``test_cfm`` (new records only);
+      * main×main pairs form the core corpus, split 7:1:2 into
+        train/val/test on the LEFT cluster hash (clusters never straddle);
+      * pairs crossing the main/om corpora are dropped — the reference
+        never generates them (separate build_record_pairs calls per
+        corpus).
+    """
+    cl_l = np.asarray(batch["cluster_id_left"]).astype(np.int64)
+    cl_r = np.asarray(batch["cluster_id_right"]).astype(np.int64)
+    om_l = stable_hash64(cl_l, seed=7) % np.uint64(5) == 4
+    om_r = stable_hash64(cl_r, seed=7) % np.uint64(5) == 4
+    ext_l = stable_hash64(batch["conv_id_left"], seed=11) % np.uint64(5) >= 3
+    ext_r = stable_hash64(batch["conv_id_right"], seed=11) % np.uint64(5) >= 3
+
+    core_h = stable_hash64(cl_l) % np.uint64(10)
+    core = np.where(core_h < 7, "train", np.where(core_h < 8, "val", "test"))
+
+    both_om = om_l & om_r
+    any_om = om_l | om_r
+    n_ext = ext_l.astype(np.int64) + ext_r.astype(np.int64)
+    out = core
+    out = np.where(n_ext == 1, "test_rl", out)
+    out = np.where(n_ext == 2, "test_cfm", out)
+    out = np.where(any_om, "drop", out)   # crosses the om/main boundary
+    out = np.where(both_om, "test_om", out)
+    return out
 
 
 def _dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:

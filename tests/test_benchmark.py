@@ -42,13 +42,44 @@ def test_labels_match_gold(built, corpus_dir):
 def test_split_cluster_level_disjoint(built, corpus_dir):
     g = _gold_map(corpus_dir)
     df = built["all"].to_pandas()
-    df["cl"] = df.conv_id_left.map(g)
-    # a LEFT cluster appears in exactly one split (cluster-level split,
-    # build_ali_dataset.py:262-296 semantics)
-    assert (df.groupby("cl")["split"].nunique() == 1).all()
-    for name in ("train", "val", "test"):
+    core = df[df.split.isin(["train", "val", "test"])].copy()
+    core["cl"] = core.conv_id_left.map(g)
+    # a LEFT cluster appears in exactly one CORE split (cluster-level
+    # split, build_ali_dataset.py:262-296 semantics)
+    assert (core.groupby("cl")["split"].nunique() == 1).all()
+    for name in ("train", "val", "test", "test_rl", "test_cfm", "test_om"):
         sub = built[name].to_pandas()
         assert set(sub["split"].unique()) <= {name}
+
+
+def test_scenario_semantics(built, corpus_dir):
+    """rl/cfm/om membership rules (reference build_datasets,
+    build_ali_dataset.py:296-342)."""
+    import numpy as np
+
+    from ember_ray.util import stable_hash64
+
+    g = _gold_map(corpus_dir)
+    df = built["all"].to_pandas()
+    assert len(df[df.split.isin(["test_rl", "test_cfm", "test_om"])]) > 0
+
+    cl_l = df.conv_id_left.map(g).to_numpy().astype(np.int64)
+    cl_r = df.conv_id_right.map(g).to_numpy().astype(np.int64)
+    om_l = stable_hash64(cl_l, seed=7) % np.uint64(5) == 4
+    om_r = stable_hash64(cl_r, seed=7) % np.uint64(5) == 4
+    ext_l = stable_hash64(df.conv_id_left.to_numpy(), seed=11) % np.uint64(5) >= 3
+    ext_r = stable_hash64(df.conv_id_right.to_numpy(), seed=11) % np.uint64(5) >= 3
+
+    s = df.split.to_numpy()
+    # om pairs: both sides in extra clusters; no cross-corpus pairs remain
+    assert (om_l[s == "test_om"] & om_r[s == "test_om"]).all()
+    assert not (om_l[s != "test_om"] | om_r[s != "test_om"]).any()
+    # rl: exactly one extra-record side; cfm: both; core: none
+    n_ext = ext_l.astype(int) + ext_r.astype(int)
+    assert (n_ext[s == "test_rl"] == 1).all()
+    assert (n_ext[s == "test_cfm"] == 2).all()
+    core_mask = np.isin(s, ["train", "val", "test"])
+    assert (n_ext[core_mask] == 0).all()
 
 
 def test_deterministic(ray_session, corpus_dir):
