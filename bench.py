@@ -188,8 +188,16 @@ def run_scaling() -> dict:
     # clean. Override with GRAFT_SCALE_LO/HI.
     lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
-    r_lo = run_at(lo)
-    r_hi = run_at(hi)
+    # wall times on a shared box fluctuate ±15-20%; best-of-N per leg
+    # (GRAFT_SCALE_REPS) converges on the machine's true capability
+    reps = int(os.environ.get("GRAFT_SCALE_REPS", "1"))
+
+    def best_of(ncpu: int) -> dict:
+        runs = [run_at(ncpu) for _ in range(reps)]
+        return min(runs, key=lambda r: r["value"])
+
+    r_lo = best_of(lo)
+    r_hi = best_of(hi)
     tp_lo = r_lo["pairs_scored_per_sec"]
     tp_hi = r_hi["pairs_scored_per_sec"]
     eff = (tp_hi / tp_lo) / (hi / lo)
