@@ -89,6 +89,17 @@ def _q_er_metrics(sf_dir: str):
     return pd.DataFrame([_er_run(sf_dir)["metrics"]])
 
 
+def _q_er_cluster_sizes(sf_dir: str):
+    """Predicted-entity size histogram (count-of-counts): the audit the
+    reference runs driver-side over its datasets (stat_ali.py label
+    counts); here a two-level distributed aggregate."""
+    from ray.data.aggregate import Count
+
+    ents = _er_run(sf_dir)["entities"]
+    sizes = ents.groupby("entity_id").aggregate(Count(alias_name="size"))
+    return sizes.groupby("size").aggregate(Count(alias_name="n_entities"))
+
+
 def _q_er_conversations(sf_dir: str):
     from ember_ray.pipelines.er import _as_dataset
     from ember_ray.stages.assemble import assemble_conversations
@@ -175,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_scored_pairs": _q_er_scored,
         "er_entities": _q_er_entities,
         "er_metrics": _q_er_metrics,
+        "er_cluster_sizes": _q_er_cluster_sizes,
     }
 
 

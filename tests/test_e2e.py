@@ -96,3 +96,37 @@ def test_manifest_contents(ray_session, tiny_corpus, er_cfg, tmp_path):
     sm = json.load(open(stage_manifests[0]))
     for key in ("stage", "input_fingerprint", "row_count", "wall_s"):
         assert key in sm
+
+
+def test_er_no_matches_all_singletons(ray_session, er_cfg):
+    """A corpus with no near-duplicates: no edges survive, every
+    conversation is its own entity, and the metric path doesn't divide by
+    zero (empty-edge union-find + left-outer entity assignment)."""
+    import ray.data as rd
+
+    from ember_ray.pipelines.er import run_er
+
+    rows = []
+    for i in range(30):
+        # pairwise-disjoint vocabularies → zero token overlap
+        rows.append(
+            {
+                "conv_id": f"s{i:03d}",
+                "turn_idx": 0,
+                "role": "user",
+                "text": " ".join(f"w{i}_{j}" for j in range(12)),
+                "tool": "",
+                "ts": None,
+            }
+        )
+    ds = rd.from_items(rows)
+    gold = rd.from_items(
+        [{"conv_id": f"s{i:03d}", "cluster_id": i} for i in range(30)]
+    )
+    out = run_er(ds, er_cfg, gold=gold)
+    ents = out["entities"].to_pandas()
+    assert len(ents) == 30
+    assert (ents["conv_id"] == ents["entity_id"]).all()
+    m = out["metrics"]
+    assert m["tp"] == 0 and m["fn"] == 0 and m["fp"] == 0
+    assert m["f1"] == 0.0  # degenerate-by-construction, must not raise
