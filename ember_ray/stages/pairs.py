@@ -96,9 +96,11 @@ def generate_pairs(
             }
         ).drop_duplicates(["conv_id_left", "conv_id_right"])
 
+    # barrier between the two shuffles: chained lazily, Ray 2.49 overlaps
+    # their aggregators and the pair stays ~20% slower (cf. er.compute_pairs)
     paired = bucketed_group_map(
         blocks, key="block_key", fn=pairs_in_bucket, num_buckets=num_buckets
-    )
+    ).materialize()
 
     def dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(["conv_id_left", "conv_id_right"])
