@@ -144,10 +144,16 @@ def _minhash_from_hashes(h: np.ndarray, offsets: np.ndarray, num_perm: int,
         if hi > lo:
             hh = h[lo:hi]
             m = (a[:, None] * hh[None, :] + b[:, None]) & _MERSENNE
-            idx = (doc_starts[i:j] - lo).astype(np.int64)
+            # reduceat offsets for NONEMPTY docs only: empty docs contribute
+            # zero elements so nonempty segments stay contiguous, and no
+            # index clamp is needed (a trailing empty doc's natural offset
+            # hi-lo is out of range; clamping it used to truncate the
+            # preceding doc's segment by one token — batch-layout-dependent
+            # signatures). Scatter results back into the nonempty rows.
             nonempty = doc_ends[i:j] > doc_starts[i:j]
-            red = np.minimum.reduceat(m, np.minimum(idx, hi - lo - 1), axis=1).T
-            sig[i:j][nonempty] = red[nonempty]
+            idx = (doc_starts[i:j][nonempty] - lo).astype(np.int64)
+            if idx.size:
+                sig[i:j][nonempty] = np.minimum.reduceat(m, idx, axis=1).T
         i = j
     return sig
 

@@ -30,6 +30,12 @@ def _vecs(t: pa.Table) -> np.ndarray:
     return np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
 
 
+def _round6(x: np.ndarray) -> np.ndarray:
+    # rint(x·10^6)/10^6 matches DuckDB round(x*1000000)/1000000 exactly;
+    # plain np.round(x, 6) differs by one ulp (CLAUDE.md gotcha).
+    return np.rint(x * 1e6) / 1e6
+
+
 def ann_topk(sf_dir: str, n_queries: int = 8, k: int = 10):
     """Exact cosine top-k of every query (vec_id < n_queries) against the
     whole table. Scores rounded to 6 dp (tie-break: vec_id asc) so the
@@ -58,12 +64,14 @@ def ann_topk(sf_dir: str, n_queries: int = 8, k: int = 10):
         qids_, Qn_ = ray.get(qref)
         V = _vecs(t)
         Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-        sims = Qn_ @ Vn.T  # (n_queries, batch)
+        sims = _round6(Qn_ @ Vn.T)  # (n_queries, batch); round BEFORE top-k
         ids = np.asarray(t["vec_id"])
         kk = min(k, sims.shape[1])
         out_q, out_v, out_s = [], [], []
         for qi in range(sims.shape[0]):
-            idx = np.argpartition(-sims[qi], kk - 1)[:kk]
+            # deterministic top-k on the rounded score with vec_id tie-break,
+            # matching the oracle's ORDER BY cosine DESC, vec_id
+            idx = np.lexsort((ids, -sims[qi]))[:kk]
             out_q.append(np.full(kk, qids_[qi], np.int64))
             out_v.append(ids[idx])
             out_s.append(sims[qi][idx])
@@ -71,7 +79,7 @@ def ann_topk(sf_dir: str, n_queries: int = 8, k: int = 10):
             {
                 "query_id": pa.array(np.concatenate(out_q), pa.int64()),
                 "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
-                "cosine": pa.array(np.round(np.concatenate(out_s), 6), pa.float64()),
+                "cosine": pa.array(np.concatenate(out_s), pa.float64()),
             }
         )
 
@@ -145,7 +153,7 @@ def ann_topk_lsh(sf_dir: str, n_queries: int = 8, k: int = 10, n_planes: int = 6
             {
                 "query_id": pa.array(np.concatenate(rows_q), pa.int64()),
                 "vec_id": pa.array(np.concatenate(rows_v), pa.int64()),
-                "cosine": pa.array(np.round(np.concatenate(rows_s), 6), pa.float64()),
+                "cosine": pa.array(_round6(np.concatenate(rows_s)), pa.float64()),
             }
         )
 

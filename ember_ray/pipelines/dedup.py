@@ -28,6 +28,12 @@ from ..functions.text import tokenize_array
 from ..util import bucketed_group_map, bucketed_join
 
 
+def _round6(x: np.ndarray) -> np.ndarray:
+    # rint(x·10^6)/10^6 matches DuckDB round(x*1000000)/1000000 exactly
+    # (plain np.round differs by one ulp — CLAUDE.md gotcha).
+    return np.rint(x * 1e6) / 1e6
+
+
 def _docs(sf_dir: str):
     import ray.data as rd
 
@@ -161,7 +167,7 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8, num_perm: int = 64,
             {
                 "doc_id_left": pa.array(np.asarray(t["doc_id_left"])[keep], pa.int64()),
                 "doc_id_right": pa.array(np.asarray(t["doc_id_right"])[keep], pa.int64()),
-                "jaccard": pa.array(np.round(jac[keep], 6), pa.float64()),
+                "jaccard": pa.array(_round6(jac[keep]), pa.float64()),
             }
         )
 
@@ -258,7 +264,7 @@ def dedup_ngram(sf_dir: str, k: int = 5, threshold: float = 0.55,
             {
                 "doc_id_left": pa.array(np.asarray(t["doc_id_left"])[keep], pa.int64()),
                 "doc_id_right": pa.array(np.asarray(t["doc_id_right"])[keep], pa.int64()),
-                "ngram_jaccard": pa.array(np.round(jac[keep], 6), pa.float64()),
+                "ngram_jaccard": pa.array(_round6(jac[keep]), pa.float64()),
             }
         )
 
@@ -316,7 +322,7 @@ def dedup_embedding(sf_dir: str, threshold: float = 0.35, num_buckets: int = 16)
             {
                 "vec_id_left": pa.array(np.asarray(t["vec_id_left"])[keep], pa.int64()),
                 "vec_id_right": pa.array(np.asarray(t["vec_id_right"])[keep], pa.int64()),
-                "cosine": pa.array(np.round(sim[keep], 6), pa.float64()),
+                "cosine": pa.array(_round6(sim[keep]), pa.float64()),
             }
         )
 

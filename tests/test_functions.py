@@ -109,6 +109,24 @@ def test_minhash_similarity_estimates_jaccard():
     assert abs(est - 1 / 3) < 0.1
 
 
+def test_minhash_empty_docs_layout_invariant():
+    # Regression: a trailing empty doc used to truncate the preceding doc's
+    # reduceat segment (signature missed its last token), making signatures
+    # depend on batch layout.
+    docs = [["a", "b", "c"], []]
+    sig = minhash_signatures(pa.array(docs, pa.list_(pa.string())), num_perm=32)
+    ref = minhash_signatures(pa.array(docs[:1], pa.list_(pa.string())), num_perm=32)
+    assert (sig[0] == ref[0]).all()
+    assert (sig[1] == np.uint64((1 << 61) - 1)).all()
+    # empty docs in the middle, at the start, and consecutive
+    docs2 = [[], ["a", "b", "c"], [], [], ["x", "y"], []]
+    sig2 = minhash_signatures(pa.array(docs2, pa.list_(pa.string())), num_perm=32)
+    solo = minhash_signatures(
+        pa.array([["a", "b", "c"], ["x", "y"]], pa.list_(pa.string())), num_perm=32)
+    assert (sig2[1] == solo[0]).all()
+    assert (sig2[4] == solo[1]).all()
+
+
 def test_lsh_band_keys_shared_for_identical():
     arr = pa.array([["a", "b", "c"], ["a", "b", "c"], ["x", "y", "z"]],
                    pa.list_(pa.string()))
