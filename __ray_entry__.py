@@ -127,14 +127,42 @@ def _q_bench_pairs_train(sf_dir: str):
     return _bench_run(sf_dir)["train"]
 
 
+_IMB_CACHE: dict[str, dict] = {}
+
+
+def _imb_run(sf_dir: str) -> dict:
+    corpus = _er_corpus(sf_dir)
+    if corpus not in _IMB_CACHE:
+        from ember_ray.pipelines.benchmark import build_imbalanced
+
+        _IMB_CACHE[corpus] = build_imbalanced(
+            corpus, num_buckets=16, balanced=_bench_run(sf_dir)
+        )
+    return _IMB_CACHE[corpus]
+
+
 def _q_bench_scenario_counts(sf_dir: str):
     import pandas as pd
 
     b = _bench_run(sf_dir)
+    imb = _imb_run(sf_dir)
     names = ("train", "val", "test", "test_rl", "test_cfm", "test_om")
+    rows = [(n, b[n].count()) for n in names]
+    rows += [(n, imb[n].count()) for n in sorted(imb)]
     return pd.DataFrame(
-        {"split": list(names), "n_pairs": [b[n].count() for n in names]}
+        {"split": [r[0] for r in rows], "n_pairs": [r[1] for r in rows]}
     )
+
+
+def _q_bench_pairs_imbalanced(sf_dir: str):
+    """Union of the four 1:99 imbalanced test sets (reference
+    test_i/irl/icfm/iom, build_ali_dataset.py:311-327)."""
+    imb = _imb_run(sf_dir)
+    names = sorted(imb)
+    ds = imb[names[0]]
+    for n in names[1:]:
+        ds = ds.union(imb[n])
+    return ds
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -180,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- labeled-benchmark construction (reference §3.1; rows-only) --
         "bench_pairs_all": _q_bench_pairs_all,
         "bench_pairs_train": _q_bench_pairs_train,
+        "bench_pairs_imbalanced": _q_bench_pairs_imbalanced,
         "bench_scenario_counts": _q_bench_scenario_counts,
         # --- flagship ER pipeline (synthetic transcripts; rows-only) -----
         "er_conversations": _q_er_conversations,

@@ -38,6 +38,35 @@ def token_hashes(tokens: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return h, np.asarray(lst.offsets)
 
 
+def row_unique_groups(h: np.ndarray, offsets: np.ndarray):
+    """Per-row unique elements of a ragged uint64 array, fully vectorized.
+
+    ``h`` is the flat element array, ``offsets`` the row boundaries
+    (len n+1). Returns ``(row, uh, tf, first_idx)`` where each position is
+    one (row, unique-hash) group: ``row`` the row index (sorted ascending),
+    ``uh`` the element value, ``tf`` its count within the row, and
+    ``first_idx`` an index into ``h``'s original order where that value
+    first sorts. One lexsort + one diff — no per-row Python loop. The
+    shared backbone of the vectorized Jaccard / TF-IDF / SimHash kernels.
+    """
+    offsets = np.asarray(offsets, np.int64)
+    n = len(offsets) - 1
+    counts = np.diff(offsets)
+    row = np.repeat(np.arange(n, dtype=np.int64), counts)
+    if len(h) == 0:
+        z = np.empty(0, np.int64)
+        return z, np.empty(0, np.uint64), z, z
+    order = np.lexsort((h, row))
+    hs = h[order]
+    rs = row[order]
+    new = np.empty(len(hs), bool)
+    new[0] = True
+    new[1:] = (rs[1:] != rs[:-1]) | (hs[1:] != hs[:-1])
+    starts = np.flatnonzero(new)
+    tf = np.diff(np.append(starts, len(hs)))
+    return rs[starts], hs[starts], tf, order[starts]
+
+
 def minhash_signatures(
     tokens: pa.Array, num_perm: int = 64, seed: int = 142
 ) -> np.ndarray:
@@ -82,19 +111,24 @@ def lsh_band_keys(sig: np.ndarray, num_bands: int) -> np.ndarray:
 
 
 def simhash(tokens: pa.Array, seed: int = 142) -> np.ndarray:
-    """64-bit SimHash per doc: sign of tf-weighted bit sums of token hashes."""
+    """64-bit SimHash per doc: sign of tf-weighted bit sums of token hashes.
+
+    Vectorized across the whole batch: one ``row_unique_groups`` pass for
+    per-doc (token, tf) groups, one (groups × 64) bit expansion, one
+    ``np.add.reduceat`` over doc boundaries — no per-doc Python loop."""
     h, offsets = token_hashes(tokens)
     n = len(offsets) - 1
     out = np.zeros(n, np.uint64)
+    rows, uh, tf, _ = row_unique_groups(h, offsets)
+    if not len(rows):
+        return out
     bits = np.arange(64, dtype=np.uint64)
-    for i in range(n):
-        hh = h[offsets[i]:offsets[i + 1]]
-        if not hh.size:
-            continue
-        ids, tf = np.unique(hh, return_counts=True)
-        bitmat = ((ids[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64)
-        acc = ((bitmat * 2 - 1) * tf[:, None]).sum(axis=0)
-        out[i] = np.uint64(((acc > 0).astype(np.uint64) << bits).sum(dtype=np.uint64))
+    bitmat = ((uh[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64)
+    contrib = (bitmat * 2 - 1) * tf[:, None]
+    starts = np.flatnonzero(np.r_[True, rows[1:] != rows[:-1]])
+    acc = np.add.reduceat(contrib, starts, axis=0)  # (docs-present, 64)
+    fp = ((acc > 0).astype(np.uint64) << bits[None, :]).sum(axis=1)
+    out[rows[starts]] = fp.astype(np.uint64)
     return out
 
 

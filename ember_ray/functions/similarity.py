@@ -16,8 +16,6 @@ Python row loop); pure-Python references below are the test oracle.
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 import pyarrow as pa
 
@@ -159,16 +157,33 @@ class StringSimKernel:
 
 def batch_jaccard_hashes(lh: np.ndarray, lo: np.ndarray,
                          rh: np.ndarray, ro: np.ndarray) -> np.ndarray:
-    """Set Jaccard per pair over pre-hashed element ids + offsets."""
+    """Set Jaccard per pair over pre-hashed element ids + offsets.
+
+    Fully vectorized (no per-pair loop): one ``row_unique_groups`` pass per
+    side dedups within rows, then one merged lexsort finds intersections as
+    adjacent (row, hash) duplicates — each side is already unique per row,
+    so an adjacent equal pair is exactly one intersection element.
+    """
+    from .minhash import row_unique_groups
+
     n = len(lo) - 1
+    ra, ha, _, _ = row_unique_groups(lh, lo)
+    rb, hb, _, _ = row_unique_groups(rh, ro)
+    ua = np.bincount(ra, minlength=n)
+    ub = np.bincount(rb, minlength=n)
+    rows = np.concatenate([ra, rb])
+    hashes = np.concatenate([ha, hb])
+    if len(rows):
+        order = np.lexsort((hashes, rows))
+        rs, hs = rows[order], hashes[order]
+        eq = (rs[1:] == rs[:-1]) & (hs[1:] == hs[:-1])
+        inter = np.bincount(rs[1:][eq], minlength=n)
+    else:
+        inter = np.zeros(n, np.int64)
+    denom = ua + ub - inter
     out = np.zeros(n, np.float64)
-    for i in range(n):
-        a = np.unique(lh[lo[i]:lo[i + 1]])
-        b = np.unique(rh[ro[i]:ro[i + 1]])
-        if not len(a) and not len(b):
-            continue
-        inter = np.intersect1d(a, b, assume_unique=True).size
-        out[i] = inter / (a.size + b.size - inter)
+    nz = denom > 0
+    out[nz] = inter[nz] / denom[nz]
     return out
 
 
@@ -235,30 +250,39 @@ def batch_tfidf_cosine(
         )
         return h, np.asarray(lst.offsets)
 
+    from .minhash import row_unique_groups
+
     lh, lo = prep(left_tokens)
     rh, ro = prep(right_tokens)
     lw = idf_weights(lh, idf)
     rw = idf_weights(rh, idf)
     n = len(lo) - 1
+    # per-row unique (token, tf) groups, one vectorized pass per side;
+    # weight resolved at the group's first occurrence (IDF depends only on
+    # the hashed id, identical at every occurrence)
+    ra, ha, tfa, fa = row_unique_groups(lh.view(np.uint64), lo)
+    rb, hb, tfb, fb = row_unique_groups(rh.view(np.uint64), ro)
+    av = tfa * lw[fa]
+    bv = tfb * rw[fb]
+    na2 = np.bincount(ra, weights=av * av, minlength=n)
+    nb2 = np.bincount(rb, weights=bv * bv, minlength=n)
+    # dot product: merge both sides' groups, sort by (row, hash); an
+    # adjacent equal (row, hash) pair is one shared term (sides are unique
+    # within row, so at most two occurrences exist)
+    rows = np.concatenate([ra, rb])
+    hashes = np.concatenate([ha, hb])
+    vals = np.concatenate([av, bv])
+    dot = np.zeros(n, np.float64)
+    if len(rows):
+        order = np.lexsort((hashes, rows))
+        rs, hs, vs = rows[order], hashes[order], vals[order]
+        eq = (rs[1:] == rs[:-1]) & (hs[1:] == hs[:-1])
+        dot = np.bincount(rs[1:][eq], weights=vs[1:][eq] * vs[:-1][eq],
+                          minlength=n)
+    norm = np.sqrt(na2 * nb2)
     out = np.zeros(n, np.float64)
-    for i in range(n):
-        sl = slice(lo[i], lo[i + 1])
-        sr = slice(ro[i], ro[i + 1])
-        a_ids, a_first, a_tf = np.unique(lh[sl], return_index=True,
-                                         return_counts=True)
-        b_ids, b_first, b_tf = np.unique(rh[sr], return_index=True,
-                                         return_counts=True)
-        if not a_ids.size or not b_ids.size:
-            continue
-        av = a_tf * lw[sl][a_first]
-        bv = b_tf * rw[sr][b_first]
-        common, ia, ib = np.intersect1d(a_ids, b_ids, assume_unique=True, return_indices=True)
-        if not common.size:
-            continue
-        dot = float(np.dot(av[ia], bv[ib]))
-        na = math.sqrt(float(np.dot(av, av)))
-        nb = math.sqrt(float(np.dot(bv, bv)))
-        out[i] = dot / (na * nb) if na and nb else 0.0
+    nz = norm > 0
+    out[nz] = dot[nz] / norm[nz]
     return out
 
 

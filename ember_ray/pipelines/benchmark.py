@@ -30,7 +30,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.similarity import jaccard_py
 from ..stages.assemble import assemble_conversations
 from ..stages.blocking import make_blocks
 from ..stages.tokenize import add_tokens
@@ -40,90 +39,139 @@ POS_NEG_RATIO = 3       # reference POS_NEG_SIZE 1:3 (build_ali_dataset.py:28-30
 PAIRS_PER_CLUSTER = 40  # reference NUM_PAIRS (build_ali_dataset.py:32)
 
 
-def _select_hard_and_random(df: pd.DataFrame, budget: int,
-                            ascending: bool) -> pd.DataFrame:
-    """Reference selection semantics (build_ali_dataset.py:102-112,188-198):
-    sort by similarity, keep the hardest ⌈budget/2⌉, fill the rest in
-    content-hash order (deterministic stand-in for df.sample)."""
-    if len(df) <= budget:
-        return df
-    df = df.sort_values(
-        ["jaccard", "conv_id_left", "conv_id_right"], ascending=ascending,
-        kind="mergesort",
+def _empty_pairs() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "conv_id_left": pd.array([], "str"),
+            "conv_id_right": pd.array([], "str"),
+            "cluster_id_left": pd.array([], "int64"),
+            "cluster_id_right": pd.array([], "int64"),
+            "jaccard": pd.array([], "float64"),
+        }
     )
-    n_hard = -(-budget // 2)
-    hard = df.head(n_hard)
-    rest = df.iloc[n_hard:]
-    key = rest["conv_id_left"] + "|" + rest["conv_id_right"]
-    order = np.argsort(stable_hash64(key.to_numpy()), kind="stable")
-    rand = rest.iloc[order[: budget - n_hard]]
-    return pd.concat([hard, rand])
+
+
+def _ragged_gather(h: np.ndarray, offsets: np.ndarray, rows: np.ndarray):
+    """Gather ragged rows (by index) from a flat array → (flat, offsets)."""
+    cnt = offsets[rows + 1] - offsets[rows]
+    out_off = np.concatenate([[0], np.cumsum(cnt)])
+    total = int(out_off[-1])
+    idx = np.repeat(offsets[rows], cnt) + (
+        np.arange(total, dtype=np.int64) - np.repeat(out_off[:-1], cnt)
+    )
+    return h[idx], out_off
 
 
 def _pairs_in_groups(df: pd.DataFrame, group_col: str, budget_per_group: int,
                      hard_ascending: bool, same_cluster: bool,
                      max_group_size: int = 256) -> pd.DataFrame:
-    """All unordered within-group pairs + Jaccard + hard/random selection.
+    """All unordered within-group pairs + Jaccard + hard/random selection,
+    vectorized over the whole bucket (VERDICT r1: the old version looped
+    ``df.groupby`` per group and called python-set ``jaccard_py`` per pair).
+
     For negatives (same_cluster=False) only cross-cluster pairs survive.
     Groups above ``max_group_size`` are skipped (stop-key skew cap, the
-    reference's SIMILAR_CLUSTER_NUM=12 fan-out analog)."""
-    out = []
-    for _, g in df.groupby(group_col, sort=False):
-        ids = g["conv_id"].to_numpy()
-        toks = g["tokens"].to_numpy()
-        clus = g["cluster_id"].to_numpy()
-        n = len(ids)
+    reference's SIMILAR_CLUSTER_NUM=12 fan-out analog).
+
+    Selection semantics (build_ali_dataset.py:102-112,188-198): per group,
+    sort by (jaccard, id_left, id_right) — a TOTAL order, so the result is
+    independent of row arrival order — keep the hardest ⌈budget/2⌉, fill
+    the rest in content-hash order (deterministic stand-in for df.sample).
+    """
+    from ..functions.minhash import token_hashes
+    from ..functions.similarity import batch_jaccard_hashes
+
+    if len(df) < 2:
+        return _empty_pairs()
+
+    codes, _ = pd.factorize(df[group_col], sort=False)
+    order = np.argsort(codes, kind="stable")
+    ids_all = df["conv_id"].to_numpy()[order]
+    clus_all = df["cluster_id"].to_numpy()[order].astype(np.int64)
+    toks_all = df["tokens"].to_numpy()[order]
+    codes_s = codes[order]
+    bounds = np.flatnonzero(np.r_[True, codes_s[1:] != codes_s[:-1], True])
+
+    # pair index generation: one numpy triu per group (cheap — O(groups)
+    # python calls, all heavy work on the pair arrays below)
+    li_parts, rj_parts, grp_parts = [], [], []
+    for gi, (s, e) in enumerate(zip(bounds[:-1], bounds[1:])):
+        n = e - s
         if n < 2 or n > max_group_size:
             continue
         i, j = np.triu_indices(n, k=1)
-        if same_cluster:
-            keep = clus[i] == clus[j]
-        else:
-            keep = clus[i] != clus[j]
+        i += s
+        j += s
+        keep = (clus_all[i] == clus_all[j]) if same_cluster else (clus_all[i] != clus_all[j])
         i, j = i[keep], j[keep]
         if not len(i):
             continue
-        swap = ids[i] > ids[j]
-        li, rj = np.where(swap, j, i), np.where(swap, i, j)
-        jac = np.fromiter(
-            (jaccard_py(toks[a], toks[b]) for a, b in zip(li, rj)),
-            np.float64, len(li),
-        )
-        p = pd.DataFrame(
-            {
-                "conv_id_left": ids[li],
-                "conv_id_right": ids[rj],
-                "cluster_id_left": clus[li],
-                "cluster_id_right": clus[rj],
-                "jaccard": jac,
-            }
-        )
-        out.append(
-            _select_hard_and_random(p, budget_per_group, ascending=hard_ascending)
-        )
-    if not out:
-        return pd.DataFrame(
-            {
-                "conv_id_left": pd.array([], "str"),
-                "conv_id_right": pd.array([], "str"),
-                "cluster_id_left": pd.array([], "int64"),
-                "cluster_id_right": pd.array([], "int64"),
-                "jaccard": pd.array([], "float64"),
-            }
-        )
-    return pd.concat(out, ignore_index=True)
+        swap = ids_all[i] > ids_all[j]
+        li_parts.append(np.where(swap, j, i))
+        rj_parts.append(np.where(swap, i, j))
+        grp_parts.append(np.full(len(i), gi, np.int64))
+    if not li_parts:
+        return _empty_pairs()
+    li = np.concatenate(li_parts)
+    rj = np.concatenate(rj_parts)
+    grp = np.concatenate(grp_parts)
+
+    # hash every token once per bucket (vectorized xxhash), ragged-gather
+    # each pair side, one vectorized Jaccard over all pairs
+    ta = pa.array(list(toks_all), pa.list_(pa.string()))
+    h, offs = token_hashes(ta)
+    offs = np.asarray(offs, np.int64)
+    lh, lo = _ragged_gather(h, offs, li)
+    rh, ro = _ragged_gather(h, offs, rj)
+    jac = batch_jaccard_hashes(lh, lo, rh, ro)
+
+    # per-group hard/random selection on numpy arrays. String ids are
+    # mapped to bucket-level sort ranks (relative order preserved) so a
+    # descending total order is a lexsort over negated ranks.
+    _, rank_all = np.unique(ids_all, return_inverse=True)
+    rank_l, rank_r = rank_all[li], rank_all[rj]
+    row_hash = stable_hash64(ids_all)
+    pair_hash = (row_hash[li] * np.uint64(0x9E3779B97F4A7C15)) ^ row_hash[rj]
+
+    keep_mask = np.zeros(len(li), bool)
+    gb = np.flatnonzero(np.r_[True, grp[1:] != grp[:-1], True])
+    n_hard = -(-budget_per_group // 2)
+    for s, e in zip(gb[:-1], gb[1:]):
+        m = e - s
+        if m <= budget_per_group:
+            keep_mask[s:e] = True
+            continue
+        if hard_ascending:
+            o = np.lexsort((rank_r[s:e], rank_l[s:e], jac[s:e]))
+        else:
+            o = np.lexsort((-rank_r[s:e], -rank_l[s:e], -jac[s:e]))
+        keep_mask[s + o[:n_hard]] = True
+        rest = o[n_hard:]
+        ro_ = np.argsort(pair_hash[s:e][rest], kind="stable")
+        keep_mask[s + rest[ro_[: budget_per_group - n_hard]]] = True
+
+    k = np.flatnonzero(keep_mask)
+    return pd.DataFrame(
+        {
+            "conv_id_left": ids_all[li[k]],
+            "conv_id_right": ids_all[rj[k]],
+            "cluster_id_left": clus_all[li[k]],
+            "cluster_id_right": clus_all[rj[k]],
+            "jaccard": jac[k],
+        }
+    )
 
 
-def build_labeled_pairs(corpus_dir: str, num_buckets: int = 64,
-                        max_block_size: int = 64, seed: int = 142):
-    """corpus dir → dict of train/val/test labeled-pair Datasets.
-
-    Columns: conv_id_left/right, label (1 within gold cluster, 0 across),
-    jaccard, split (reference pair-table shape, data/ali/README.md:62-77,
-    minus the duplicated payload columns — join text on demand)."""
+def _tagged_corpus(corpus_dir: str, num_buckets: int):
+    """Assembled conversations with tokens + gold ``cluster_id`` attached
+    (zero-copy broadcast index, ray.put once). Materialized — shared by
+    the balanced and imbalanced builders."""
     import os
 
+    import ray
     import ray.data as rd
+
+    from ..util import broadcast_lookup, build_broadcast_index
 
     convs = add_tokens(
         assemble_conversations(
@@ -132,12 +180,6 @@ def build_labeled_pairs(corpus_dir: str, num_buckets: int = 64,
         )
     )
     gold = rd.read_parquet(os.path.join(corpus_dir, "gold_clusters.parquet"))
-
-    # attach gold cluster ids (zero-copy broadcast index, ray.put once)
-    import ray
-
-    from ..util import broadcast_lookup, build_broadcast_index
-
     gref = ray.put(
         build_broadcast_index(gold.to_pandas(), "conv_id", ["cluster_id"])
     )
@@ -148,9 +190,19 @@ def build_labeled_pairs(corpus_dir: str, num_buckets: int = 64,
             "cluster_id", broadcast_lookup(idx, batch["conv_id"], "cluster_id")
         )
 
-    tagged = convs.select_columns(["conv_id", "tokens"]).map_batches(
+    return convs.select_columns(["conv_id", "tokens"]).map_batches(
         tag_cluster, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
+
+
+def build_labeled_pairs(corpus_dir: str, num_buckets: int = 64,
+                        max_block_size: int = 64, seed: int = 142):
+    """corpus dir → dict of train/val/test labeled-pair Datasets.
+
+    Columns: conv_id_left/right, label (1 within gold cluster, 0 across),
+    jaccard, split (reference pair-table shape, data/ali/README.md:62-77,
+    minus the duplicated payload columns — join text on demand)."""
+    tagged = _tagged_corpus(corpus_dir, num_buckets)
 
     # positives: within-cluster pairs, hardest = LOWEST jaccard first
     pos = bucketed_group_map(
@@ -241,7 +293,11 @@ def _scenario_split(batch: pa.Table) -> np.ndarray:
         ``test_rl`` (new record vs known corpus), extra×extra is
         ``test_cfm`` (new records only);
       * main×main pairs form the core corpus, split 7:1:2 into
-        train/val/test on the LEFT cluster hash (clusters never straddle);
+        train/val/test on the cluster hash of BOTH sides; a pair whose two
+        clusters hash to different core splits is dropped — the reference
+        splits clusters first and generates pairs within each split corpus
+        (build_ali_dataset.py:262-296), so cross-split pairs never exist
+        there (and a train negative must not carry a test-cluster record);
       * pairs crossing the main/om corpora are dropped — the reference
         never generates them (separate build_record_pairs calls per
         corpus).
@@ -253,13 +309,13 @@ def _scenario_split(batch: pa.Table) -> np.ndarray:
     ext_l = stable_hash64(batch["conv_id_left"], seed=11) % np.uint64(5) >= 3
     ext_r = stable_hash64(batch["conv_id_right"], seed=11) % np.uint64(5) >= 3
 
-    core_h = stable_hash64(cl_l) % np.uint64(10)
-    core = np.where(core_h < 7, "train", np.where(core_h < 8, "val", "test"))
+    core_l = _core_split_of(cl_l)
+    core_r = _core_split_of(cl_r)
 
     both_om = om_l & om_r
     any_om = om_l | om_r
     n_ext = ext_l.astype(np.int64) + ext_r.astype(np.int64)
-    out = core
+    out = np.where(core_l == core_r, core_l, "drop")  # split-then-generate
     out = np.where(n_ext == 1, "test_rl", out)
     out = np.where(n_ext == 2, "test_cfm", out)
     out = np.where(any_om, "drop", out)   # crosses the om/main boundary
@@ -267,5 +323,173 @@ def _scenario_split(batch: pa.Table) -> np.ndarray:
     return out
 
 
+def _core_split_of(cluster_ids: np.ndarray) -> np.ndarray:
+    """Pure content-hash 7:1:2 cluster-level core split."""
+    h = stable_hash64(cluster_ids) % np.uint64(10)
+    return np.where(h < 7, "train", np.where(h < 8, "val", "test"))
+
+
 def _dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
     return df.drop_duplicates(["conv_id_left", "conv_id_right"])
+
+
+# ------------------------------------------------------ imbalanced (1:99)
+IMBALANCE_RATIO = 99  # reference IMBALANCE_POS_NEG_SIZE = (500, 99*500)
+                      # (build_ali_dataset.py:30)
+
+
+def _ext_flags(conv_ids) -> np.ndarray:
+    return stable_hash64(conv_ids, seed=11) % np.uint64(5) >= 3
+
+
+def _om_flags(cluster_ids: np.ndarray) -> np.ndarray:
+    return stable_hash64(cluster_ids, seed=7) % np.uint64(5) == 4
+
+
+def build_imbalanced(corpus_dir: str, num_buckets: int = 64,
+                     balanced: dict | None = None,
+                     ratio: int = IMBALANCE_RATIO):
+    """Four 1:99 imbalanced test sets — the reference's headline "reality"
+    scenario (test_i/irl/icfm/iom, build_ali_dataset.py:311-327,
+    IMBALANCE_POS_NEG_SIZE at :30, counts data/ali/README.md:156-161).
+
+    Populations mirror the reference's split-then-generate corpora:
+      * ``test_i``   — main clusters, main records; pairs present in the
+        balanced train/val splits are EXCLUDED (the reference's
+        ``excluded_pairs`` anti-join, build_ali_dataset.py:313);
+      * ``test_irl`` — main clusters, pairs with exactly one extra-record
+        side (new record vs known corpus);
+      * ``test_icfm``— main clusters, extra records only;
+      * ``test_iom`` — extra (om) clusters.
+
+    Sizes scale with the corpus while holding the ratio exact:
+    ``n_pos = min(avail_pos, avail_neg // ratio)``, ``n_neg = ratio·n_pos``
+    (the reference's fixed 500/49,500 at its corpus size). Selection is the
+    reference's final ``df.sample(total_num)`` re-expressed as first-N in
+    content-hash order — deterministic across runs and parallelism.
+    """
+    import ray
+    import ray.data as rd
+
+    from ..util import broadcast_lookup, build_broadcast_index
+
+    tagged = _tagged_corpus(corpus_dir, num_buckets)
+
+    def add_flags(batch: pa.Table) -> pa.Table:
+        # int8 flags: Ray's filter-expr parser has no boolean literals
+        om = _om_flags(np.asarray(batch["cluster_id"]).astype(np.int64))
+        ext = np.asarray(_ext_flags(batch["conv_id"]))
+        return batch.append_column(
+            "__om", pa.array(om.astype(np.int8))
+        ).append_column("__ext", pa.array(ext.astype(np.int8)))
+
+    flagged = tagged.map_batches(
+        add_flags, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    # train/val exclusion index for test_i: the balanced train/val pair
+    # sets are budget-bounded (≈NUM_PAIRS·(1+ratio)/cluster), so a
+    # zero-copy broadcast index is the right shape; at extreme scale this
+    # switches to a bucketed anti-join on the pair key.
+    excl_ref = None
+    if balanced is not None:
+        tv = balanced["all"].filter(
+            expr="split == 'train' or split == 'val'"
+        ).select_columns(["conv_id_left", "conv_id_right"]).to_pandas()
+        tv["__pk"] = tv["conv_id_left"] + "|" + tv["conv_id_right"]
+        tv["__one"] = np.int8(1)
+        excl_ref = ray.put(build_broadcast_index(tv[["__pk", "__one"]],
+                                                 "__pk", ["__one"]))
+
+    def exclude_seen(ds):
+        def fn(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            idx = ray.get(excl_ref)
+            pk = pc.binary_join_element_wise(
+                batch["conv_id_left"], batch["conv_id_right"], "|")
+            hit = broadcast_lookup(idx, pk.combine_chunks() if isinstance(pk, pa.ChunkedArray) else pk, "__one")
+            return batch.filter(pc.is_null(hit))
+
+        return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+    def one_ext_side(ds):
+        def fn(batch: pa.Table) -> pa.Table:
+            el = _ext_flags(batch["conv_id_left"])
+            er = _ext_flags(batch["conv_id_right"])
+            return batch.filter(pa.array(el != er))
+
+        return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+    def add_pair_hash(batch: pa.Table) -> pa.Table:
+        hl = stable_hash64(batch["conv_id_left"])
+        hr = stable_hash64(batch["conv_id_right"])
+        ph = (hl * np.uint64(0x9E3779B97F4A7C15)) ^ hr
+        return batch.append_column("__ph", pa.array(ph, pa.uint64()))
+
+    out: dict[str, rd.Dataset] = {}
+    for name in ("test_i", "test_irl", "test_icfm", "test_iom"):
+        if name == "test_iom":
+            pop = flagged.filter(expr="__om == 1")
+        elif name == "test_icfm":
+            pop = flagged.filter(expr="__om == 0 and __ext == 1")
+        elif name == "test_i":
+            pop = flagged.filter(expr="__om == 0 and __ext == 0")
+        else:  # test_irl: main clusters, both record kinds
+            pop = flagged.filter(expr="__om == 0")
+        pop = pop.drop_columns(["__om", "__ext"]).materialize()
+        n_pop = pop.count()
+        if n_pop < 2:
+            continue
+
+        pos = bucketed_group_map(
+            pop, key="cluster_id",
+            fn=lambda df: _pairs_in_groups(
+                df, "cluster_id", 1 << 40, hard_ascending=True,
+                same_cluster=True),
+            num_buckets=num_buckets,
+        )
+        # random cross-cluster co-grouping: ~64-row hash buckets ⇒ up to
+        # ~2k candidate pairs per bucket, each unordered pair generated at
+        # most once (both endpoints must hash to the same bucket)
+        neg = bucketed_group_map(
+            pop, key="conv_id",
+            fn=lambda df: _pairs_in_groups(
+                df.assign(__g=0), "__g", 1 << 40, hard_ascending=False,
+                same_cluster=False),
+            num_buckets=max(1, n_pop // 64),
+        )
+        if name == "test_irl":
+            pos, neg = one_ext_side(pos), one_ext_side(neg)
+        if name == "test_i" and excl_ref is not None:
+            pos, neg = exclude_seen(pos), exclude_seen(neg)
+
+        pos = pos.map_batches(add_pair_hash, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+        neg = neg.map_batches(add_pair_hash, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+        n_pos = min(pos.count(), neg.count() // ratio)
+        if n_pos == 0:
+            continue
+
+        def finish(ds, n, label):
+            sel = ds.sort("__ph").limit(n)
+
+            def fn(batch: pa.Table) -> pa.Table:
+                m = batch.num_rows
+                return pa.table(
+                    {
+                        "conv_id_left": batch["conv_id_left"],
+                        "conv_id_right": batch["conv_id_right"],
+                        "jaccard": batch["jaccard"],
+                        "label": pa.array(np.full(m, label, np.int64)),
+                        "split": pa.array([name] * m, pa.string()),
+                    }
+                )
+
+            return sel.map_batches(fn, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+
+        out[name] = finish(pos, n_pos, 1).union(
+            finish(neg, ratio * n_pos, 0)).materialize()
+    return out

@@ -177,30 +177,12 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8, num_perm: int = 64,
 # ---------------------------------------------------------------- simhash
 def dedup_simhash(sf_dir: str, max_hamming: int = 12, num_buckets: int = 16):
     """SimHash near-dup: 64-bit fingerprints, candidates via 4×16-bit
-    band buckets (any shared band ⇒ candidate), verify Hamming ≤ k."""
+    band buckets (any shared band ⇒ candidate), verify Hamming ≤ k.
+
+    Fingerprints are computed ONCE into a materialized (doc_id, fp) table
+    (16 B/row); both the band exploder and the verify-side attach read
+    from it — the text is tokenized exactly once per document."""
     docs = _docs(sf_dir)
-
-    def block_fn(t: pa.Table) -> pa.Table:
-        h = simhash(tokenize_array(t["text"]))
-        ids = np.asarray(t["doc_id"])
-        bands, keys_ids, fps = [], [], []
-        for b in range(4):
-            band = (h >> np.uint64(16 * b)) & np.uint64(0xFFFF)
-            bands.extend(f"s{b}:{v:04x}" for v in band)
-            keys_ids.append(ids)
-            fps.append(h)
-        return pa.table(
-            {
-                "block_key": pa.array(bands, pa.string()),
-                "doc_id": pa.array(np.concatenate(keys_ids), pa.int64()),
-                "fp": pa.array(np.concatenate(fps), pa.uint64()),
-            }
-        )
-
-    blocks = docs.map_batches(block_fn, batch_format="pyarrow", zero_copy_batch=True)
-    pairs = _pairs_from_blocks(
-        blocks.select_columns(["block_key", "doc_id"]), "doc_id", num_buckets
-    )
 
     fps = docs.map_batches(
         lambda t: pa.table(
@@ -210,7 +192,28 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 12, num_buckets: int = 16):
             }
         ),
         batch_format="pyarrow",
-    )
+        zero_copy_batch=True,
+    ).materialize()  # two consumers below; avoid recomputing the sketch
+
+    def band_fn(t: pa.Table) -> pa.Table:
+        h = np.asarray(t["fp"]).astype(np.uint64)
+        ids = np.asarray(t["doc_id"])
+        # uint64 band key: band index in the top 2 bits never collides
+        # across bands; 8 B/key through the shuffle (no string formatting)
+        bands, keys_ids = [], []
+        for b in range(4):
+            band = (h >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            bands.append(band | (np.uint64(b) << np.uint64(62)))
+            keys_ids.append(ids)
+        return pa.table(
+            {
+                "block_key": pa.array(np.concatenate(bands), pa.uint64()),
+                "doc_id": pa.array(np.concatenate(keys_ids), pa.int64()),
+            }
+        )
+
+    blocks = fps.map_batches(band_fn, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = _pairs_from_blocks(blocks, "doc_id", num_buckets)
     with_fp = _attach_pair_sides(pairs, fps, "doc_id", ["fp"], num_buckets)
 
     def verify(t: pa.Table) -> pa.Table:

@@ -96,26 +96,34 @@ class LangId:
     }
 
     def __init__(self):
-        self.profiles = {
-            lang: tuple(g for g in grams) for lang, grams in self.PROFILES.items()
-        }
+        # fixed lang order: ties resolve to the earliest (argmax first-max),
+        # matching the original dict-iteration semantics
+        self.langs = [l for l in self.PROFILES if self.PROFILES[l]]
+        self.grams = {l: self.PROFILES[l] for l in self.langs}
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist()
-        preds = []
-        for s in texts:
-            s = (s or "").lower()
-            if any("一" <= ch <= "鿿" for ch in s[:200]):
-                preds.append("zh")
-                continue
-            best, best_n = "en", -1
-            for lang, grams in self.profiles.items():
-                n = sum(s.count(g) for g in grams)
-                if n > best_n:
-                    best, best_n = lang, n
-            preds.append(best)
+        # fully vectorized: one utf8_lower, one CJK regex over the first 200
+        # chars, and 5 grams × 4 langs count_substring kernel calls —
+        # no per-row Python loop
+        lower = pc.utf8_lower(pc.coalesce(t["text"], ""))
+        head = pc.utf8_slice_codeunits(lower, 0, 200)
+        is_zh = np.asarray(
+            pc.match_substring_regex(head, "[一-鿿]").combine_chunks()
+        )
+        counts = np.stack(
+            [
+                sum(
+                    np.asarray(pc.count_substring(lower, g).combine_chunks())
+                    for g in self.grams[lang]
+                )
+                for lang in self.langs
+            ]
+        )  # (n_langs, n_rows)
+        best = np.argmax(counts, axis=0)  # first max wins ties
+        preds = np.asarray(self.langs, object)[best]
+        preds[is_zh] = "zh"
         return pa.table(
-            {"doc_id": t["doc_id"], "lang_pred": pa.array(preds, pa.string())}
+            {"doc_id": t["doc_id"], "lang_pred": pa.array(preds.tolist(), pa.string())}
         )
 
 

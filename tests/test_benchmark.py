@@ -43,10 +43,17 @@ def test_split_cluster_level_disjoint(built, corpus_dir):
     g = _gold_map(corpus_dir)
     df = built["all"].to_pandas()
     core = df[df.split.isin(["train", "val", "test"])].copy()
-    core["cl"] = core.conv_id_left.map(g)
-    # a LEFT cluster appears in exactly one CORE split (cluster-level
-    # split, build_ali_dataset.py:262-296 semantics)
-    assert (core.groupby("cl")["split"].nunique() == 1).all()
+    # BOTH clusters of a core pair belong to exactly one core split
+    # (split-then-generate, build_ali_dataset.py:262-296: the reference
+    # generates pairs within each split corpus, so a train negative can
+    # never carry a test-cluster record)
+    long = pd.concat(
+        [
+            core[["split"]].assign(cl=core.conv_id_left.map(g)),
+            core[["split"]].assign(cl=core.conv_id_right.map(g)),
+        ]
+    )
+    assert (long.groupby("cl")["split"].nunique() == 1).all()
     for name in ("train", "val", "test", "test_rl", "test_cfm", "test_om"):
         sub = built[name].to_pandas()
         assert set(sub["split"].unique()) <= {name}
@@ -80,6 +87,67 @@ def test_scenario_semantics(built, corpus_dir):
     assert (n_ext[s == "test_cfm"] == 2).all()
     core_mask = np.isin(s, ["train", "val", "test"])
     assert (n_ext[core_mask] == 0).all()
+
+
+@pytest.fixture(scope="module")
+def imbalanced(ray_session, corpus_dir, built):
+    from ember_ray.pipelines.benchmark import build_imbalanced
+
+    return build_imbalanced(corpus_dir, num_buckets=8, balanced=built)
+
+
+def test_imbalanced_ratio_and_labels(imbalanced, corpus_dir):
+    g = _gold_map(corpus_dir)
+    assert len(imbalanced) > 0
+    for name, ds in imbalanced.items():
+        df = ds.to_pandas()
+        n_pos = int((df.label == 1).sum())
+        n_neg = int((df.label == 0).sum())
+        # exact 1:99 budget (reference IMBALANCE_POS_NEG_SIZE semantics)
+        assert n_pos > 0 and n_neg == 99 * n_pos, (name, n_pos, n_neg)
+        same = df.conv_id_left.map(g) == df.conv_id_right.map(g)
+        assert (same == (df.label == 1)).all()
+        assert set(df["split"]) == {name}
+        # no duplicate pairs inside a set
+        assert not df.duplicated(["conv_id_left", "conv_id_right"]).any()
+
+
+def test_imbalanced_excludes_train_val(imbalanced, built):
+    # test_i must not contain any pair seen in balanced train/val
+    # (reference excluded_pairs anti-join, build_ali_dataset.py:313)
+    if "test_i" not in imbalanced:
+        pytest.skip("corpus too small for test_i")
+    seen = built["all"].to_pandas()
+    seen = seen[seen.split.isin(["train", "val"])]
+    seen_keys = set(zip(seen.conv_id_left, seen.conv_id_right))
+    ti = imbalanced["test_i"].to_pandas()
+    got = set(zip(ti.conv_id_left, ti.conv_id_right))
+    assert not (got & seen_keys)
+
+
+def test_imbalanced_population_rules(imbalanced, corpus_dir):
+    import numpy as np
+
+    from ember_ray.pipelines.benchmark import _ext_flags, _om_flags
+
+    g = _gold_map(corpus_dir)
+    for name, ds in imbalanced.items():
+        df = ds.to_pandas()
+        cl_l = df.conv_id_left.map(g).to_numpy().astype(np.int64)
+        cl_r = df.conv_id_right.map(g).to_numpy().astype(np.int64)
+        om = _om_flags(cl_l) | _om_flags(cl_r)
+        ext_l = _ext_flags(df.conv_id_left.to_numpy())
+        ext_r = _ext_flags(df.conv_id_right.to_numpy())
+        if name == "test_iom":
+            assert (_om_flags(cl_l) & _om_flags(cl_r)).all()
+        else:
+            assert not om.any()
+        if name == "test_i":
+            assert not (ext_l | ext_r).any()
+        elif name == "test_irl":
+            assert ((ext_l.astype(int) + ext_r.astype(int)) == 1).all()
+        elif name == "test_icfm":
+            assert (ext_l & ext_r).all()
 
 
 def test_deterministic(ray_session, corpus_dir):

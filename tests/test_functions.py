@@ -98,6 +98,45 @@ def test_tfidf_cosine_identical_and_disjoint():
     assert got[1] == 0.0
 
 
+def test_vectorized_kernels_match_py_on_random_ragged_batches():
+    # The sort+bincount kernels must agree with the per-pair python
+    # reference on arbitrary ragged layouts incl. empty rows and repeats.
+    rng = np.random.default_rng(7)
+    vocab = [f"t{i}" for i in range(40)]
+    lefts, rights = [], []
+    for _ in range(200):
+        nl, nr = rng.integers(0, 12, 2)
+        lefts.append(list(rng.choice(vocab, nl)))
+        rights.append(list(rng.choice(vocab, nr)))
+    l = pa.array(lefts, pa.list_(pa.string()))
+    r = pa.array(rights, pa.list_(pa.string()))
+    got = batch_jaccard(l, r)
+    want = [jaccard_py(a, b) for a, b in zip(lefts, rights)]
+    assert np.allclose(got, want)
+
+    got_cos = batch_tfidf_cosine(l, r)
+
+    def cos_py(a, b):
+        from collections import Counter
+        ca, cb = Counter(a), Counter(b)
+        dot = sum(ca[t] * cb[t] for t in ca)
+        na = sum(v * v for v in ca.values()) ** 0.5
+        nb = sum(v * v for v in cb.values()) ** 0.5
+        return dot / (na * nb) if na and nb else 0.0
+
+    want_cos = [cos_py(a, b) for a, b in zip(lefts, rights)]
+    assert np.allclose(got_cos, want_cos)
+
+
+def test_simhash_empty_and_layout():
+    docs = [["a", "b", "a"], [], ["z"]]
+    h = simhash(pa.array(docs, pa.list_(pa.string())))
+    solo = simhash(pa.array([docs[0]], pa.list_(pa.string())))
+    assert h[0] == solo[0]
+    assert h[1] == 0
+    assert h[2] != 0
+
+
 def test_minhash_similarity_estimates_jaccard():
     rng = np.random.default_rng(0)
     vocab = [f"w{i}" for i in range(200)]
