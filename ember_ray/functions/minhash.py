@@ -158,26 +158,36 @@ def char_shingles(texts: pa.Array, k: int = 5) -> pa.Array:
 
 
 def _minhash_from_hashes(h: np.ndarray, offsets: np.ndarray, num_perm: int,
-                         seed: int) -> np.ndarray:
-    """Core MinHash over pre-hashed elements (see minhash_signatures)."""
+                         seed: int, chunk_tok: int = 16384) -> np.ndarray:
+    """Core MinHash over pre-hashed elements (see minhash_signatures).
+
+    One preallocated ``(num_perm × chunk_tok)`` buffer is reused across
+    chunks with in-place multiply/add/mask — measured 3× faster warm and
+    ~12× faster on a cold worker than the naive ``(a*h+b)&M`` expression,
+    whose three ~70 MB temporaries dominated the blocking stage's task
+    time (page-fault cost re-paid by every fresh Ray worker)."""
     a, b = _perm_params(num_perm, seed)
     n = len(offsets) - 1
     sig = np.full((n, num_perm), _MAX_HASH, dtype=np.uint64)
     if not len(h):
         return sig
-    max_tok = max(1, (64 << 20) // (8 * num_perm))
     doc_starts = offsets[:-1]
     doc_ends = offsets[1:]
+    m = np.empty((num_perm, chunk_tok), np.uint64)
     i = 0
     while i < n:
         j = i
-        while j < n and doc_ends[j] - doc_starts[i] <= max_tok:
+        while j < n and doc_ends[j] - doc_starts[i] <= chunk_tok:
             j += 1
         j = max(j, i + 1)
         lo, hi = doc_starts[i], doc_ends[j - 1]
         if hi > lo:
+            w = hi - lo
             hh = h[lo:hi]
-            m = (a[:, None] * hh[None, :] + b[:, None]) & _MERSENNE
+            mm = m[:, :w] if w <= chunk_tok else np.empty((num_perm, w), np.uint64)
+            np.multiply(a[:, None], hh[None, :], out=mm)
+            np.add(mm, b[:, None], out=mm)
+            np.bitwise_and(mm, _MERSENNE, out=mm)
             # reduceat offsets for NONEMPTY docs only: empty docs contribute
             # zero elements so nonempty segments stay contiguous, and no
             # index clamp is needed (a trailing empty doc's natural offset
@@ -187,7 +197,7 @@ def _minhash_from_hashes(h: np.ndarray, offsets: np.ndarray, num_perm: int,
             nonempty = doc_ends[i:j] > doc_starts[i:j]
             idx = (doc_starts[i:j][nonempty] - lo).astype(np.int64)
             if idx.size:
-                sig[i:j][nonempty] = np.minimum.reduceat(m, idx, axis=1).T
+                sig[i:j][nonempty] = np.minimum.reduceat(mm, idx, axis=1).T
         i = j
     return sig
 

@@ -58,15 +58,20 @@ def tokenize_array(arr) -> pa.Array:
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
     # an all-empty input row splits to [""] — rewrite those rows to []
+    # vectorized: drop exactly those single "" tokens and re-derive offsets
+    # (the old per-row python fallback rebuilt the WHOLE batch as lists)
     empty_rows = np.asarray(pc.equal(norm.combine_chunks() if isinstance(norm, pa.ChunkedArray) else norm, ""))
     if empty_rows.any():
-        offsets = np.asarray(toks.offsets)
-        flat = np.asarray(toks.values)
-        lists = [
-            [] if empty_rows[i] else flat[offsets[i]:offsets[i + 1]].tolist()
-            for i in range(len(toks))
-        ]
-        return pa.array(lists, pa.list_(pa.string()))
+        offsets = np.asarray(toks.offsets, np.int64)
+        counts = np.diff(offsets)
+        keep = np.ones(int(offsets[-1]), bool)
+        keep[offsets[:-1][empty_rows]] = False  # empty row ⇒ one "" token
+        new_counts = counts.copy()
+        new_counts[empty_rows] = 0
+        new_offsets = np.concatenate([[0], np.cumsum(new_counts)])
+        values = toks.values.filter(pa.array(keep))
+        return pa.ListArray.from_arrays(
+            pa.array(new_offsets, pa.int32()), values)
     return toks
 
 

@@ -115,15 +115,34 @@ def run_er(
 
     if checkpointer:
         convs = timed("assemble", lambda: checkpointer.run(
-            "conversations", base_fp, compute_convs))
+            "conversations", base_fp, compute_convs).materialize())
     else:
         convs = timed("assemble", lambda: compute_convs().materialize())
+    n_convs = convs.count()
 
-    # --- IDF table: broadcast once (ray.put), read per scorer actor --------
-    idf_ref = None
-    if cfg.use_idf:
-        idf = timed("idf", lambda: build_idf(convs, num_docs=convs.count()))
-        idf_ref = ray.put(idf)
+    # --- overlapped side work (driver constants off the critical path) -----
+    # 1. attach-side broadcast index: built by a background Ray task over
+    #    the materialized conversation blocks while blocking/pair-gen runs
+    #    (was ~13s of serial driver gather at 450k convs — the largest
+    #    cpu-count-independent term in the scaling-efficiency gap).
+    # 2. IDF table: task-parallel partials + one combine task; the combine
+    #    ObjectRef goes straight to the scorer actors, whose ray.get
+    #    blocks until it resolves — zero serial driver time.
+    from ..stages.pairs import build_side_index_async
+    from ..stages.scoring import build_idf_async
+
+    # broadcast BOTH text and the already-computed tokens: the scorer used
+    # to re-tokenize (regex normalize) both sides of every pair — ~4×
+    # repeated work per conversation at ~4 pairs/conv (the bucketed-join
+    # fallback above the threshold ships text only; tokens re-derive in
+    # the scorer there to keep the shuffle payload small)
+    side_index_ref = (
+        build_side_index_async(convs, columns=("text", "tokens"))
+        if n_convs <= ATTACH_BROADCAST_THRESHOLD
+        else None
+    )
+
+    idf_ref = build_idf_async(convs, num_docs=n_convs) if cfg.use_idf else None
 
     # --- blocking + pair generation (checkpointed: "pairs") ----------------
     def compute_pairs():
@@ -140,15 +159,17 @@ def run_er(
             num_buckets=cfg.num_buckets, on_oversize=cfg.on_oversize,
         )
 
+    # barrier between pair-gen and scoring: measured FASTER than fusing
+    # them into one lazy chain (fused, the scorer pool idles while the
+    # pair shuffle runs, then ramps late; see SURVEY §7.2b barrier rule)
     if checkpointer:
         pairs = timed("pairs", lambda: checkpointer.run(
             "pairs", base_fp, compute_pairs))
     else:
         pairs = timed("pairs", lambda: compute_pairs().materialize())
-
-    # --- scoring (partition-level checkpoint: "score") ---------------------
     scored = timed("score", lambda: _score_stage(
-        pairs, convs, cfg, idf_ref, checkpointer, base_fp
+        pairs, convs, cfg, idf_ref, checkpointer, base_fp,
+        side_index_ref=side_index_ref,
     ).materialize())  # consumed by edges + metrics + callers
 
     # --- threshold → edges → transitive clustering -------------------------
@@ -158,9 +179,13 @@ def run_er(
     ))
     entities = assign_entities(convs, comps, num_partitions=cfg.num_partitions)
 
+    # the scored table carries the full candidate-pair set — expose and
+    # evaluate from it so the (possibly lazy/fused) pair chain is never
+    # re-executed
+    candidate_pairs = scored.select_columns(["conv_id_left", "conv_id_right"])
     out = {
         "conversations": convs,
-        "candidate_pairs": pairs,
+        "candidate_pairs": candidate_pairs,
         "scored": scored,
         "entities": entities,
         "timings": timings,
@@ -169,13 +194,17 @@ def run_er(
         entities = timed("entities", lambda: entities.materialize())
         out["entities"] = entities
         conf = timed("eval", lambda: pairwise_confusion(
-            pairs, entities, gold, num_partitions=cfg.num_partitions
+            candidate_pairs, entities, gold, num_partitions=cfg.num_partitions
         ))
         out["metrics"] = prf(conf)
     return out
 
 
-def _score_stage(pairs, convs, cfg: ERConfig, idf_ref, checkpointer, base_fp):
+ATTACH_BROADCAST_THRESHOLD = 1_000_000  # rows; above → bucketed join path
+
+
+def _score_stage(pairs, convs, cfg: ERConfig, idf_ref, checkpointer, base_fp,
+                 side_index_ref=None):
     """Scoring with content-hash partition-level resume.
 
     The partition of a pair is ``stable_hash(conv_id_left|conv_id_right)
@@ -186,7 +215,11 @@ def _score_stage(pairs, convs, cfg: ERConfig, idf_ref, checkpointer, base_fp):
     import ray.data as rd
 
     def attach_and_score(p):
-        with_sides = attach_sides(p, convs, num_partitions=cfg.num_partitions)
+        cols = ("text", "tokens") if side_index_ref is not None else ("text",)
+        with_sides = attach_sides(p, convs, num_partitions=cfg.num_partitions,
+                                  columns=cols,
+                                  broadcast_threshold=ATTACH_BROADCAST_THRESHOLD,
+                                  prebuilt_index_ref=side_index_ref)
         return score_pairs(
             with_sides,
             idf_ref=idf_ref,

@@ -110,9 +110,43 @@ def generate_pairs(
     )
 
 
+def _index_from_tables(tables, key: str, columns: list[str]):
+    """Concat Arrow block tables → broadcast index (runs inside a Ray task
+    so the gather+build overlaps the preceding shuffle stage — the
+    driver-side version was ~13s of cpu-count-independent critical path at
+    the 450k-conversation scale)."""
+    import ray
+
+    from ..util import build_broadcast_index
+
+    if tables and isinstance(tables[0], ray.ObjectRef):
+        tables = ray.get(list(tables))  # zero-copy plasma reads (same node)
+    cols = [key, *columns]
+    live = [t.select(cols) for t in tables if t.num_rows]
+    if not live:
+        tbl = pa.Table.from_pylist([], schema=pa.schema([(key, pa.string())] +
+                                                        [(c, pa.string()) for c in columns]))
+    else:
+        tbl = pa.concat_tables(live).combine_chunks()
+    return build_broadcast_index(tbl, key, columns)
+
+
+def build_side_index_async(conversations, columns=("text",)):
+    """Launch the attach-side broadcast-index build as a background Ray
+    task over the materialized conversation blocks; returns an ObjectRef
+    resolving to the index. Call as soon as conversations materialize so
+    the build overlaps blocking/pair-gen."""
+    import ray
+
+    refs = list(conversations.to_arrow_refs())
+    fn = ray.remote(num_cpus=1)(_index_from_tables)
+    return fn.remote(refs, "conv_id", list(columns))
+
+
 def attach_sides(pairs, conversations, num_partitions: int = 32,
                  columns: tuple[str, ...] = ("text",),
-                 broadcast_threshold: int = 1_000_000):
+                 broadcast_threshold: int = 1_000_000,
+                 prebuilt_index_ref=None):
     """Join conversation payloads onto both pair sides.
 
     Hybrid (the small-side rule): when the conversation payload table fits
@@ -121,6 +155,9 @@ def attach_sides(pairs, conversations, num_partitions: int = 32,
     hash-partitioned bucketed joins (SURVEY.md §7.2 shuffle table). At
     10^12-turn scale the join path always runs.
 
+    ``prebuilt_index_ref``: ObjectRef from ``build_side_index_async`` —
+    skips the driver-side gather entirely (the build overlapped upstream).
+
     Only ``text`` is shipped — re-deriving tokens vectorized in the scorer
     is cheaper than doubling the shuffle/broadcast bytes with a token
     column.
@@ -128,13 +165,16 @@ def attach_sides(pairs, conversations, num_partitions: int = 32,
     from ..util import bucketed_join
 
     cols = ["conv_id", *columns]
-    if conversations.count() <= broadcast_threshold:
+    if prebuilt_index_ref is not None or conversations.count() <= broadcast_threshold:
         import ray
 
         from ..util import broadcast_lookup, build_broadcast_index, dataset_to_arrow
 
-        side = dataset_to_arrow(conversations.select_columns(cols))
-        ref = ray.put(build_broadcast_index(side, "conv_id", list(columns)))
+        if prebuilt_index_ref is not None:
+            ref = prebuilt_index_ref
+        else:
+            side = dataset_to_arrow(conversations.select_columns(cols))
+            ref = ray.put(build_broadcast_index(side, "conv_id", list(columns)))
 
         def attach(batch: pa.Table) -> pa.Table:
             idx = ray.get(ref)  # zero-copy arrow/numpy from the object store

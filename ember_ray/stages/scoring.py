@@ -24,9 +24,8 @@ from ..functions.minhash import token_hashes
 from ..functions.similarity import (
     MAX_SIM_CHARS,
     StringSimKernel,
-    batch_jaccard,
-    batch_tfidf_cosine,
     encode_tokens_to_string,
+    token_pair_scores,
 )
 
 DEFAULT_WEIGHTS = {"jaccard": 0.35, "jaro_winkler": 0.15, "levenshtein": 0.1,
@@ -34,7 +33,61 @@ DEFAULT_WEIGHTS = {"jaccard": 0.35, "jaro_winkler": 0.15, "levenshtein": 0.1,
 IDF_NUM_FEATURES = 1 << 20
 
 
-def build_idf(conversations_tok, num_docs: int | None = None):
+def _idf_partial_arrays(batch: pa.Table):
+    """One block/batch → (unique tid, df) partial arrays (per-doc unique
+    via one packed single-key sort — no per-doc loop)."""
+    from ..functions.similarity import _packed_unique
+
+    if batch.num_rows == 0 or "tokens" not in batch.schema.names:
+        # empty blocks can carry an empty schema (Ray 2.49 artifact)
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    h, offsets = token_hashes(batch["tokens"])
+    offsets = np.asarray(offsets, np.int64)
+    n = len(offsets) - 1
+    tids = []
+    for s in range(0, max(n, 1), 1 << 20):  # row-chunk: packing budget
+        e = min(n, s + (1 << 20))
+        if e <= s:
+            break
+        hh = h[offsets[s]:offsets[e]]
+        _, _, first = _packed_unique(hh, offsets[s:e + 1] - offsets[s])
+        tids.append((hh[first] % np.uint64(IDF_NUM_FEATURES)).astype(np.int64))
+    tid = np.concatenate(tids) if tids else np.empty(0, np.int64)
+    return np.unique(tid, return_counts=True)
+
+
+def _idf_finalize(tid_all: np.ndarray, df_all: np.ndarray, n: float):
+    tid, inv = np.unique(tid_all, return_inverse=True)
+    df = np.bincount(inv, weights=df_all) if len(tid) else np.empty(0, np.float64)
+    return tid, np.log(1.0 + n / df)
+
+
+def _idf_combine_arrays(num_docs, *partials):
+    tid_all = np.concatenate([p[0] for p in partials]) if partials else np.empty(0, np.int64)
+    df_all = np.concatenate([p[1].astype(np.float64) for p in partials]) if partials else np.empty(0, np.float64)
+    return _idf_finalize(tid_all, df_all, float(num_docs))
+
+
+def build_idf_async(conversations, num_docs: int):
+    """Task-parallel IDF build over the MATERIALIZED conversation blocks:
+    one Ray task per block computes the (tid, df) partial, one combine
+    task bincounts them. Returns the combine task's ObjectRef — pass it
+    straight to the scorer actors (their ``ray.get`` blocks until ready),
+    so the whole build overlaps blocking/pair-gen instead of sitting on
+    the driver's critical path. Result is identical to ``build_idf``
+    (same partial + combine code)."""
+    import ray
+
+    # materialized input ⇒ to_arrow_refs returns existing block refs with
+    # no new execution; the partial reads only the tokens column
+    refs = list(conversations.to_arrow_refs())
+    part = ray.remote(num_cpus=1)(_idf_partial_arrays)
+    combine = ray.remote(num_cpus=1)(_idf_combine_arrays)
+    return combine.remote(num_docs, *[part.remote(r) for r in refs])
+
+
+def build_idf(conversations_tok, num_docs: int | None = None,
+              combine_threshold: int = 50_000_000):
     """Corpus document-frequency table → ``(tid_sorted, idf_values)`` numpy
     pair (driver-side, bounded by the 2^20 hashed-feature space). Numpy
     arrays (not a python dict) so the ``ray.put`` broadcast is zero-copy
@@ -42,31 +95,31 @@ def build_idf(conversations_tok, num_docs: int | None = None):
     python ``.get``.
 
     Partial-aggregate pattern (ray_guide "Aggregation at scale"): per batch
-    emit per-doc-unique hashed token ids with count 1 pre-summed within the
-    batch, then one small ``groupby(tid).sum`` shuffle over partials.
+    emit per-doc-unique hashed token ids pre-summed within the batch, then
+    a HYBRID final combine: below ``combine_threshold`` partial rows the
+    driver bincounts the gathered partials (no shuffle on the critical
+    path); above it one ``groupby(tid).sum`` shuffle reduces to ≤ 2^20
+    rows first, so the driver gather stays bounded at any corpus size.
     """
+    from ..functions.similarity import _packed_unique
 
     def partial(batch: pa.Table) -> pa.Table:
-        h, offsets = token_hashes(batch["tokens"])
-        per_doc = [
-            np.unique(h[offsets[i]:offsets[i + 1]]) for i in range(len(offsets) - 1)
-        ]
-        ids = np.concatenate(per_doc) if per_doc else np.empty(0, np.uint64)
-        tid = (ids % np.uint64(IDF_NUM_FEATURES)).astype(np.int64)
-        u, c = np.unique(tid, return_counts=True)
+        u, c = _idf_partial_arrays(batch)
         return pa.table({"tid": pa.array(u, pa.int64()), "df": pa.array(c, pa.int64())})
 
     parts = conversations_tok.select_columns(["tokens"]).map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
-    )
-    # final combine on the driver: the partials are (batch-unique tid, df)
-    # rows bounded by batches × 2^20 — a numpy bincount over the gathered
-    # partials beats a full groupby SHUFFLE whose fixed cost would sit on
-    # the critical path at every cluster size (partial+final semantics
-    # unchanged)
+    ).materialize()
+
+    if parts.count() > combine_threshold:
+        from ray.data.aggregate import Sum
+
+        parts = parts.groupby("tid").aggregate(
+            Sum("df", alias_name="df")).materialize()
+
     from ..util import dataset_to_arrow
 
-    tbl = dataset_to_arrow(parts.materialize())
+    tbl = dataset_to_arrow(parts)
     tid_all = np.asarray(tbl["tid"], np.int64) if tbl.num_rows else np.empty(0, np.int64)
     df_all = np.asarray(tbl["df"], np.float64) if tbl.num_rows else np.empty(0, np.float64)
     tid, inv = np.unique(tid_all, return_inverse=True)
@@ -117,8 +170,8 @@ class PairScorer:
             )
         else:
             jw, lev = self.kernel(tl, tr)
-        jac = batch_jaccard(kl, kr)
-        cos = batch_tfidf_cosine(kl, kr, self.idf, IDF_NUM_FEATURES)
+        # fused: one hash + one packed-unique sort per side for BOTH metrics
+        jac, cos = token_pair_scores(kl, kr, self.idf, IDF_NUM_FEATURES)
         w = self.weights
         score = (
             w["jaccard"] * jac
@@ -147,7 +200,11 @@ def score_pairs(
     batch_size: int = 2048,
     num_cpus: float = 1,
 ):
-    """pairs (with text/tokens sides attached) → SCORED_PAIRS dataset."""
+    """pairs (with text/tokens sides attached) → SCORED_PAIRS dataset.
+
+    Fixed-size pool (int concurrency): scoring starts after the pair
+    barrier, so the pool is under immediate full load — an autoscaling
+    ``(2, n)`` pool measured ~40% slower (ramps too late)."""
     return pairs_with_sides.map_batches(
         PairScorer,
         fn_constructor_kwargs={"idf_ref": idf_ref, "weights": weights},

@@ -208,6 +208,11 @@ def test_idf_build(rd):
     assert len(tid) == len(vals) == 3
     assert (np.diff(tid) > 0).all()  # sorted for searchsorted lookup
     assert vals.min() == pytest.approx(np.log(2.0))
+    # hybrid combine: the shuffle path (threshold 0) must agree with the
+    # driver-bincount path
+    tid2, vals2 = build_idf(ds, num_docs=3, combine_threshold=0)
+    assert (tid2 == tid).all()
+    assert np.allclose(vals2, vals)
 
 
 def test_generate_pairs_salted_oversize(rd):
