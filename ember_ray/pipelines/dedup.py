@@ -69,6 +69,15 @@ def _attach_pair_sides(pairs, table, key, columns, num_buckets,
             for c in columns:
                 out[f"{c}_left"] = broadcast_lookup(idx, batch[lk], c)
                 out[f"{c}_right"] = broadcast_lookup(idx, batch[rk], c)
+            # pair keys come from the same table — a missing key is a bug;
+            # fail loudly instead of diverging from the join path's inner
+            # semantics (see stages/pairs.attach_sides)
+            c0 = columns[0]
+            if out[f"{c0}_left"].null_count or out[f"{c0}_right"].null_count:
+                raise ValueError(
+                    f"_attach_pair_sides: pair references {key}s absent "
+                    "from the payload table"
+                )
             return pa.table(out)
 
         return pairs.map_batches(attach, batch_format="pyarrow",

@@ -50,26 +50,59 @@ def payload_sizes(sf_dir: str):
 
 
 class RealImageDecoder:
-    """Actor-pool decode stage for real image bytes. STUB: PIL is not in
-    this container; the class shape (init-once state, per-batch decode,
-    fixed output schema) is the production contract."""
+    """Actor-pool decode stage for real image bytes
+    (``src/models/vision_matcher.py:69-78`` semantics: PIL open →
+    RGB convert, BLANK white image fallback for missing/corrupt payloads
+    → resize → normalized float features).
 
-    def __init__(self, size: tuple[int, int] = (224, 224)):
+    Lights up wherever PIL is installed (not in this container — tests
+    ``importorskip`` it); otherwise raises NotImplementedError at
+    construction so the failure is at pool spin-up, not mid-stream.
+    Output schema matches ``FakeImageDecoder`` (doc_id, width, height,
+    feature: fixed-size list<float32>), so the two decoders are
+    drop-in interchangeable in ``mm_features``."""
+
+    def __init__(self, size: tuple[int, int] = (32, 32), n_bins: int = 8):
         try:
-            from PIL import Image  # noqa: F401
-
-            self._pil = True
-        except ImportError:
-            self._pil = False
-        self.size = size
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self._pil:
+            from PIL import Image
+        except ImportError as e:  # pragma: no cover - PIL absent here
             raise NotImplementedError(
                 "image decode requires PIL; not available in this environment "
                 "(use FakeImageDecoder for plumbing tests)"
-            )
-        raise NotImplementedError("real decode path exercised only with PIL present")
+            ) from e
+        self._Image = Image
+        self.size = size
+        self.n_bins = n_bins
+        self.edges = np.linspace(0, 256, n_bins + 1)
+        # blank-image fallback, built once per actor (vision_matcher.py:69)
+        self._blank = Image.new("RGB", size, (255, 255, 255))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import io
+
+        Image = self._Image
+        blobs = batch["payload"].to_pylist()
+        widths = np.empty(len(blobs), np.int32)
+        heights = np.empty(len(blobs), np.int32)
+        feats = np.zeros((len(blobs), self.n_bins), np.float32)
+        for i, b in enumerate(blobs):
+            try:
+                img = Image.open(io.BytesIO(b)).convert("RGB") if b else self._blank
+            except Exception:  # corrupt payload → blank fallback
+                img = self._blank
+            widths[i] = img.width
+            heights[i] = img.height
+            arr = np.asarray(img.resize(self.size), np.uint8).ravel()
+            hist, _ = np.histogram(arr, bins=self.edges)
+            feats[i] = hist / max(1, arr.size)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "feature": pa.array(list(feats), pa.list_(pa.float32(), self.n_bins)),
+            }
+        )
 
 
 class FakeImageDecoder:
@@ -102,12 +135,14 @@ class FakeImageDecoder:
         )
 
 
-def mm_features(sf_dir: str, concurrency: int = 2, batch_size: int = 512):
+def mm_features(sf_dir: str, concurrency: int = 2, batch_size: int = 512,
+                decoder=None):
     """Binary payloads → actor-pool feature extraction. Small batch size on
     purpose: with real image/audio payloads a batch × concurrency must fit
-    the worker heap (ray_guide memory notes)."""
+    the worker heap (ray_guide memory notes). ``decoder`` defaults to the
+    deterministic stand-in; pass ``RealImageDecoder`` where PIL exists."""
     return payloads(sf_dir).map_batches(
-        FakeImageDecoder,
+        decoder or FakeImageDecoder,
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,

@@ -182,6 +182,16 @@ def attach_sides(pairs, conversations, num_partitions: int = 32,
             for c in columns:
                 out[f"{c}_left"] = broadcast_lookup(idx, batch["conv_id_left"], c)
                 out[f"{c}_right"] = broadcast_lookup(idx, batch["conv_id_right"], c)
+            # pair keys come from the same table — a miss is a bug. Fail
+            # loudly rather than silently diverge from the join path's
+            # inner semantics (which would DROP such pairs).
+            c0 = columns[0]
+            if out[f"{c0}_left"].null_count or out[f"{c0}_right"].null_count:
+                raise ValueError(
+                    "attach_sides: pair references conv_ids absent from the "
+                    "conversation table (broadcast path would emit nulls "
+                    "where the join path drops rows)"
+                )
             return pa.table(out)
 
         return pairs.map_batches(attach, batch_format="pyarrow",

@@ -331,6 +331,15 @@ def dataset_to_arrow(ds) -> pa.Table:
 
     tables = [t for t in ray.get(list(ds.to_arrow_refs())) if t.num_rows]
     if not tables:
-        return ds.schema().empty_table() if hasattr(ds.schema(), "empty_table") else pa.table({})
+        # ds.schema() is Ray's Schema wrapper (no empty_table); build the
+        # empty Arrow table from its names/types so callers keep columns
+        sch = ds.schema()
+        if sch is None:
+            return pa.table({})
+        base = getattr(sch, "base_schema", None)
+        if isinstance(base, pa.Schema):
+            return base.empty_table()
+        return pa.Table.from_pylist(
+            [], schema=pa.schema(list(zip(sch.names, sch.types))))
     cols = tables[0].schema.names
     return pa.concat_tables(t.select(cols) for t in tables).combine_chunks()

@@ -98,6 +98,34 @@ def test_manifest_contents(ray_session, tiny_corpus, er_cfg, tmp_path):
         assert key in sm
 
 
+def test_report_tool_over_checkpointed_run(ray_session, tiny_corpus, er_cfg,
+                                           tmp_path):
+    """K5 parity: tools/report.py rglobs manifests + metrics.json into one
+    CSV (reference scripts/print_results:14-36)."""
+    import csv
+    import io
+
+    from ember_ray.pipelines.er import run_er
+    from ember_ray.state.checkpoint import Checkpointer
+    from tools.report import collect_rows, write_csv
+
+    root = str(tmp_path / "ck")
+    out = run_er(tiny_corpus, er_cfg, checkpointer=Checkpointer(root))
+    with open(os.path.join(root, "metrics.json"), "w") as f:
+        json.dump(out["metrics"], f)
+
+    rows = collect_rows(root)
+    kinds = {r["kind"] for r in rows}
+    assert kinds == {"stage_manifest", "part_manifest", "metrics"}
+    assert sum(r["kind"] == "part_manifest" for r in rows) == er_cfg.score_parts
+    buf = io.StringIO()
+    write_csv(rows, buf)
+    parsed = list(csv.DictReader(io.StringIO(buf.getvalue())))
+    assert len(parsed) == len(rows)
+    f1_rows = [r for r in parsed if r["kind"] == "metrics"]
+    assert f1_rows and float(f1_rows[0]["f1"]) == pytest.approx(out["metrics"]["f1"])
+
+
 def test_er_no_matches_all_singletons(ray_session, er_cfg):
     """A corpus with no near-duplicates: no edges survive, every
     conversation is its own entity, and the metric path doesn't divide by
