@@ -100,11 +100,50 @@ def _q_er_cluster_sizes(sf_dir: str):
     return sizes.groupby("size").aggregate(Count(alias_name="n_entities"))
 
 
+_SIDE_DIR = "/tmp/ember_ray_oracle_side"  # inputs the static oracle SQL reads
+
+
+def _side_link(name: str, target: str) -> None:
+    """Atomically (re)point ``_SIDE_DIR/name`` at ``target`` so the static
+    oracle SQL can read the per-sf synthetic corpus parquet."""
+    import os
+
+    os.makedirs(_SIDE_DIR, exist_ok=True)
+    link = os.path.join(_SIDE_DIR, name)
+    tmp = link + ".tmp"
+    try:
+        os.remove(tmp)
+    except FileNotFoundError:
+        pass
+    os.symlink(target, tmp)
+    os.replace(tmp, link)
+
+
 def _q_er_conversations(sf_dir: str):
+    import os
+
     from ember_ray.pipelines.er import _as_dataset
     from ember_ray.stages.assemble import assemble_conversations
 
-    return assemble_conversations(_as_dataset(_er_corpus(sf_dir)), num_buckets=16)
+    corpus = _er_corpus(sf_dir)
+    # expose the (deterministic, content-addressed) transcript table to
+    # the DuckDB oracle, which re-derives the assembly independently
+    _side_link("transcripts", os.path.join(corpus, "transcripts.parquet"))
+    return assemble_conversations(_as_dataset(corpus), num_buckets=16)
+
+
+def _q_dedup_minhash_verify(sf_dir: str):
+    """dedup_minhash with the candidate pair ids exported so DuckDB
+    independently recomputes the verify stage (exact token Jaccard ≥ τ)
+    over them — the LSH candidate generation itself is sketch-based and
+    has no SQL equivalent (checked by its own pytest instead)."""
+    import os
+
+    from ember_ray.pipelines import dedup
+
+    return dedup.dedup_minhash(
+        sf_dir, export_candidates=os.path.join(_SIDE_DIR, "minhash_candidates")
+    )
 
 
 _BENCH_CACHE: dict[str, dict] = {}
@@ -196,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup suite --------------------------------------------------
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,               # rows-only
+        "dedup_minhash_verify": _q_dedup_minhash_verify,    # verify-stage oracle
         "dedup_simhash": dedup.dedup_simhash,               # rows-only
         "dedup_ngram": dedup.dedup_ngram,                   # rows-only
         "dedup_embedding": dedup.dedup_embedding,           # rows-only
@@ -221,7 +261,65 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     stop = "('the','a','of','and','to')"
+    # normalization recipe, kept textually in sync with
+    # ember_ray.functions.text.normalize (flatten attrs → lower → collapse
+    # punctuation/whitespace → trim)
+    norm = (
+        "trim(regexp_replace(lower(replace(replace(text,'#;#',' '),"
+        "'#:#',' ')), '[\\s.,;:!?()\\[\\]{}\"'']+', ' ', 'g'))"
+    )
+    toks = (
+        "list_distinct(list_filter(string_split(" + norm + ", ' '), "
+        "x -> x <> ''))"
+    )
+
+    from ember_ray.pipelines.textops import LangId
+
+    def _cnt(g: str) -> str:
+        esc = g.replace("'", "''")
+        return f"(len(s)-len(replace(s,'{esc}','')))/{len(g)}"
+
+    lang_cols = ", ".join(
+        " + ".join(_cnt(g) for g in LangId.PROFILES[lang]) + f" AS {lang}"
+        for lang in ("en", "de", "fr", "es")
+    )
+    lang_sql = (
+        "WITH t AS (SELECT doc_id, lower(coalesce(text,'')) AS s FROM documents), "
+        f"c AS (SELECT doc_id, s, {lang_cols} FROM t) "
+        "SELECT doc_id, CASE "
+        "WHEN regexp_matches(substring(s, 1, 200), '[一-鿿]') THEN 'zh' "
+        "WHEN en >= de AND en >= fr AND en >= es THEN 'en' "
+        "WHEN de >= fr AND de >= es THEN 'de' "
+        "WHEN fr >= es THEN 'fr' ELSE 'es' END AS lang_pred FROM c"
+    )
     return {
+        "lang_id": lang_sql,
+        "fingerprints": (
+            f"SELECT doc_id, md5({norm}) AS fp FROM documents"
+        ),
+        "er_conversations": (
+            "SELECT conv_id, count(*) AS n_turns, "
+            "string_agg(text, chr(10) ORDER BY turn_idx) AS text, "
+            "arg_min(role, turn_idx) AS first_role, "
+            "coalesce(string_agg(DISTINCT nullif(tool,''), ';' "
+            "ORDER BY nullif(tool,'')), '') AS tools "
+            f"FROM read_parquet('{_SIDE_DIR}/transcripts/*.parquet') "
+            "GROUP BY conv_id"
+        ),
+        "dedup_minhash_verify": (
+            "WITH cand AS (SELECT * FROM "
+            f"read_parquet('{_SIDE_DIR}/minhash_candidates/*.parquet')), "
+            f"d AS (SELECT doc_id, {toks} AS tk FROM documents), "
+            "j AS (SELECT c.doc_id_left, c.doc_id_right, "
+            "len(list_intersect(a.tk, b.tk)) * 1.0 / "
+            "nullif(len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk)), 0)"
+            " AS jac FROM cand c "
+            "JOIN d a ON a.doc_id = c.doc_id_left "
+            "JOIN d b ON b.doc_id = c.doc_id_right) "
+            "SELECT doc_id_left, doc_id_right, "
+            "round(jac * 1000000) / 1000000 AS jaccard "
+            "FROM j WHERE jac >= 0.8"
+        ),
         "filter_project": (
             "SELECT doc_id, lang, n_chars FROM documents "
             "WHERE lang IN ('en','de') AND n_chars > 120"

@@ -143,13 +143,9 @@ def _pairs_from_blocks(blocks, id_col: str, num_buckets: int, cap: int = 256):
     )
 
 
-def dedup_minhash(sf_dir: str, threshold: float = 0.8, num_perm: int = 64,
-                  num_bands: int = 8, num_buckets: int = 16):
-    """MinHash-LSH near-dup pairs verified by exact token Jaccard ≥ τ.
-
-    shingle → minhash → band keys → groupby(band) → candidate pairs →
-    join texts back → vectorized Jaccard verify."""
-    docs = _docs(sf_dir)
+def _minhash_candidates(docs, num_perm: int, num_bands: int, num_buckets: int):
+    """LSH candidate stage: tokenize → minhash → band keys → one
+    groupby(band) shuffle → deduped (doc_id_left, doc_id_right) pairs."""
 
     def block_fn(t: pa.Table) -> pa.Table:
         toks = tokenize_array(t["text"])
@@ -164,8 +160,31 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8, num_perm: int = 64,
             }
         )
 
-    blocks = docs.map_batches(block_fn, batch_format="pyarrow", zero_copy_batch=True)
-    pairs = _pairs_from_blocks(blocks, "doc_id", num_buckets)
+    blocks = docs.map_batches(block_fn, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=4096)
+    return _pairs_from_blocks(blocks, "doc_id", num_buckets)
+
+
+def dedup_minhash(sf_dir: str, threshold: float = 0.8, num_perm: int = 64,
+                  num_bands: int = 8, num_buckets: int = 16,
+                  export_candidates: str | None = None):
+    """MinHash-LSH near-dup pairs verified by exact token Jaccard ≥ τ.
+
+    shingle → minhash → band keys → groupby(band) → candidate pairs →
+    join texts back → vectorized Jaccard verify.
+
+    ``export_candidates``: optional dir — persist the candidate pair ids
+    so an external oracle (DuckDB) can independently recompute the verify
+    stage's Jaccard + threshold over them (the LSH candidate generation
+    itself is sketch-based and has no SQL equivalent)."""
+    docs = _docs(sf_dir)
+    pairs = _minhash_candidates(docs, num_perm, num_bands, num_buckets)
+    if export_candidates is not None:
+        import shutil
+
+        pairs = pairs.materialize()
+        shutil.rmtree(export_candidates, ignore_errors=True)
+        pairs.write_parquet(export_candidates)
 
     with_text = _attach_pair_sides(pairs, docs, "doc_id", ["text"], num_buckets)
 

@@ -136,16 +136,27 @@ def lang_id(sf_dir: str, concurrency: int = 2):
 
 
 def fingerprints(sf_dir: str):
-    """Stable 64-bit content fingerprint per document (rolling/stable hash
-    of normalized text). Deterministic across runs/workers; rows-only."""
+    """Content fingerprint per document: md5 of the NORMALIZED text.
+
+    md5 (not xxhash) so the fingerprint is reproducible by any engine —
+    and DuckDB's ``md5()`` recomputes it as the oracle. The digest loop is
+    a C-speed hashlib call per row (~1 µs/row); the normalization feeding
+    it is vectorized Arrow. A 64-bit xxhash variant remains the cheaper
+    in-pipeline choice where cross-engine reproducibility isn't needed
+    (see ``util.stable_hash64``)."""
+    import hashlib
+
     from ..functions.text import normalize
-    from ..util import stable_hash64
 
     ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
-        h = stable_hash64(normalize(t["text"]))
-        fp = pa.array([f"{x:016x}" for x in h], pa.string())
+        norm = normalize(t["text"])
+        fp = pa.array(
+            [hashlib.md5((s or "").encode()).hexdigest()
+             for s in norm.to_pylist()],
+            pa.string(),
+        )
         return pa.table({"doc_id": t["doc_id"], "fp": fp})
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -54,11 +54,17 @@ def generate_pairs(
     from ..util import bucket_of
 
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("block_key", kind="mergesort")
+        # one vectorized dedup+sort per bucket; per-group work batched by
+        # SIZE CLASS (≤ max_block_size iterations), not per group — a
+        # bucket holds ~10^5 tiny band groups and a python loop over them
+        # dominated this stage's wall time
+        df = df.drop_duplicates(["block_key", "conv_id"]).sort_values(
+            ["block_key", "conv_id"], kind="mergesort")
         keys = df["block_key"].to_numpy()
         ids_all = df["conv_id"].to_numpy()
-        # group boundaries without a Python-level groupby
         bounds = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1], True])
+        sizes = np.diff(bounds)
+        starts = bounds[:-1]
         out_l: list[np.ndarray] = []
         out_r: list[np.ndarray] = []
 
@@ -67,22 +73,28 @@ def generate_pairs(
             out_l.append(ids[i])
             out_r.append(ids[j])
 
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            ids = np.unique(ids_all[s:e])
-            n = ids.size
-            if n < 2:
+        ok = (sizes >= 2) & (sizes <= max_block_size)
+        for s in np.unique(sizes[ok]):
+            gs = starts[ok & (sizes == s)]
+            # ids are sorted within each group (the bucket sort above), so
+            # triu i<j yields canonical left<right directly
+            mat = ids_all[gs[:, None] + np.arange(s)[None, :]]
+            iu, ju = np.triu_indices(s, k=1)
+            out_l.append(mat[:, iu].ravel())
+            out_r.append(mat[:, ju].ravel())
+
+        # oversize (hot-key) groups are few — python loop is fine here
+        for s, e in zip(starts[sizes > max_block_size],
+                        bounds[1:][sizes > max_block_size]):
+            ids = ids_all[s:e]
+            if on_oversize == "drop":
                 continue
-            if n > max_block_size:
-                if on_oversize == "drop":
-                    continue
-                k = -(-n // max_block_size)
-                salt = bucket_of(ids, k)
-                for sub_id in range(k):
-                    sub = ids[salt == sub_id]
-                    if sub.size >= 2:
-                        emit(sub)
-                continue
-            emit(ids)
+            k = -(-ids.size // max_block_size)
+            salt = bucket_of(ids, k)
+            for sub_id in range(k):
+                sub = ids[salt == sub_id]
+                if sub.size >= 2:
+                    emit(sub)
         if not out_l:
             return pd.DataFrame(
                 {"conv_id_left": pd.array([], "str"), "conv_id_right": pd.array([], "str")}
@@ -127,7 +139,9 @@ def _index_from_tables(tables, key: str, columns: list[str]):
         tbl = pa.Table.from_pylist([], schema=pa.schema([(key, pa.string())] +
                                                         [(c, pa.string()) for c in columns]))
     else:
-        tbl = pa.concat_tables(live).combine_chunks()
+        # NO combine_chunks: the index stores chunked payloads as-is
+        # (pyarrow 14's list-column combine was ~30s at 10^6 rows)
+        tbl = pa.concat_tables(live)
     return build_broadcast_index(tbl, key, columns)
 
 

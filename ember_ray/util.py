@@ -52,38 +52,84 @@ def add_bucket_column(
     return ds.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _exchange_split(tbl: pa.Table, key: str, num_buckets: int, seed: int):
+    """One input block → ``num_buckets`` zero-copy slices grouped by
+    ``hash(key) % num_buckets`` (one argsort + one take, NO value sort)."""
+    if tbl.num_rows == 0 or key not in tbl.schema.names:
+        empty = tbl.slice(0, 0)
+        return tuple(empty for _ in range(num_buckets))
+    if any(c.num_chunks > 1 for c in tbl.columns):
+        # flat columns: chunked take is ~60× slower (see flatten_chunked)
+        tbl = pa.table({n: flatten_chunked(tbl[n]) for n in tbl.schema.names})
+    b = bucket_of(tbl[key], num_buckets, seed)
+    order = np.argsort(b, kind="stable")
+    taken = tbl.take(pa.array(order))
+    bounds = np.searchsorted(b[order], np.arange(num_buckets + 1))
+    return tuple(
+        taken.slice(bounds[p], bounds[p + 1] - bounds[p])
+        for p in range(num_buckets)
+    )
+
+
+def _exchange_reduce(fn, *tables):
+    live = [t for t in tables if t.num_rows]
+    base = live if live else list(tables[:1])
+    cols = base[0].schema.names  # align column order across source blocks
+    df = pa.concat_tables(t.select(cols) for t in base).to_pandas()
+    out = fn(df)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def bucketed_group_map(
     ds,
     key: str,
     fn: Callable[[pd.DataFrame], pd.DataFrame],
     num_buckets: int,
     seed: int = _HASH_SEED,
-    **map_groups_kwargs,
 ):
     """Hash-partitioned group apply: one vectorized pandas call per BUCKET.
 
     ``groupby(key).map_groups`` costs one Python call per group — with
     millions of small groups (conversations, blocks) that dominates wall
-    time. Instead: tag each row with ``hash(key) % num_buckets``, shuffle
-    once on the small int bucket key, and let ``fn`` handle all groups in a
-    bucket with a single vectorized ``df.groupby`` — the scalable pattern
-    for the reference's per-cluster loops (build_ali_dataset.py:60-130).
+    time. Instead ``fn`` handles all groups of a hash bucket with a single
+    vectorized ``df.groupby`` — the scalable pattern for the reference's
+    per-cluster loops (build_ali_dataset.py:60-130).
 
-    ``fn`` receives the bucket DataFrame (without the bucket column) and
-    must return a DataFrame.
+    The exchange is a custom raw-Ray-task map/reduce — one split task per
+    input block emitting ``num_buckets`` zero-copy slices, one reduce task
+    per bucket — NOT ``Dataset.groupby``: Ray 2.49's sort-based shuffle
+    VALUE-SORTS the whole payload to co-locate a 64-value bucket key
+    (measured 2-3× slower end-to-end on the 120k-cluster assemble), and
+    its hash-shuffle strategy stalls on this workload. Partitioning is all
+    the semantics need; every ``fn`` re-orders within its bucket. The
+    input materializes at the exchange boundary (the round-1 barrier rule
+    for all-to-all ops); lineage-based task retry still applies.
+
+    ``fn`` receives the bucket DataFrame and must return a DataFrame.
     """
-    tagged = add_bucket_column(ds, key, num_buckets, seed=seed)
+    import ray
+    import ray.data as rd
+    from ray.data.dataset import MaterializedDataset
 
-    def per_bucket(df: pd.DataFrame) -> pa.Table:
-        df = df.drop(columns=["__bucket"])
-        out = fn(df)
-        # emit Arrow blocks: Ray 2.49's rename/project ops choke on pandas
-        # blocks, and Arrow keeps downstream stages zero-copy
-        return pa.Table.from_pandas(out, preserve_index=False)
-
-    return tagged.groupby("__bucket").map_groups(
-        per_bucket, batch_format="pandas", **map_groups_kwargs
-    )
+    mat = ds if isinstance(ds, MaterializedDataset) else ds.materialize()
+    blocks = list(mat.to_arrow_refs())
+    if not blocks:
+        sch = mat.schema()
+        if sch is None:
+            return mat
+        empty = pa.Table.from_pylist(
+            [], schema=pa.schema(list(zip(sch.names, sch.types))))
+        return rd.from_arrow(pa.Table.from_pandas(
+            fn(empty.to_pandas()), preserve_index=False))
+    reduce = ray.remote(num_cpus=1)(_exchange_reduce)
+    if num_buckets == 1:  # no split needed — one reduce over all blocks
+        return rd.from_arrow_refs([reduce.remote(fn, *blocks)])
+    split = ray.remote(num_cpus=1, num_returns=num_buckets)(_exchange_split)
+    outs = [split.remote(b, key, num_buckets, seed) for b in blocks]
+    parts = [
+        reduce.remote(fn, *[o[p] for o in outs]) for p in range(num_buckets)
+    ]
+    return rd.from_arrow_refs(parts)
 
 
 def compact_nonempty(ds):
@@ -272,6 +318,29 @@ def bucketed_join(
     )
 
 
+def flatten_chunked(col):
+    """ChunkedArray → single Array, avoiding pyarrow 14's pathological
+    list-column ``combine_chunks`` (~30s for 10^6 rows of list<string>;
+    the manual values-concat + offsets-rebuild below is ~0.6s). Chunked
+    TAKE is just as bad (~60× slower than flat), so broadcast indexes
+    must hold flat arrays."""
+    if isinstance(col, pa.Array):
+        return col
+    if col.num_chunks == 1:
+        return col.chunk(0)
+    t = col.type
+    if (pa.types.is_list(t) or pa.types.is_large_list(t)) and col.null_count == 0:
+        import pyarrow.compute as pc
+
+        lens = [np.asarray(pc.list_value_length(ch)) for ch in col.chunks]
+        offsets = np.concatenate([[0], np.cumsum(np.concatenate(lens))])
+        values = pa.concat_arrays([ch.flatten() for ch in col.chunks])
+        off_t = pa.int64() if pa.types.is_large_list(t) else pa.int32()
+        cls = pa.LargeListArray if pa.types.is_large_list(t) else pa.ListArray
+        return cls.from_arrays(pa.array(offsets, off_t), values)
+    return col.combine_chunks()
+
+
 def build_broadcast_index(table, key: str, columns: list[str]):
     """Build a zero-copy-broadcastable lookup index from a (small-side)
     pandas DataFrame or Arrow table: rows sorted by ``stable_hash64(key)``.
@@ -285,15 +354,16 @@ def build_broadcast_index(table, key: str, columns: list[str]):
     """
     if isinstance(table, pd.DataFrame):
         table = pa.Table.from_pandas(table, preserve_index=False)
-    keys = table[key].combine_chunks() if isinstance(table[key], pa.ChunkedArray) else table[key]
+    keys = flatten_chunked(table[key])
     h = stable_hash64(keys)
     order = np.argsort(h, kind="stable")
-    order_pa = pa.array(order)
-    idx = {"__hash": h[order], "__key": keys.take(order_pa)}
+    # payload columns stay UNSORTED but FLAT, with an order permutation:
+    # lookups are random access either way, so sorting the payloads was a
+    # pointless full-table take; and they must be flat because chunked
+    # take is ~60× slower per lookup batch (see flatten_chunked)
+    idx = {"__hash": h[order], "__order": order, "__key": keys}
     for c in columns:
-        col = table[c]
-        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        idx[c] = col.take(order_pa)
+        idx[c] = flatten_chunked(table[c])
     return idx
 
 
@@ -314,12 +384,12 @@ def broadcast_lookup(index, query: pa.Array, column: str) -> pa.Array:
     qh = stable_hash64(query)
     pos = np.searchsorted(index["__hash"], qh)
     pos = np.clip(pos, 0, max(0, len(index["__hash"]) - 1))
-    pos_pa = pa.array(pos)
+    rows = pa.array(index["__order"][pos])  # permute into the unsorted table
     hit = pc.and_(
         pa.array(index["__hash"][pos] == qh),
-        pc.equal(index["__key"].take(pos_pa), query),
+        pc.equal(index["__key"].take(rows), query),
     )
-    vals = index[column].take(pos_pa)
+    vals = index[column].take(rows)
     return pc.if_else(hit, vals, pa.nulls(len(query), vals.type))
 
 
