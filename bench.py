@@ -29,9 +29,13 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 # scaling-criterion corpus: large enough that parallel compute dominates
-# fixed per-operator latency (60k planted clusters ≈ 450k conversations,
-# ≈ 950k candidate pairs)
-SCALING_CLUSTERS = 60_000
+# fixed per-operator latency (240k planted clusters ≈ 1.8M conversations /
+# 12.5M turns, ≈ 4.5M candidate pairs scored). Sized so per-leg work
+# mirrors the real deployment shape: at 100 TB each node's share of work
+# dwarfs per-stage constants, so the sandbox stand-in must not let ~30s of
+# driver/stage-startup constants dominate a 4-cpu leg. Override with
+# GRAFT_SCALE_CLUSTERS (60k and 120k corpora stay cached for comparison).
+SCALING_CLUSTERS = int(os.environ.get("GRAFT_SCALE_CLUSTERS", "240000"))
 
 
 def _sf_of(sf_dir: str) -> float:

