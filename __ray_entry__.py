@@ -230,8 +230,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": textops.token_count,
         "quality_scores": textops.quality_scores,
         "quality_by_lang": textops.quality_by_lang,
-        "lang_id": textops.lang_id,                         # rows-only
-        "fingerprints": textops.fingerprints,               # rows-only
+        "lang_id": textops.lang_id,
+        "fingerprints": textops.fingerprints,
+        "detok_roundtrip": textops.detok_roundtrip,         # F5
+        "payload_paths": textops.payload_paths,             # M8/F7
         # --- dedup suite --------------------------------------------------
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,               # rows-only
@@ -296,6 +298,14 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": lang_sql,
         "fingerprints": (
             f"SELECT doc_id, md5({norm}) AS fp FROM documents"
+        ),
+        "detok_roundtrip": (
+            # tokenize→' '.join == the normalized text (single spaces)
+            f"SELECT doc_id, {norm} AS detok FROM documents"
+        ),
+        "payload_paths": (
+            "SELECT doc_id, (doc_id % 16)::VARCHAR || '/' || "
+            "doc_id::VARCHAR || '.bin' AS path FROM documents"
         ),
         "er_conversations": (
             "SELECT conv_id, count(*) AS n_turns, "

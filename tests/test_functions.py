@@ -187,6 +187,28 @@ def test_simhash_near_duplicates_close():
     assert d_near < d_far
 
 
+def test_tokenize_cjk_char_segmentation():
+    from ember_ray.functions.text import tokenize_array, tokenize_array_cjk
+
+    arr = pa.array(["运动鞋 new style", "hello world", "女鞋123"])
+    toks = tokenize_array_cjk(arr).to_pylist()
+    # CJK runs → one token per char; latin words unchanged
+    assert toks[0] == ["运", "动", "鞋", "new", "style"]
+    assert toks[1] == ["hello", "world"]
+    assert toks[2] == ["女", "鞋", "123"]
+    # plain tokenizer keeps whole CJK runs (the gap this variant closes)
+    assert tokenize_array(arr).to_pylist()[0] == ["运动鞋", "new", "style"]
+
+
+def test_detokenize_and_paths():
+    from ember_ray.functions.text import detokenize, format_paths
+
+    toks = pa.array([["a", "b"], [], ["x"]], pa.list_(pa.string()))
+    assert detokenize(toks).to_pylist() == ["a b", "", "x"]
+    ids = pa.array([0, 17, 5], pa.int64())
+    assert format_paths(ids).to_pylist() == ["0/0.bin", "1/17.bin", "5/5.bin"]
+
+
 def test_char_shingles():
     out = char_shingles(pa.array(["abcdef", ""]), k=3).to_pylist()
     assert out[0] == ["abc", "bcd", "cde", "def"]

@@ -100,6 +100,29 @@ def test_attach_sides(rd):
     assert out[0]["text_left"] == "ta" and out[0]["text_right"] == "tb"
 
 
+def test_sharded_lookup_matches_single_index(rd):
+    """The parallel sharded broadcast index must resolve exactly like one
+    flat index (routing + order restore), including misses → nulls."""
+    import ray
+
+    from ember_ray.util import (broadcast_lookup, build_broadcast_index,
+                                build_sharded_index_async, sharded_lookup)
+
+    rows = [{"conv_id": f"c{i:03d}", "text": f"payload {i}"} for i in range(200)]
+    ds = rd.from_items(rows).materialize()
+    refs = build_sharded_index_async(ds, "conv_id", ["text"], num_shards=4)
+    idxs = [ray.get(r) for r in refs]
+    single = build_broadcast_index(
+        pa.table({"conv_id": [r["conv_id"] for r in rows],
+                  "text": [r["text"] for r in rows]}),
+        "conv_id", ["text"])
+    query = pa.array([f"c{i:03d}" for i in (5, 199, 42, 0, 500, 7, 7)])
+    got = sharded_lookup(idxs, query, "text")
+    want = broadcast_lookup(single, query, "text")
+    assert got.to_pylist() == want.to_pylist()
+    assert got.to_pylist()[4] is None  # miss → null
+
+
 def test_scoring_identical_vs_disjoint(rd):
     from ember_ray.stages.scoring import PairScorer
 
