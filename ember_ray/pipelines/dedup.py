@@ -221,6 +221,7 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 12, num_buckets: int = 16):
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
+        batch_size=4096,  # heavy vectorized kernel: bigger-than-default batches
     ).materialize()  # two consumers below; avoid recomputing the sketch
 
     def band_fn(t: pa.Table) -> pa.Table:
@@ -282,7 +283,8 @@ def dedup_ngram(sf_dir: str, k: int = 5, threshold: float = 0.55,
             }
         )
 
-    blocks = docs.map_batches(block_fn, batch_format="pyarrow", zero_copy_batch=True)
+    blocks = docs.map_batches(block_fn, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=4096)
     pairs = _pairs_from_blocks(blocks, "doc_id", num_buckets)
     with_text = _attach_pair_sides(pairs, docs, "doc_id", ["text"], num_buckets)
 
