@@ -34,6 +34,42 @@ def _round6(x: np.ndarray) -> np.ndarray:
     return np.rint(x * 1e6) / 1e6
 
 
+def _token_hash_column(t: pa.Table) -> pa.Table:
+    """documents batch → (doc_id, th: list<uint64> token hashes)."""
+    from ..functions.minhash import token_hashes
+
+    h, offsets = token_hashes(tokenize_array(t["text"]))
+    th = pa.ListArray.from_arrays(
+        pa.array(np.asarray(offsets, np.int64), pa.int32()), pa.array(h, pa.uint64())
+    )
+    return pa.table({"doc_id": t["doc_id"], "th": th})
+
+
+def _shingle_hash_column(k: int):
+    """documents batch fn → (doc_id, th: list<uint64> char-shingle ids)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        h, offsets = char_shingle_hashes(t["text"], k=k)
+        th = pa.ListArray.from_arrays(
+            pa.array(np.asarray(offsets, np.int64), pa.int32()),
+            pa.array(h, pa.uint64()),
+        )
+        return pa.table({"doc_id": t["doc_id"], "th": th})
+
+    return fn
+
+
+def _flat_hashes(col) -> tuple[np.ndarray, np.ndarray]:
+    """list<uint64> column → (flat uint64 values, int64 offsets)."""
+    from ..util import flatten_chunked
+
+    lst = flatten_chunked(col) if isinstance(col, pa.ChunkedArray) else col
+    return (
+        np.asarray(lst.values).astype(np.uint64, copy=False),
+        np.asarray(lst.offsets, np.int64),
+    )
+
+
 def _docs(sf_dir: str):
     import ray.data as rd
 
@@ -186,10 +222,17 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8, num_perm: int = 64,
         shutil.rmtree(export_candidates, ignore_errors=True)
         pairs.write_parquet(export_candidates)
 
-    with_text = _attach_pair_sides(pairs, docs, "doc_id", ["text"], num_buckets)
+    # precompute token HASHES once per doc and attach those: a near-dup-
+    # heavy corpus references each doc from many candidate pairs, and
+    # re-tokenizing text per pair side dominated the verify stage (~10×)
+    docs_th = docs.map_batches(_token_hash_column, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=4096)
+    with_th = _attach_pair_sides(pairs, docs_th, "doc_id", ["th"], num_buckets)
 
     def verify(t: pa.Table) -> pa.Table:
-        jac = batch_jaccard(tokenize_array(t["text_left"]), tokenize_array(t["text_right"]))
+        lh, lo = _flat_hashes(t["th_left"])
+        rh, ro = _flat_hashes(t["th_right"])
+        jac = batch_jaccard_hashes(lh, lo, rh, ro)
         keep = jac >= threshold
         return pa.table(
             {
@@ -199,7 +242,7 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8, num_perm: int = 64,
             }
         )
 
-    return with_text.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+    return with_th.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------- simhash
@@ -286,11 +329,15 @@ def dedup_ngram(sf_dir: str, k: int = 5, threshold: float = 0.55,
     blocks = docs.map_batches(block_fn, batch_format="pyarrow",
                               zero_copy_batch=True, batch_size=4096)
     pairs = _pairs_from_blocks(blocks, "doc_id", num_buckets)
-    with_text = _attach_pair_sides(pairs, docs, "doc_id", ["text"], num_buckets)
+    # per-doc shingle hashes computed once, attached to both pair sides
+    # (same rationale as dedup_minhash's verify)
+    docs_th = docs.map_batches(_shingle_hash_column(k), batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=4096)
+    with_th = _attach_pair_sides(pairs, docs_th, "doc_id", ["th"], num_buckets)
 
     def verify(t: pa.Table) -> pa.Table:
-        lh, lo = char_shingle_hashes(t["text_left"], k=k)
-        rh, ro = char_shingle_hashes(t["text_right"], k=k)
+        lh, lo = _flat_hashes(t["th_left"])
+        rh, ro = _flat_hashes(t["th_right"])
         jac = batch_jaccard_hashes(lh, lo, rh, ro)
         keep = jac >= threshold
         return pa.table(
@@ -301,7 +348,7 @@ def dedup_ngram(sf_dir: str, k: int = 5, threshold: float = 0.55,
             }
         )
 
-    return with_text.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+    return with_th.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ------------------------------------------------------- embedding cosine

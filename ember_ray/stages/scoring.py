@@ -76,13 +76,13 @@ def build_idf_async(conversations, num_docs: int):
     so the whole build overlaps blocking/pair-gen instead of sitting on
     the driver's critical path. Result is identical to ``build_idf``
     (same partial + combine code)."""
-    import ray
+    from ..util import _cached_remote
 
     # materialized input ⇒ to_arrow_refs returns existing block refs with
     # no new execution; the partial reads only the tokens column
     refs = list(conversations.to_arrow_refs())
-    part = ray.remote(num_cpus=1)(_idf_partial_arrays)
-    combine = ray.remote(num_cpus=1)(_idf_combine_arrays)
+    part = _cached_remote(_idf_partial_arrays)
+    combine = _cached_remote(_idf_combine_arrays)
     return combine.remote(num_docs, *[part.remote(r) for r in refs])
 
 

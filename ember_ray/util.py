@@ -106,7 +106,6 @@ def hash_exchange(ds, key: str, num_buckets: int, reduce_fn,
 
     mat = ds if isinstance(ds, MaterializedDataset) else ds.materialize()
     blocks = list(mat.to_arrow_refs())
-    red_impl = _exchange_reduce_arrow if arrow else _exchange_reduce
     if not blocks:
         sch = mat.schema()
         if sch is None:
@@ -116,16 +115,31 @@ def hash_exchange(ds, key: str, num_buckets: int, reduce_fn,
         out = reduce_fn(empty if arrow else empty.to_pandas())
         return rd.from_arrow(
             out if arrow else pa.Table.from_pandas(out, preserve_index=False))
-    reduce = ray.remote(num_cpus=1)(red_impl)
+    reduce = _cached_remote(_exchange_reduce_arrow if arrow else _exchange_reduce)
     if num_buckets == 1:  # no split needed — one reduce over all blocks
         return rd.from_arrow_refs([reduce.remote(reduce_fn, *blocks)])
-    split = ray.remote(num_cpus=1, num_returns=num_buckets)(_exchange_split)
+    split = _cached_remote(_exchange_split, num_returns=num_buckets)
     outs = [split.remote(b, key, num_buckets, seed) for b in blocks]
     parts = [
         reduce.remote(reduce_fn, *[o[p] for o in outs])
         for p in range(num_buckets)
     ]
     return rd.from_arrow_refs(parts)
+
+
+_REMOTE_CACHE: dict = {}
+
+
+def _cached_remote(fn, **opts):
+    """Wrap ``fn`` with ``ray.remote`` ONCE per (fn, opts): re-wrapping per
+    call re-registers and re-exports the function for every exchange
+    stage, which adds per-stage latency and defeats worker-side caching."""
+    import ray
+
+    key = (fn, tuple(sorted(opts.items())))
+    if key not in _REMOTE_CACHE:
+        _REMOTE_CACHE[key] = ray.remote(num_cpus=1, **opts)(fn)
+    return _REMOTE_CACHE[key]
 
 
 def bucketed_group_map(
@@ -388,8 +402,8 @@ def build_sharded_index_async(ds, key: str, columns, num_shards: int = 16,
 
     mat = ds if isinstance(ds, MaterializedDataset) else ds.materialize()
     blocks = list(mat.to_arrow_refs())
-    split = ray.remote(num_cpus=1, num_returns=num_shards)(_exchange_split)
-    build = ray.remote(num_cpus=1)(_index_shard_build)
+    split = _cached_remote(_exchange_split, num_returns=num_shards)
+    build = _cached_remote(_index_shard_build)
     outs = [split.remote(b, key, num_shards, seed) for b in blocks]
     return [
         build.remote(key, list(columns), *[o[s] for o in outs])
