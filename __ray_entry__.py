@@ -424,10 +424,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY text"
         ),
         "ann_topk": (
-            "WITH q AS (SELECT vec_id AS qid, embedding AS e FROM embeddings "
+            "WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS e FROM embeddings "
             "WHERE vec_id < 8), "
             "s AS (SELECT q.qid AS query_id, v.vec_id, "
-            "round(list_cosine_similarity(q.e, v.embedding) * 1000000) / 1000000 AS cosine "
+            "round(list_cosine_similarity(q.e, v.embedding::DOUBLE[]) * 1000000) / 1000000 AS cosine "
             "FROM q CROSS JOIN embeddings v) "
             "SELECT query_id, vec_id, cosine FROM s "
             "QUALIFY row_number() OVER "

@@ -193,6 +193,57 @@ def _packed_unique(h: np.ndarray, offsets: np.ndarray):
     return ks[starts], tf, order[starts]
 
 
+def _exact_unique(h: np.ndarray, offsets: np.ndarray):
+    """Per-row unique elements at FULL 64-bit hash width → (rows, hashes),
+    sorted by (row, hash), one entry per unique (row, hash) group.
+
+    Two fast single-key sorts (hash, then stable row) instead of
+    ``np.lexsort`` (~10× slower, CLAUDE.md): a stable sort by row of the
+    hash-sorted order yields the exact (row, hash) order. Used by
+    ORACLE-GATED verify kernels where the 43-bit packed truncation's
+    collision odds (~k²/2^44 per row) would become statistically expected
+    over millions of candidate pairs (ADVICE r2); the scorer keeps the
+    packed path and documents its budget.
+    """
+    n = len(offsets) - 1
+    counts = np.diff(offsets)
+    row = np.repeat(np.arange(n, dtype=np.int64), counts)
+    if len(h) == 0:
+        z = np.empty(0, np.int64)
+        return z, np.empty(0, np.uint64)
+    o1 = np.argsort(h, kind="stable")
+    o2 = np.argsort(row[o1], kind="stable")
+    order = o1[o2]
+    rs, hs = row[order], h[order]
+    new = np.empty(len(hs), bool)
+    new[0] = True
+    new[1:] = (rs[1:] != rs[:-1]) | (hs[1:] != hs[:-1])
+    starts = np.flatnonzero(new)
+    return rs[starts], hs[starts]
+
+
+def _jaccard_from_exact(ra, ha, rb, hb, n: int) -> np.ndarray:
+    """|A∩B| / |A∪B| per row from two sides' exact (row, hash) uniques."""
+    ua = np.bincount(ra, minlength=n)
+    ub = np.bincount(rb, minlength=n)
+    rows = np.concatenate([ra, rb])
+    hashes = np.concatenate([ha, hb])
+    if len(rows):
+        o1 = np.argsort(hashes, kind="stable")
+        o2 = np.argsort(rows[o1], kind="stable")
+        order = o1[o2]
+        rs, hs = rows[order], hashes[order]
+        eq = (rs[1:] == rs[:-1]) & (hs[1:] == hs[:-1])
+        inter = np.bincount(rs[1:][eq], minlength=n)
+    else:
+        inter = np.zeros(n, np.int64)
+    denom = ua + ub - inter
+    out = np.zeros(n, np.float64)
+    nz = denom > 0
+    out[nz] = inter[nz] / denom[nz]
+    return out
+
+
 def _jaccard_from_packed(pka: np.ndarray, pkb: np.ndarray, n: int) -> np.ndarray:
     """|A∩B| / |A∪B| per row from two sides' sorted packed-unique keys.
     An element shared by both sides appears exactly twice in the merged
@@ -237,13 +288,23 @@ def _cosine_from_packed(pka, va, pkb, vb, n: int) -> np.ndarray:
 
 
 def batch_jaccard_hashes(lh: np.ndarray, lo: np.ndarray,
-                         rh: np.ndarray, ro: np.ndarray) -> np.ndarray:
+                         rh: np.ndarray, ro: np.ndarray,
+                         exact: bool = True) -> np.ndarray:
     """Set Jaccard per pair over pre-hashed element ids + offsets.
-    Fully vectorized — packed-key sorts, no per-pair loop; chunked so row
-    ids fit the 21-bit packing budget."""
+    Fully vectorized, no per-pair loop.
+
+    ``exact=True`` (default — all oracle-gated verify stages): full
+    64-bit hash width via two single-key sorts per side. ``exact=False``:
+    the packed 43-bit single-sort path (~2× fewer sorts; collision odds
+    ~k²/2^44 per row — fine for scorer-style ranking, not for bitwise
+    oracle comparison at corpus scale)."""
     lo = np.asarray(lo, np.int64)
     ro = np.asarray(ro, np.int64)
     n = len(lo) - 1
+    if exact:
+        ra, ha = _exact_unique(lh[lo[0]:lo[n]], lo - lo[0])
+        rb, hb = _exact_unique(rh[ro[0]:ro[n]], ro - ro[0])
+        return _jaccard_from_exact(ra, ha, rb, hb, n)
     out = np.empty(n, np.float64)
     for s in range(0, max(n, 1), _CHUNK_ROWS):
         e = min(n, s + _CHUNK_ROWS)

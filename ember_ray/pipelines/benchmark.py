@@ -234,18 +234,13 @@ def build_labeled_pairs(corpus_dir: str, num_buckets: int = 64,
     )
 
     # random negatives (reference's random half, build_ali_dataset.py:198):
-    # deterministic pseudo-random co-grouping — hash(conv_id) buckets of
-    # ~2·PAIRS_PER_CLUSTER rows — then cross-cluster pairs within a bucket
+    # deterministic pseudo-random co-grouping — hash(conv_id) groups of
+    # ~2·PAIRS_PER_CLUSTER rows — then cross-cluster pairs within a group
+    # (capped exchange fan-out; see _random_cogroups)
     n_convs = tagged.count()
-    n_rand_buckets = max(1, n_convs // (2 * PAIRS_PER_CLUSTER))
-    rand_neg = bucketed_group_map(
-        tagged,
-        key="conv_id",
-        fn=lambda df: _pairs_in_groups(
-            df.assign(__g=0), "__g", POS_NEG_RATIO * PAIRS_PER_CLUSTER,
-            hard_ascending=False, same_cluster=False,
-        ),
-        num_buckets=n_rand_buckets,
+    rand_neg = _random_cogroups(
+        tagged, n_convs, 2 * PAIRS_PER_CLUSTER,
+        POS_NEG_RATIO * PAIRS_PER_CLUSTER,
     )
 
     # cross-block/source dedup on canonical pair key
@@ -333,6 +328,40 @@ def _dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
     return df.drop_duplicates(["conv_id_left", "conv_id_right"])
 
 
+MAX_EXCHANGE_BUCKETS = 256  # cap on reduce-task fan-out per exchange
+
+
+def _random_cogroups(ds, n_rows: int, group_rows: int, budget: int):
+    """Deterministic pseudo-random co-grouping → cross-cluster negative
+    pairs (the reference's ``df.sample`` analog): assign each conversation
+    a hash group of ~``group_rows`` rows, exchange on the GROUP id with a
+    CAPPED bucket count (many groups per reduce bucket), and emit
+    cross-cluster pairs within each group.
+
+    The previous shape used one exchange bucket per ~64-row group — at
+    1.8M rows that is ~28k ``num_returns`` per split task and ~28k reduce
+    tasks (ADVICE r2): Ray chokes far below the target scale. Group
+    membership is unchanged (``stable_hash64(conv_id) % n_groups`` —
+    exactly what ``bucket_of`` computed), so the output pairs are
+    identical; only the transport bucketing is capped.
+    """
+    n_groups = max(1, n_rows // group_rows)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        g = (stable_hash64(batch["conv_id"]) % np.uint64(n_groups)).astype(
+            np.int64)
+        return batch.append_column("__g", pa.array(g, pa.int64()))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed_group_map(
+        tagged,
+        key="__g",
+        fn=lambda df: _pairs_in_groups(
+            df, "__g", budget, hard_ascending=False, same_cluster=False),
+        num_buckets=min(n_groups, MAX_EXCHANGE_BUCKETS),
+    )
+
+
 # ------------------------------------------------------ imbalanced (1:99)
 IMBALANCE_RATIO = 99  # reference IMBALANCE_POS_NEG_SIZE = (500, 99*500)
                       # (build_ali_dataset.py:30)
@@ -396,10 +425,11 @@ def build_imbalanced(corpus_dir: str, num_buckets: int = 64,
         tv = balanced["all"].filter(
             expr="split == 'train' or split == 'val'"
         ).select_columns(["conv_id_left", "conv_id_right"]).to_pandas()
-        tv["__pk"] = tv["conv_id_left"] + "|" + tv["conv_id_right"]
-        tv["__one"] = np.int8(1)
-        excl_ref = ray.put(build_broadcast_index(tv[["__pk", "__one"]],
-                                                 "__pk", ["__one"]))
+        if len(tv):  # empty train/val (tiny corpora) ⇒ nothing to exclude
+            tv["__pk"] = tv["conv_id_left"] + "|" + tv["conv_id_right"]
+            tv["__one"] = np.int8(1)
+            excl_ref = ray.put(build_broadcast_index(tv[["__pk", "__one"]],
+                                                     "__pk", ["__one"]))
 
     def exclude_seen(ds):
         def fn(batch: pa.Table) -> pa.Table:
@@ -449,16 +479,11 @@ def build_imbalanced(corpus_dir: str, num_buckets: int = 64,
                 same_cluster=True),
             num_buckets=num_buckets,
         )
-        # random cross-cluster co-grouping: ~64-row hash buckets ⇒ up to
-        # ~2k candidate pairs per bucket, each unordered pair generated at
-        # most once (both endpoints must hash to the same bucket)
-        neg = bucketed_group_map(
-            pop, key="conv_id",
-            fn=lambda df: _pairs_in_groups(
-                df.assign(__g=0), "__g", 1 << 40, hard_ascending=False,
-                same_cluster=False),
-            num_buckets=max(1, n_pop // 64),
-        )
+        # random cross-cluster co-grouping: ~64-row hash groups ⇒ up to
+        # ~2k candidate pairs per group, each unordered pair generated at
+        # most once (both endpoints must hash to the same group); exchange
+        # fan-out capped (see _random_cogroups)
+        neg = _random_cogroups(pop, n_pop, 64, 1 << 40)
         if name == "test_irl":
             pos, neg = one_ext_side(pos), one_ext_side(neg)
         if name == "test_i" and excl_ref is not None:

@@ -95,8 +95,14 @@ def _attach_pair_sides(pairs, table, key, columns, num_buckets,
                         bucketed_join, dataset_to_arrow)
 
     lk, rk = f"{key}_left", f"{key}_right"
+    # materialize ONCE up front: count() on a lazy dataset executes the full
+    # upstream map to count rows, then each consumer (broadcast gather, or
+    # the left+right bucketed joins) would re-execute it again — measured
+    # +59% on dedup_minhash (VERDICT r2 #2). count() on a materialized
+    # dataset is metadata-only.
+    table = table.materialize()
     if table.count() <= broadcast_threshold:
-        tbl = dataset_to_arrow(table.materialize())
+        tbl = dataset_to_arrow(table)
         ref = ray.put(build_broadcast_index(tbl, key, list(columns)))
 
         def attach(batch: pa.Table) -> pa.Table:

@@ -55,9 +55,16 @@ def add_bucket_column(
 def _exchange_split(tbl: pa.Table, key: str, num_buckets: int, seed: int):
     """One input block → ``num_buckets`` zero-copy slices grouped by
     ``hash(key) % num_buckets`` (one argsort + one take, NO value sort)."""
-    if tbl.num_rows == 0 or key not in tbl.schema.names:
+    if tbl.num_rows == 0:
         empty = tbl.slice(0, 0)
         return tuple(empty for _ in range(num_buckets))
+    if key not in tbl.schema.names:
+        # a non-empty block missing the exchange key is schema drift — an
+        # empty-slices fallback here would silently DROP the block's rows
+        raise KeyError(
+            f"hash_exchange: key {key!r} absent from non-empty block "
+            f"(columns: {tbl.schema.names})"
+        )
     if any(c.num_chunks > 1 for c in tbl.columns):
         # flat columns: chunked take is ~60× slower (see flatten_chunked)
         tbl = pa.table({n: flatten_chunked(tbl[n]) for n in tbl.schema.names})

@@ -35,7 +35,16 @@ def compare(name, got, want) -> str:
     g = got[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
     w = want[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
     try:
-        pd.testing.assert_frame_equal(g, w, check_dtype=False)
+        # check_exact: the driver's gate hashes values BITWISE — the default
+        # float tolerance here once masked a float32-oracle bug (VERDICT r2
+        # #1). Exact compare when both sides are already float64; tolerance
+        # only when one side is a narrower dtype by construction.
+        exact = all(
+            str(g[c].dtype) == "float64" and str(w[c].dtype) == "float64"
+            or not pd.api.types.is_float_dtype(w[c])
+            for c in cols
+        )
+        pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=exact)
     except AssertionError as e:
         return "VALUES " + str(e).splitlines()[0]
     return "OK"

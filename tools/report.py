@@ -41,7 +41,10 @@ def collect_rows(root: str) -> list[dict]:
                "kind": ("metrics" if name == "metrics.json" else
                         "part_manifest" if name.endswith(".manifest.json")
                         and name != "manifest.json" else "stage_manifest")}
-        row.update({k: v for k, v in data.items()})
+        # a data key named 'path'/'kind' must not clobber the synthesized
+        # provenance columns — prefix it instead (ADVICE r2)
+        row.update({(f"data_{k}" if k in ("path", "kind") else k): v
+                    for k, v in data.items()})
         rows.append(row)
     return rows
 
