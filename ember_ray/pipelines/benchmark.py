@@ -32,7 +32,6 @@ import pyarrow as pa
 
 from ..stages.assemble import assemble_conversations
 from ..stages.blocking import make_blocks
-from ..stages.tokenize import add_tokens
 from ..util import bucketed_group_map, bucketed_join, stable_hash64
 
 POS_NEG_RATIO = 3       # reference POS_NEG_SIZE 1:3 (build_ali_dataset.py:28-30)
@@ -173,11 +172,10 @@ def _tagged_corpus(corpus_dir: str, num_buckets: int):
 
     from ..util import broadcast_lookup, build_broadcast_index
 
-    convs = add_tokens(
-        assemble_conversations(
-            rd.read_parquet(os.path.join(corpus_dir, "transcripts.parquet")),
-            num_buckets=num_buckets,
-        )
+    convs = assemble_conversations(
+        rd.read_parquet(os.path.join(corpus_dir, "transcripts.parquet")),
+        num_buckets=num_buckets,
+        tokenizer="word",
     )
     gold = rd.read_parquet(os.path.join(corpus_dir, "gold_clusters.parquet"))
     gref = ray.put(

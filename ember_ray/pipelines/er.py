@@ -28,7 +28,6 @@ from ..stages.cluster import assign_entities, connected_components
 from ..stages.evaluate import pairwise_confusion, prf
 from ..stages.pairs import attach_sides, generate_pairs
 from ..stages.scoring import build_idf, edges_from_scores, score_pairs
-from ..stages.tokenize import add_tokens
 from ..state.checkpoint import Checkpointer, fingerprint
 from ..util import bucket_of
 
@@ -115,8 +114,9 @@ def run_er(
 
     # --- assemble + tokenize (checkpointed together: "conversations") ------
     def compute_convs():
-        return add_tokens(assemble_conversations(ds, num_buckets=cfg.num_buckets),
-                          tokenizer=cfg.tokenizer)
+        # tokenize fused into the assembly reduce (one pass, one Data job)
+        return assemble_conversations(ds, num_buckets=cfg.num_buckets,
+                                      tokenizer=cfg.tokenizer)
 
     if checkpointer:
         convs = timed("assemble", lambda: checkpointer.run(
@@ -147,6 +147,21 @@ def run_er(
 
     idf_ref = build_idf_async(convs, num_docs=n_convs) if cfg.use_idf else None
 
+    # 3. scorer pool: raw BlockScorer actors created NOW so process
+    #    spin-up / imports / DuckDB connect / IDF+index fetch all overlap
+    #    blocking + pair-gen (a Data actor pool only starts after the pair
+    #    barrier — pure critical-path time). Only on the broadcast-attach
+    #    path; the giant-corpus bucketed-join path keeps the Data pool.
+    from ..stages.scoring import score_with_pool, start_scorer_pool
+
+    pool = None
+    if side_index_ref is not None:
+        n_actors = max(2, int(ray.cluster_resources().get("CPU", 4)))
+        pool = start_scorer_pool(n_actors, idf_ref=idf_ref,
+                                 weights=cfg.weights,
+                                 shard_refs=side_index_ref,
+                                 batch_size=cfg.scorer_batch_size)
+
     # --- blocking + pair generation (checkpointed: "pairs") ----------------
     def compute_pairs():
         # materialize at the all-to-all boundary: Ray 2.49's streaming
@@ -172,8 +187,11 @@ def run_er(
         pairs = timed("pairs", lambda: compute_pairs().materialize())
     scored = timed("score", lambda: _score_stage(
         pairs, convs, cfg, idf_ref, checkpointer, base_fp,
-        side_index_ref=side_index_ref,
+        side_index_ref=side_index_ref, pool=pool,
     ).materialize())  # consumed by edges + metrics + callers
+    if pool is not None:  # free the actor processes before downstream stages
+        for a in pool:
+            ray.kill(a)
 
     # --- threshold → edges → transitive clustering -------------------------
     edges = edges_from_scores(scored, threshold=cfg.threshold)
@@ -211,7 +229,7 @@ ATTACH_BROADCAST_THRESHOLD = 4_000_000  # rows; above → bucketed join path.
 
 
 def _score_stage(pairs, convs, cfg: ERConfig, idf_ref, checkpointer, base_fp,
-                 side_index_ref=None):
+                 side_index_ref=None, pool=None):
     """Scoring with content-hash partition-level resume.
 
     The partition of a pair is ``stable_hash(conv_id_left|conv_id_right)
@@ -222,6 +240,10 @@ def _score_stage(pairs, convs, cfg: ERConfig, idf_ref, checkpointer, base_fp,
     import ray.data as rd
 
     def attach_and_score(p):
+        if pool is not None:  # pre-warmed raw actor pool (attach + score)
+            from ..stages.scoring import score_with_pool
+
+            return score_with_pool(p, pool)
         with_sides = attach_sides(p, convs, num_partitions=cfg.num_partitions,
                                   columns=("text",),
                                   broadcast_threshold=ATTACH_BROADCAST_THRESHOLD,

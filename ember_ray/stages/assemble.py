@@ -20,8 +20,9 @@ bucket, so ordering is a per-bucket sort, never a global one.
 from __future__ import annotations
 
 import pandas as pd
+import pyarrow as pa
 
-from ..util import bucketed_group_map
+from ..util import bucketed_group_map, hash_exchange
 
 
 def _assemble_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -43,11 +44,46 @@ def _assemble_bucket(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def assemble_conversations(transcripts, num_buckets: int = 64):
-    """transcripts Dataset → conversations Dataset (schema.CONVERSATIONS)."""
-    return bucketed_group_map(
+def _assemble_bucket_arrow(tokenizer: str | None):
+    """Arrow-mode reduce: pandas group-concat + (optionally) tokenize the
+    assembled text IN the reduce task. Fusing tokenize here removes a full
+    second materialize pass + one Ray Data job over the conversation table
+    (~GBs at the scaling-corpus size — pure cpu-count-independent tax)."""
+    from ..functions.text import tokenize_array, tokenize_array_cjk
+
+    tok = None
+    if tokenizer is not None:
+        tok = {"word": tokenize_array, "cjk": tokenize_array_cjk}[tokenizer]
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        out = _assemble_bucket(tbl.to_pandas())
+        t = pa.table(
+            {
+                "conv_id": pa.array(out["conv_id"].to_numpy(), pa.string()),
+                "n_turns": pa.array(out["n_turns"].to_numpy(), pa.int32()),
+                "text": pa.array(out["text"].to_numpy(), pa.string()),
+                "first_role": pa.array(out["first_role"].to_numpy(), pa.string()),
+                "tools": pa.array(out["tools"].to_numpy(), pa.string()),
+            }
+        )
+        if tok is not None:
+            t = t.append_column("tokens", tok(t["text"]))
+        return t
+
+    return fn
+
+
+def assemble_conversations(transcripts, num_buckets: int = 64,
+                           tokenizer: str | None = None):
+    """transcripts Dataset → conversations Dataset (schema.CONVERSATIONS).
+
+    ``tokenizer`` ("word" | "cjk"): fuse the TOKENIZED derivation into the
+    assembly reduce tasks (schema.TOKENIZED output) instead of a separate
+    ``add_tokens`` pass over the materialized conversations."""
+    return hash_exchange(
         transcripts.select_columns(["conv_id", "turn_idx", "role", "text", "tool"]),
         key="conv_id",
-        fn=_assemble_bucket,
         num_buckets=num_buckets,
+        reduce_fn=_assemble_bucket_arrow(tokenizer),
+        arrow=True,
     )

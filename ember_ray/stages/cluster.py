@@ -5,16 +5,19 @@ Reference analog: the gold ``cluster_id`` equivalence class is defined as
 the transitive closure of "same product" (``data/ali/README.md:41``, U3) —
 the reference never computes it (labels are given); this engine must.
 
-Algorithm: distributed min-label propagation (hash-partitioned edge
-exchange, BASELINE.json north_star). Labels start as each node's own id;
-every round each node takes the min label over itself and its neighbors
-(both edge directions) via one bucketed hash join + one bucketed
-``groupby(node).min`` — exactly two all-to-all exchanges per round.
-Convergence is detected by a content signature (sum of
-``stable_hash(node|label)`` over the label table): one cheap streaming
-aggregate instead of a join against the previous round. ER similarity
-graphs are near-clique clusters with small diameter, so rounds ≈
-O(log max-component diameter); ``max_rounds`` bounds pathological chains.
+Algorithm: distributed delta min-label propagation over a STATICALLY
+hash-partitioned graph (raw-task exchange, BASELINE.json north_star).
+The adjacency is partitioned ONCE by ``hash(nbr)``; labels live
+partitioned by ``hash(node)`` — the same hash space, so bucket b's
+adjacency rows find their neighbor's label in bucket b's label table
+with a local vectorized lookup, no join shuffle. Each round ships ONLY
+the labels that changed last round to their neighbors (one message
+exchange; monotone min ⇒ unchanged labels were already applied), then
+takes a per-bucket vectorized min. Convergence = zero changed labels —
+an exact by-product of the combine, no extra signature pass. ER
+similarity graphs are near-clique clusters with small diameter, so
+after round 1 message volume collapses; ``max_rounds`` bounds
+pathological chains.
 
 Small-graph fast path: when the (already thresholded) edge set fits on
 the driver (``driver_threshold``, default 2M edges ≈ tens of MB), a
@@ -34,53 +37,36 @@ import pyarrow as pa
 from ..util import bucketed_group_map, bucketed_join, stable_hash64
 
 
-def _min_label_bucket(df: pd.DataFrame) -> pd.DataFrame:
-    g = df.groupby("node", sort=False)["label"].min()
-    return pd.DataFrame({"node": g.index.to_numpy(), "label": g.to_numpy()})
-
-
-def _label_signature(labels) -> int:
-    """Order-independent content signature of the (node,label) table:
-    uint64 wrap-sum of stable row hashes. Equal signatures across rounds
-    ⇒ no label changed (collision odds ~2^-64 per round)."""
-    import pyarrow.compute as pc
-
-    def part(batch: pa.Table) -> pa.Table:
-        key = pc.binary_join_element_wise(batch["node"], batch["label"], "|")
-        h = stable_hash64(key)
-        s = int(h.sum(dtype=np.uint64))
-        return pa.table({"s": pa.array([s], pa.uint64())})
-
-    total = 0
-    for row in labels.map_batches(part, batch_format="pyarrow").take_all():
-        total = (total + int(row["s"])) & ((1 << 64) - 1)
-    return total
-
-
 def _driver_cc(edges) -> "pa.Table":
     """Vectorized min-label propagation with pointer jumping over a
     driver-resident edge list (no Python-level per-edge loop).
 
-    ``np.unique`` returns nodes lexicographically sorted, so the minimum
-    node INDEX in a component is also the minimum ``conv_id`` — the final
-    ``nodes[lab]`` therefore matches the distributed min-label fixpoint
-    exactly."""
+    Node coding runs on uint64 ``stable_hash64`` ids — ``np.unique`` over
+    8.6M uint64 is ~6× cheaper than the polars string unique+search this
+    replaces (the old path was ~9 s of cpu-count-independent driver time
+    at 4.3M edges, a scaling-efficiency tax). The union-find therefore
+    converges to the min-HASH index per component; the required min-STRING
+    label is resolved afterwards with one vectorized polars group-min.
+    Hash collisions can only merge two components (odds ≈ n²/2^64 ≈ 1e-6
+    at 4M nodes — below the noise of any downstream metric and
+    deterministic across runs/parallelism since the hash is seeded)."""
     import polars as pl
 
-    from ..util import dataset_to_arrow
+    from ..util import dataset_to_arrow, stable_hash64
 
     tbl = dataset_to_arrow(edges)
-    # polars string sort/search beats numpy object-array np.unique by ~an
-    # order of magnitude on 10^6-edge lists (this runs on the driver —
-    # constant time that would otherwise cap scaling efficiency)
-    all_s = pl.concat([pl.from_arrow(tbl["src"]), pl.from_arrow(tbl["dst"])])
-    nodes_pl = all_s.unique().sort()
-    codes = nodes_pl.search_sorted(all_s).to_numpy().astype(np.int64)
-    nodes = nodes_pl.to_numpy()
-    n = len(nodes)
     n_edges_rows = tbl.num_rows
-    src = codes[:n_edges_rows]
-    dst = codes[n_edges_rows:]
+    all_str = pa.concat_arrays(
+        [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+         for c in (tbl["src"], tbl["dst"])]
+    )
+    all_h = stable_hash64(all_str)
+    uh, first_idx, codes_all = np.unique(
+        all_h, return_index=True, return_inverse=True)
+    nodes = all_str.take(pa.array(first_idx))  # representative per hash
+    n = len(uh)
+    src = codes_all[:n_edges_rows]
+    dst = codes_all[n_edges_rows:]
     lab = np.arange(n, dtype=np.int64)
     while True:
         old = lab.copy()
@@ -90,11 +76,110 @@ def _driver_cc(edges) -> "pa.Table":
         lab = lab[lab]  # pointer jump: halves chain length per round
         if np.array_equal(lab, old):
             break
-    return pa.table(
+    # component id (min hash index) → min conv_id string of the component
+    dfp = pl.DataFrame({"comp": lab, "node": pl.from_arrow(nodes)})
+    rep = dfp.group_by("comp").agg(pl.col("node").min().alias("label"))
+    out = dfp.join(rep, on="comp", how="left").select(["node", "label"])
+    return out.to_arrow().cast(
+        pa.schema([("node", pa.string()), ("label", pa.string())])
+    )
+
+
+_CC_EMPTY = pa.schema([("node", pa.string()), ("label", pa.string())])
+
+
+def _cc_split_adj(tbl: pa.Table, num_buckets: int, seed: int):
+    """One edges block → both-direction adjacency rows (node, nbr), split
+    into ``num_buckets`` zero-copy slices by ``hash(nbr)``."""
+    from ..util import _exchange_split, flatten_chunked
+
+    src = flatten_chunked(tbl["src"])
+    dst = flatten_chunked(tbl["dst"])
+    adj = pa.table(
         {
-            "node": pa.array(nodes, pa.string()),
-            "label": pa.array(nodes[lab], pa.string()),
+            "node": pa.concat_arrays([src, dst]),
+            "nbr": pa.concat_arrays([dst, src]),
         }
+    )
+    return _exchange_split(adj, "nbr", num_buckets, seed)
+
+
+def _cc_bucket_init(*slices):
+    """Bucket b's adjacency slices → (adj_b, labels_b). The symmetric
+    adjacency means bucket b's label population (nodes with hash(v)%B==b)
+    is exactly ``unique(adj_b.nbr)`` — no separate node exchange."""
+    import pyarrow.compute as pc
+
+    live = [t for t in slices if t.num_rows]
+    if not live:
+        empty = _CC_EMPTY.empty_table()
+        return pa.table({"node": pa.array([], pa.string()),
+                         "nbr": pa.array([], pa.string())}), empty
+    adj = pa.concat_tables(live).combine_chunks()
+    nodes = pc.unique(adj["nbr"].combine_chunks()
+                      if isinstance(adj["nbr"], pa.ChunkedArray)
+                      else adj["nbr"])
+    return adj, pa.table({"node": nodes, "label": nodes})
+
+
+def _cc_msg_gen(adj: pa.Table, changed: pa.Table, num_buckets: int, seed: int):
+    """adj_b + last round's changed labels (partitioned identically) →
+    per-target-bucket (node, label) messages: for each adjacency row
+    (v, u) with u changed, v is told u's new label. Local vectorized
+    lookup (hash-searchsorted index over the changed table) + a local
+    per-node min combine BEFORE the exchange."""
+    import polars as pl
+    import pyarrow.compute as pc
+
+    from ..util import (_exchange_split, broadcast_lookup,
+                        build_broadcast_index)
+
+    if changed.num_rows == 0 or adj.num_rows == 0:
+        empty = _CC_EMPTY.empty_table()
+        return tuple(empty for _ in range(num_buckets))
+    idx = build_broadcast_index(changed, "node", ["label"])
+    lab = broadcast_lookup(idx, adj["nbr"], "label")
+    keep = pc.is_valid(lab)
+    msgs = pa.table(
+        {
+            "node": pc.filter(adj["node"], keep),
+            "label": pc.filter(lab, keep),
+        }
+    )
+    # local combiner: several changed neighbors of v collapse to one row
+    msgs = (
+        pl.from_arrow(msgs).group_by("node").agg(pl.col("label").min())
+        .to_arrow().cast(pa.schema(_CC_EMPTY))
+    )
+    return _exchange_split(msgs, "node", num_buckets, seed)
+
+
+def _cc_combine(labels: pa.Table, *msg_slices):
+    """labels_b + incoming message slices → (new labels_b, changed rows,
+    n_changed). Monotone vectorized min; convergence is the by-product
+    ``n_changed`` — no separate signature pass."""
+    import polars as pl
+
+    live = [t for t in msg_slices if t.num_rows]
+    if not live:
+        return labels, _CC_EMPTY.empty_table(), 0
+    lab_df = pl.from_arrow(labels)
+    m = (
+        pl.from_arrow(pa.concat_tables(live))
+        .group_by("node").agg(pl.col("label").min().alias("mlabel"))
+    )
+    j = lab_df.join(m, on="node", how="left")
+    new = (
+        j.with_columns(
+            pl.min_horizontal(pl.col("label"), pl.col("mlabel")).alias("nl"))
+    )
+    changed = new.filter(pl.col("nl") < pl.col("label"))
+    out = new.select([pl.col("node"), pl.col("nl").alias("label")])
+    ch = changed.select([pl.col("node"), pl.col("nl").alias("label")])
+    return (
+        out.to_arrow().cast(pa.schema(_CC_EMPTY)),
+        ch.to_arrow().cast(pa.schema(_CC_EMPTY)),
+        int(changed.height),
     )
 
 
@@ -108,67 +193,42 @@ def connected_components(
     """EDGES dataset → (node, label) Dataset; label = min conv_id of the
     component. Nodes appearing in no edge are absent (callers treat missing
     nodes as singletons)."""
+    import ray
     import ray.data as rd
 
-    edges = edges.materialize()  # reused every round; small relative to input
+    from ..util import _HASH_SEED, _cached_remote
+
+    edges = edges.materialize()
     n_edges = edges.count()
     if n_edges == 0:
-        empty = pa.table(
-            {"node": pa.array([], pa.string()), "label": pa.array([], pa.string())}
-        )
-        return rd.from_arrow(empty)
+        return rd.from_arrow(_CC_EMPTY.empty_table())
     if n_edges <= driver_threshold:
         return rd.from_arrow(_driver_cc(edges))
 
-    def both_dirs(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "node": pa.concat_arrays(
-                    [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
-                     for c in (batch["src"], batch["dst"])]
-                ),
-                "nbr": pa.concat_arrays(
-                    [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
-                     for c in (batch["dst"], batch["src"])]
-                ),
-            }
-        )
+    B = num_buckets
+    split = _cached_remote(_cc_split_adj, num_returns=B)
+    init = _cached_remote(_cc_bucket_init, num_returns=2)
+    msg = _cached_remote(_cc_msg_gen, num_returns=B)
+    comb = _cached_remote(_cc_combine, num_returns=3)
 
-    adj = edges.map_batches(both_dirs, batch_format="pyarrow",
-                            zero_copy_batch=True).materialize()
-
-    # init: label(node) = node
-    labels = bucketed_group_map(
-        adj.map_batches(
-            lambda b: pa.table({"node": b["node"], "label": b["node"]}),
-            batch_format="pyarrow",
-        ),
-        key="node",
-        fn=_min_label_bucket,
-        num_buckets=num_buckets,
-    ).materialize()
-    sig = _label_signature(labels)
+    outs = [split.remote(b, B, _HASH_SEED) for b in edges.to_arrow_refs()]
+    adj_refs, lab_refs = [], []
+    for p in range(B):
+        a, l = init.remote(*[o[p] for o in outs])
+        adj_refs.append(a)
+        lab_refs.append(l)
+    changed_refs = list(lab_refs)  # round 1: every label is "new"
 
     for _ in range(max_rounds):
-        # neighbor messages: (node ← label of nbr); one bucketed join
-        msgs = bucketed_join(
-            adj,
-            labels.rename_columns({"node": "nbr"}),
-            on="nbr",
-            num_buckets=num_buckets,
-        ).select_columns(["node", "label"])
-        new_labels = bucketed_group_map(
-            labels.union(msgs),
-            key="node",
-            fn=_min_label_bucket,
-            num_buckets=num_buckets,
-        ).materialize()
-        new_sig = _label_signature(new_labels)
-        labels = new_labels
-        if new_sig == sig:
+        m = [msg.remote(adj_refs[b], changed_refs[b], B, _HASH_SEED)
+             for b in range(B)]
+        new = [comb.remote(lab_refs[t], *[m[b][t] for b in range(B)])
+               for t in range(B)]
+        lab_refs = [n[0] for n in new]
+        changed_refs = [n[1] for n in new]
+        if sum(ray.get([n[2] for n in new])) == 0:
             break
-        sig = new_sig
-    return labels
+    return rd.from_arrow_refs(lab_refs)
 
 
 def assign_entities(conversations, components, num_partitions: int = 32,

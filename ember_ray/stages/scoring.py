@@ -192,6 +192,116 @@ class PairScorer:
         )
 
 
+class BlockScorer:
+    """Raw-Ray-actor scorer: attach side payloads (sharded zero-copy
+    broadcast index) + score ONE pair block per call.
+
+    Why raw actors instead of ``map_batches(PairScorer, ...)``: a Data
+    actor pool only starts spinning up when the scoring dataset executes —
+    AFTER the pair barrier — so every run pays pool spin-up (process
+    start, imports, DuckDB connect, IDF fetch) serially on the critical
+    path. These actors are created right after conversations materialize,
+    so spin-up overlaps blocking + pair-gen entirely (the dominant
+    cpu-count-independent term in the measured scaling-efficiency gap).
+
+    ``num_cpus=0`` so idle actors don't reserve cores the overlapping
+    pair-gen exchange needs; during scoring nothing else runs, and the
+    pool is sized to the node's cores by ``start_scorer_pool``.
+
+    Constructor refs arrive WRAPPED in lists (``[ref]``): Ray auto-derefs
+    top-level args but not nested ones, and PairScorer/sharded_lookup
+    need the refs themselves.
+    """
+
+    def __init__(self, idf_ref_holder=None, weights=None, shard_refs=None,
+                 columns=("text",), batch_size: int = 2048):
+        import ray
+
+        self.columns = tuple(columns)
+        self.batch_size = batch_size
+        idf_ref = idf_ref_holder[0] if idf_ref_holder else None
+        self.scorer = PairScorer(idf_ref=idf_ref, weights=weights)
+        # blocks until the overlapped shard-build tasks finish — that wait
+        # happens inside the actor, off the driver's critical path
+        self.idxs = [ray.get(r) for r in shard_refs] if shard_refs else None
+
+    def score_block(self, tbl: pa.Table) -> pa.Table:
+        from ..schema import SCORED_PAIRS
+        from ..util import sharded_lookup
+
+        if tbl.num_rows == 0:
+            return SCORED_PAIRS.empty_table()
+        # attach once per block (index take is cheap at any size), but
+        # SCORE in fixed-size chunks: a 70k-row block through the packed-
+        # sort kernels allocates ~GB-scale sort temporaries and the rate
+        # HALVES vs ~2k-row chunks (measured at the 240k scaling corpus —
+        # same lesson as CLAUDE.md's "large numpy temporaries" note)
+        out = {n: tbl[n] for n in tbl.schema.names}
+        for c in self.columns:
+            out[f"{c}_left"] = sharded_lookup(self.idxs, tbl["conv_id_left"], c)
+            out[f"{c}_right"] = sharded_lookup(self.idxs, tbl["conv_id_right"], c)
+        c0 = self.columns[0]
+        if out[f"{c0}_left"].null_count or out[f"{c0}_right"].null_count:
+            raise ValueError(
+                "BlockScorer: pair references conv_ids absent from the "
+                "conversation table"
+            )
+        attached = pa.table(out)
+        n = attached.num_rows
+        if n <= self.batch_size:
+            return self.scorer(attached)
+        parts = [
+            self.scorer(attached.slice(s, self.batch_size))
+            for s in range(0, n, self.batch_size)
+        ]
+        return pa.concat_tables(parts)
+
+
+def start_scorer_pool(n_actors: int, idf_ref=None, weights=None,
+                      shard_refs=None, columns=("text",),
+                      batch_size: int = 2048):
+    """Create ``n_actors`` BlockScorer actors NOW (they warm up in the
+    background); returns the handle list for ``score_with_pool``.
+    Kill with ``ray.kill`` when scoring is done so the processes free
+    their memory before downstream stages."""
+    import ray
+
+    Actor = ray.remote(num_cpus=0)(BlockScorer)
+    return [
+        Actor.remote(
+            idf_ref_holder=[idf_ref] if idf_ref is not None else None,
+            weights=weights, shard_refs=shard_refs, columns=columns,
+            batch_size=batch_size,
+        )
+        for _ in range(n_actors)
+    ]
+
+
+def score_with_pool(pairs, pool):
+    """Dispatch the materialized pair blocks over the scorer pool with
+    greedy longest-processing-time balancing (block row counts from block
+    metadata — no extra pass) → SCORED_PAIRS dataset."""
+    import ray.data as rd
+    from ray.data.dataset import MaterializedDataset
+
+    mat = pairs if isinstance(pairs, MaterializedDataset) else pairs.materialize()
+    blocks: list[tuple] = []
+    for rb in mat.iter_internal_ref_bundles():
+        for ref, meta in rb.blocks:
+            blocks.append((ref, meta.num_rows or 0))
+    if not blocks:
+        from ..schema import SCORED_PAIRS
+
+        return rd.from_arrow(SCORED_PAIRS.empty_table())
+    loads = [0] * len(pool)
+    outs = []
+    for ref, rows in sorted(blocks, key=lambda b: -b[1]):
+        i = loads.index(min(loads))
+        outs.append(pool[i].score_block.remote(ref))
+        loads[i] += rows + 1
+    return rd.from_arrow_refs(outs)
+
+
 def score_pairs(
     pairs_with_sides,
     idf_ref=None,

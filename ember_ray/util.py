@@ -94,12 +94,36 @@ def _exchange_reduce_arrow(fn, *tables):
     return fn(pa.concat_tables(t.select(cols) for t in base))
 
 
-def hash_exchange(ds, key: str, num_buckets: int, reduce_fn,
-                  seed: int = _HASH_SEED, arrow: bool = False):
+TARGET_BUCKET_BYTES = 256 << 20  # reduce tasks concat their whole bucket
+                                 # in memory — bound a bucket to ~256 MB
+
+
+def _auto_buckets(mat, target_bucket_bytes: int = TARGET_BUCKET_BYTES,
+                  max_buckets: int = 1024) -> int:
+    """Bucket count from the materialized input's byte size: enough that a
+    bucket always fits a worker's heap (``target_bucket_bytes``) but at
+    least the cluster's CPU count (parallelism), capped (task fan-out).
+    Callers that pass ``num_buckets=None`` get this rule instead of a
+    hand config that silently stops fitting at 1000× the data."""
+    import ray
+
+    size = mat.size_bytes() or 0
+    by_mem = -(-size // max(1, target_bucket_bytes))
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    return int(min(max_buckets, max(ncpu, by_mem, 1)))
+
+
+def hash_exchange(ds, key: str, num_buckets: int | None, reduce_fn,
+                  seed: int = _HASH_SEED, arrow: bool = False,
+                  target_bucket_bytes: int = TARGET_BUCKET_BYTES):
     """Raw-Ray-task hash exchange: split each materialized input block into
     ``num_buckets`` zero-copy slices by ``hash(key) % num_buckets``, then
     one reduce task per bucket applies ``reduce_fn`` to the concatenated
     bucket (pandas DataFrame, or pa.Table when ``arrow=True``).
+
+    ``num_buckets=None`` → auto-size from the materialized input bytes
+    (``_auto_buckets``): a bucket never exceeds ``target_bucket_bytes``
+    regardless of input scale.
 
     Replaces ``Dataset.groupby(bucket).map_groups``: Ray 2.49's sort-based
     shuffle value-sorts the entire payload to co-locate a small bucket key
@@ -112,6 +136,8 @@ def hash_exchange(ds, key: str, num_buckets: int, reduce_fn,
     from ray.data.dataset import MaterializedDataset
 
     mat = ds if isinstance(ds, MaterializedDataset) else ds.materialize()
+    if num_buckets is None:
+        num_buckets = _auto_buckets(mat, target_bucket_bytes)
     blocks = list(mat.to_arrow_refs())
     if not blocks:
         sch = mat.schema()
@@ -153,7 +179,7 @@ def bucketed_group_map(
     ds,
     key: str,
     fn: Callable[[pd.DataFrame], pd.DataFrame],
-    num_buckets: int,
+    num_buckets: int | None,
     seed: int = _HASH_SEED,
 ):
     """Hash-partitioned group apply: one vectorized pandas call per BUCKET.
@@ -275,7 +301,7 @@ def bucketed_join(
     on: str,
     right_on: str | None = None,
     how: str = "inner",
-    num_buckets: int = 64,
+    num_buckets: int | None = 64,
     seed: int = _HASH_SEED,
 ):
     """Single-shuffle hash join: side-tag + pad both inputs to a common

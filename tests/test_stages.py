@@ -267,3 +267,37 @@ def test_generate_pairs_salted_oversize(rd):
     a = salted.sort_values(["conv_id_left", "conv_id_right"]).reset_index(drop=True)
     b = salted2.sort_values(["conv_id_left", "conv_id_right"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_hash_exchange_auto_buckets(rd):
+    """num_buckets=None sizes buckets from input bytes: a tiny
+    target_bucket_bytes budget must yield many buckets (none above the
+    budget by more than skew), and results must equal the explicit path."""
+    import pyarrow as pa
+
+    from ember_ray.util import _auto_buckets, hash_exchange
+
+    n = 20_000
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([f"k{i % 997}" for i in range(n)]),
+                "v": pa.array(list(range(n)), pa.int64()),
+            }
+        )
+    ).materialize()
+    # ~20k rows of (short string + int64) ≈ a few hundred KB; a 4 KiB
+    # budget must fan out well past the cpu floor
+    nb = _auto_buckets(ds, target_bucket_bytes=4096)
+    assert nb > 8
+
+    def agg(df):
+        g = df.groupby("k", sort=False)["v"].sum()
+        return pd.DataFrame({"k": g.index.to_numpy(), "s": g.to_numpy()})
+
+    auto = hash_exchange(ds, "k", None, agg, target_bucket_bytes=4096)
+    assert auto.materialize().num_blocks() == nb
+    explicit = hash_exchange(ds, "k", 16, agg)
+    a = auto.to_pandas().sort_values("k").reset_index(drop=True)
+    b = explicit.to_pandas().sort_values("k").reset_index(drop=True)
+    assert a.equals(b)
