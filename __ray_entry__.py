@@ -75,18 +75,100 @@ def _er_run(sf_dir: str) -> dict:
     return _ER_CACHE[corpus]
 
 
+_SIDE_DIR = "/tmp/ember_ray_oracle_side"  # inputs the static oracle SQL reads
+
+_ER_EXPORTED: set[str] = set()
+
+
+def _export_er_graph(sf_dir: str) -> dict:
+    """Export the flagship run's verifiable intermediates for the DuckDB
+    oracles (the dedup_minhash_verify pattern, VERDICT r2 #4): candidate
+    pair ids + thresholded edges as parquet under ``_SIDE_DIR``, plus
+    side-links to the corpus transcripts/gold. From these the oracle SQL
+    independently re-derives assembly, the min-label transitive closure
+    (``WITH RECURSIVE``), entity assignment, cluster sizes, and the
+    pairwise confusion — everything downstream of scoring."""
+    import os
+    import shutil
+
+    out = _er_run(sf_dir)
+    corpus = _er_corpus(sf_dir)
+    if corpus in _ER_EXPORTED:
+        return out
+    from ember_ray.stages.scoring import edges_from_scores
+
+    _side_link("transcripts", os.path.join(corpus, "transcripts.parquet"))
+    _side_link("gold_clusters", os.path.join(corpus, "gold_clusters.parquet"))
+    for name, ds in (
+        ("er_pairs", out["scored"].select_columns(
+            ["conv_id_left", "conv_id_right"])),
+        ("er_edges", edges_from_scores(out["scored"],
+                                       threshold=_er_cfg().threshold)),
+    ):
+        path = os.path.join(_SIDE_DIR, name)
+        shutil.rmtree(path, ignore_errors=True)
+        ds.write_parquet(path)
+    _ER_EXPORTED.add(corpus)
+    return out
+
+
+# the min-label transitive closure, re-derived in pure SQL from the
+# exported thresholded edges (U3 oracle): seed every conversation with its
+# own id; a label m spreads along symmetrized edges to any larger node —
+# (n, m) reachable ⇔ path m→n through nodes > m, so min(label) per node is
+# exactly the component min the engine's connected_components computes.
+_CC_SQL = (
+    "conv AS (SELECT DISTINCT conv_id FROM "
+    f"read_parquet('{_SIDE_DIR}/transcripts/*.parquet')), "
+    f"e AS (SELECT src, dst FROM read_parquet('{_SIDE_DIR}/er_edges/*.parquet')), "
+    "sym AS (SELECT src AS a, dst AS b FROM e UNION "
+    "SELECT dst AS a, src AS b FROM e), "
+    "walk(node, label) AS ("
+    "SELECT conv_id, conv_id FROM conv "
+    "UNION "
+    "SELECT s.b, w.label FROM walk w JOIN sym s ON s.a = w.node "
+    "WHERE w.label < s.b), "
+    "ent AS (SELECT node AS conv_id, min(label) AS entity_id "
+    "FROM walk GROUP BY node)"
+)
+
+
 def _q_er_entities(sf_dir: str):
-    return _er_run(sf_dir)["entities"]
+    return _export_er_graph(sf_dir)["entities"]
 
 
 def _q_er_scored(sf_dir: str):
     return _er_run(sf_dir)["scored"]
 
 
+def _q_er_similarity_verify(sf_dir: str):
+    """The scored pairs' SQL-expressible features (token Jaccard,
+    Jaro-Winkler, Levenshtein-ratio), with the pair ids exported so
+    DuckDB recomputes all three independently from the raw transcripts
+    (re-assembling the conversation text itself). The engine computes
+    JW/Lev with DuckDB's own kernels (similarity.py:126-131) so parity
+    there is bitwise; Jaccard rides the hashed-token kernel whose 43-bit
+    packing collides at ~k²/2^44 per pair — zero expected mismatches
+    below ~10^9 candidate pairs (ADVICE r2 budget note). tfidf_cosine /
+    score stay rows-only: the hashing-trick IDF space is not
+    SQL-expressible."""
+    out = _export_er_graph(sf_dir)
+    # NO rounding on either side: all three features are float64 quotients
+    # of the same small integers computed with the same IEEE ops (JW/Lev
+    # literally by DuckDB in both engines), so raw values are bitwise
+    # identical — while round-at-1e6 broke parity (lev is a multiple of
+    # 1/128, ×1e6 lands exactly on .5 where np.rint half-even and DuckDB
+    # round half-away disagree).
+    return out["scored"].select_columns(
+        ["conv_id_left", "conv_id_right", "jaccard", "jaro_winkler",
+         "levenshtein"]
+    )
+
+
 def _q_er_metrics(sf_dir: str):
     import pandas as pd
 
-    return pd.DataFrame([_er_run(sf_dir)["metrics"]])
+    return pd.DataFrame([_export_er_graph(sf_dir)["metrics"]])
 
 
 def _q_er_cluster_sizes(sf_dir: str):
@@ -95,12 +177,9 @@ def _q_er_cluster_sizes(sf_dir: str):
     counts); here a two-level distributed aggregate."""
     from ray.data.aggregate import Count
 
-    ents = _er_run(sf_dir)["entities"]
+    ents = _export_er_graph(sf_dir)["entities"]
     sizes = ents.groupby("entity_id").aggregate(Count(alias_name="size"))
     return sizes.groupby("size").aggregate(Count(alias_name="n_entities"))
-
-
-_SIDE_DIR = "/tmp/ember_ray_oracle_side"  # inputs the static oracle SQL reads
 
 
 def _side_link(name: str, target: str) -> None:
@@ -181,13 +260,43 @@ def _imb_run(sf_dir: str) -> dict:
 
 
 def _q_bench_scenario_counts(sf_dir: str):
+    """Per-split pair counts, with every split table EXPORTED as tagged
+    parquet so DuckDB independently counts the materialized rows
+    (count-only oracle, VERDICT r2 #7 — the split populations themselves
+    are xxhash-derived and not SQL-derivable; membership/ratio/disjointness
+    rules are pytest-covered in tests/test_benchmark.py)."""
+    import os
+    import shutil
+
     import pandas as pd
+    import pyarrow as pa
+
+    import pyarrow.parquet as pq
+
+    from ember_ray.util import dataset_to_arrow
 
     b = _bench_run(sf_dir)
     imb = _imb_run(sf_dir)
     names = ("train", "val", "test", "test_rl", "test_cfm", "test_om")
-    rows = [(n, b[n].count()) for n in names]
-    rows += [(n, imb[n].count()) for n in sorted(imb)]
+    splits = [(n, b[n]) for n in names] + [(n, imb[n]) for n in sorted(imb)]
+    root = os.path.join(_SIDE_DIR, "bench_splits")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    rows = []
+    for name, ds in splits:
+        tbl = dataset_to_arrow(ds.materialize())  # gate-sf splits are small
+        pq.write_table(
+            tbl.append_column(
+                "split", pa.array([name] * tbl.num_rows, pa.string())),
+            os.path.join(root, f"{name}.parquet"),
+        )
+        rows.append((name, tbl.num_rows))
+    # names manifest: lets the SQL count an EMPTY split as an explicit 0
+    # row instead of silently dropping it from the GROUP BY
+    pq.write_table(
+        pa.table({"split": pa.array([r[0] for r in rows], pa.string())}),
+        os.path.join(_SIDE_DIR, "bench_split_names.parquet"),
+    )
     return pd.DataFrame(
         {"split": [r[0] for r in rows], "n_pairs": [r[1] for r in rows]}
     )
@@ -252,9 +361,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bench_pairs_train": _q_bench_pairs_train,
         "bench_pairs_imbalanced": _q_bench_pairs_imbalanced,
         "bench_scenario_counts": _q_bench_scenario_counts,
-        # --- flagship ER pipeline (synthetic transcripts; rows-only) -----
+        # --- flagship ER pipeline (synthetic transcripts) ----------------
         "er_conversations": _q_er_conversations,
-        "er_scored_pairs": _q_er_scored,
+        "er_scored_pairs": _q_er_scored,              # rows-only (tfidf/score)
+        "er_similarity_verify": _q_er_similarity_verify,
         "er_entities": _q_er_entities,
         "er_metrics": _q_er_metrics,
         "er_cluster_sizes": _q_er_cluster_sizes,
@@ -315,6 +425,76 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY nullif(tool,'')), '') AS tools "
             f"FROM read_parquet('{_SIDE_DIR}/transcripts/*.parquet') "
             "GROUP BY conv_id"
+        ),
+        # ER tail, re-derived from exported pair ids + thresholded edges +
+        # the raw corpus (VERDICT r2 #4). ``_CC_SQL`` is the WITH RECURSIVE
+        # min-label closure (U3); conversation text is re-assembled from
+        # transcripts exactly as in er_conversations.
+        "er_similarity_verify": (
+            "WITH conv AS (SELECT conv_id, "
+            "string_agg(text, chr(10) ORDER BY turn_idx) AS text "
+            f"FROM read_parquet('{_SIDE_DIR}/transcripts/*.parquet') "
+            "GROUP BY conv_id), "
+            f"p AS (SELECT * FROM read_parquet('{_SIDE_DIR}/er_pairs/*.parquet')), "
+            "s AS (SELECT p.conv_id_left, p.conv_id_right, "
+            "substring(a.text, 1, 128) AS ta, substring(b.text, 1, 128) AS tb, "
+            f"{toks.replace('text', 'a.text')} AS ka, "
+            f"{toks.replace('text', 'b.text')} AS kb "
+            "FROM p JOIN conv a ON a.conv_id = p.conv_id_left "
+            "JOIN conv b ON b.conv_id = p.conv_id_right) "
+            "SELECT conv_id_left, conv_id_right, "
+            "coalesce(len(list_intersect(ka, kb)) * 1.0 / "
+            "nullif(len(ka) + len(kb) - len(list_intersect(ka, kb)), 0), 0.0)"
+            " AS jaccard, "
+            "CASE WHEN ta = tb THEN 1.0 "
+            "ELSE jaro_winkler_similarity(ta, tb) END AS jaro_winkler, "
+            "CASE WHEN greatest(length(ta), length(tb)) = 0 THEN 1.0 "
+            "ELSE 1.0 - levenshtein(ta, tb)::DOUBLE / "
+            "greatest(length(ta), length(tb)) END AS levenshtein FROM s"
+        ),
+        "er_entities": (
+            f"WITH RECURSIVE {_CC_SQL} SELECT conv_id, entity_id FROM ent"
+        ),
+        "er_cluster_sizes": (
+            f"WITH RECURSIVE {_CC_SQL}, "
+            "sizes AS (SELECT entity_id, count(*) AS size FROM ent "
+            "GROUP BY entity_id) "
+            "SELECT size, count(*) AS n_entities FROM sizes GROUP BY size"
+        ),
+        "er_metrics": (
+            f"WITH RECURSIVE {_CC_SQL}, "
+            "p AS (SELECT conv_id_left AS l, conv_id_right AS r "
+            f"FROM read_parquet('{_SIDE_DIR}/er_pairs/*.parquet')), "
+            "g AS (SELECT conv_id, cluster_id "
+            f"FROM read_parquet('{_SIDE_DIR}/gold_clusters')), "
+            "j AS (SELECT (el.entity_id = er.entity_id) AS pred, "
+            "(gl.cluster_id = gr.cluster_id) AS tru FROM p "
+            "JOIN ent el ON el.conv_id = p.l "
+            "JOIN ent er ON er.conv_id = p.r "
+            "JOIN g gl ON gl.conv_id = p.l "
+            "JOIN g gr ON gr.conv_id = p.r), "
+            "c AS (SELECT "
+            "sum(CASE WHEN pred AND tru THEN 1 ELSE 0 END)::BIGINT AS tp, "
+            "sum(CASE WHEN pred AND NOT tru THEN 1 ELSE 0 END)::BIGINT AS fp, "
+            "sum(CASE WHEN NOT pred AND tru THEN 1 ELSE 0 END)::BIGINT AS fn, "
+            "sum(CASE WHEN NOT pred AND NOT tru THEN 1 ELSE 0 END)::BIGINT AS tn "
+            "FROM j), "
+            "m AS (SELECT tp, fp, fn, tn, "
+            "CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END AS precision, "
+            "CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END AS recall "
+            "FROM c) "
+            "SELECT precision, recall, CASE WHEN precision + recall = 0 "
+            "THEN 0.0 ELSE 2 * precision * recall / (precision + recall) END "
+            "AS f1, tp, fp, fn, tn FROM m"
+        ),
+        "bench_scenario_counts": (
+            "WITH names AS (SELECT split FROM "
+            f"read_parquet('{_SIDE_DIR}/bench_split_names.parquet')), "
+            "p AS (SELECT split FROM "
+            f"read_parquet('{_SIDE_DIR}/bench_splits/*.parquet', "
+            "union_by_name=true)) "
+            "SELECT n.split, count(p.split)::BIGINT AS n_pairs "
+            "FROM names n LEFT JOIN p ON p.split = n.split GROUP BY n.split"
         ),
         "dedup_minhash_verify": (
             "WITH cand AS (SELECT * FROM "
