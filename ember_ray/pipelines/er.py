@@ -103,6 +103,18 @@ def run_er(
             gold = rd.read_parquet(gp)
     ds = _as_dataset(transcripts)
 
+    # scorer pool FIRST: actor process spawn + module imports (~3-4 core-s
+    # each, measured ~20 s wall for 16 actors under load) overlap the
+    # assemble stage; refs are shipped later via load_scorer_pool. The
+    # actors are num_cpus=0 and idle until then. Only used on the
+    # broadcast-attach path; killed unused on the giant-corpus join path.
+    from ..stages.scoring import (load_scorer_pool, score_with_pool,
+                                  start_scorer_pool)
+
+    n_actors = max(2, int(ray.cluster_resources().get("CPU", 4)))
+    pool = start_scorer_pool(n_actors, weights=cfg.weights,
+                             batch_size=cfg.scorer_batch_size)
+
     base_fp = cfg.fp(input_fp)
     timings: dict[str, float] = {}
 
@@ -110,6 +122,11 @@ def run_er(
         t0 = time.monotonic()
         out = fn()
         timings[name] = round(time.monotonic() - t0, 3)
+        if os.environ.get("GRAFT_SCORE_PROF"):
+            import sys
+
+            print(f"STAGEPROF {name} end={time.time():.2f} "
+                  f"dur={timings[name]}", file=sys.stderr, flush=True)
         return out
 
     # --- assemble + tokenize (checkpointed together: "conversations") ------
@@ -147,20 +164,17 @@ def run_er(
 
     idf_ref = build_idf_async(convs, num_docs=n_convs) if cfg.use_idf else None
 
-    # 3. scorer pool: raw BlockScorer actors created NOW so process
-    #    spin-up / imports / DuckDB connect / IDF+index fetch all overlap
-    #    blocking + pair-gen (a Data actor pool only starts after the pair
-    #    barrier — pure critical-path time). Only on the broadcast-attach
-    #    path; the giant-corpus bucketed-join path keeps the Data pool.
-    from ..stages.scoring import score_with_pool, start_scorer_pool
-
-    pool = None
+    # 3. ship the (still-resolving) build refs to the pre-spawned scorer
+    #    pool: each actor's load() blocks on them INSIDE the actor, then
+    #    prewarms (page-fault + gather-storm + kernel warm-up), all
+    #    overlapped with blocking + pair-gen. On the giant-corpus
+    #    bucketed-join path the pool is not loaded and killed below.
     if side_index_ref is not None:
-        n_actors = max(2, int(ray.cluster_resources().get("CPU", 4)))
-        pool = start_scorer_pool(n_actors, idf_ref=idf_ref,
-                                 weights=cfg.weights,
-                                 shard_refs=side_index_ref,
-                                 batch_size=cfg.scorer_batch_size)
+        load_scorer_pool(pool, idf_ref=idf_ref, shard_refs=side_index_ref)
+    else:
+        for a in pool:
+            ray.kill(a)
+        pool = None
 
     # --- blocking + pair generation (checkpointed: "pairs") ----------------
     def compute_pairs():

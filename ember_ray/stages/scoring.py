@@ -200,37 +200,114 @@ class BlockScorer:
     actor pool only starts spinning up when the scoring dataset executes —
     AFTER the pair barrier — so every run pays pool spin-up (process
     start, imports, DuckDB connect, IDF fetch) serially on the critical
-    path. These actors are created right after conversations materialize,
-    so spin-up overlaps blocking + pair-gen entirely (the dominant
-    cpu-count-independent term in the measured scaling-efficiency gap).
+    path.
+
+    TWO-PHASE startup: ``__init__`` takes no refs, so the pool can be
+    created at the very top of ``run_er`` — process spawn + imports (~3-4
+    core-s each, 16× concurrently ≈ 20 s wall under load) overlap the
+    ASSEMBLE stage. ``load()`` is dispatched (fire-and-forget) the moment
+    the side-index/IDF build tasks are launched; it blocks inside the
+    actor until they resolve, then prewarms. ``score_block`` calls queue
+    behind ``load`` in the actor's mailbox, so scoring never starts on a
+    cold actor and the driver never waits.
 
     ``num_cpus=0`` so idle actors don't reserve cores the overlapping
-    pair-gen exchange needs; during scoring nothing else runs, and the
-    pool is sized to the node's cores by ``start_scorer_pool``.
+    assemble/pair-gen stages need; during scoring nothing else runs, and
+    the pool is sized to the node's cores by ``start_scorer_pool``.
 
-    Constructor refs arrive WRAPPED in lists (``[ref]``): Ray auto-derefs
-    top-level args but not nested ones, and PairScorer/sharded_lookup
-    need the refs themselves.
+    Refs arrive WRAPPED in lists (``[ref]``): Ray auto-derefs top-level
+    args but not nested ones, and PairScorer/sharded_lookup need the refs
+    themselves.
     """
 
-    def __init__(self, idf_ref_holder=None, weights=None, shard_refs=None,
-                 columns=("text",), batch_size: int = 2048):
-        import ray
-
+    def __init__(self, weights=None, columns=("text",),
+                 batch_size: int = 2048):
         self.columns = tuple(columns)
         self.batch_size = batch_size
-        idf_ref = idf_ref_holder[0] if idf_ref_holder else None
-        self.scorer = PairScorer(idf_ref=idf_ref, weights=weights)
-        # blocks until the overlapped shard-build tasks finish — that wait
-        # happens inside the actor, off the driver's critical path
+        self.weights = weights
+        self.scorer = PairScorer(idf_ref=None, weights=weights)
+        self.idxs = None
+
+    def load(self, idf_ref_holder=None, shard_refs=None) -> bool:
+        """Resolve the broadcast IDF + side-index shards and prewarm.
+        Runs overlapped with blocking/pair-gen; blocks (inside the actor,
+        off the driver's critical path) until the background build tasks
+        finish."""
+        import os
+        import sys
+        import time
+
+        import ray
+
+        prof = os.environ.get("GRAFT_SCORE_PROF")
+        # order matters: the side-index shards resolve early (sharded
+        # build over materialized blocks), the IDF combine LAST (it waits
+        # on every partial, measured ~15 s into pair-gen at 240k clusters).
+        # Prewarm between the two so it runs inside the overlap window
+        # instead of queueing behind the IDF wait.
+        t0 = time.time()
         self.idxs = [ray.get(r) for r in shard_refs] if shard_refs else None
+        t1 = time.time()
+        if self.idxs is not None:
+            self._prewarm()
+        t2 = time.time()
+        if idf_ref_holder:
+            self.scorer.idf = ray.get(idf_ref_holder[0])
+        if prof:
+            print(f"LOADPROF pid={os.getpid()} start={t0:.2f} "
+                  f"shards={t1 - t0:.2f} warm={t2 - t1:.2f} "
+                  f"idf={time.time() - t2:.2f}",
+                  file=sys.stderr, flush=True)
+        return True
+
+    def _prewarm(self):
+        """Warm the attach + kernel paths with realistic work.
+
+        Measured (240k-cluster corpus, 16-cpu leg): the FIRST
+        ``score_block`` per actor paid ~3-10 s of attach — all 16 actors
+        issue their first random gather over the ~GB shared index at the
+        same instant (the score barrier), and the synchronized fault+gather
+        storm runs ~10× slower per actor than the steady state — plus
+        ~1-2 s of kernel/DuckDB warm-up. That is ~100-180 core-s ON the
+        scoring critical path, 4× the 4-actor leg's bill — the largest
+        cpu-count-proportional term in the measured scaling-efficiency
+        gap. Here the same storm runs inside ``load()``, hidden behind
+        blocking/pair-gen.
+
+        The gather warm-up is a strided ``sharded_lookup`` over ~1/16 of
+        the index keys — same code path, same random-access pattern over
+        the hash-permuted payloads as a real attach."""
+        from ..util import sharded_lookup, touch_pages
+
+        touch_pages(self.idxs)
+        keys = [s["__key"] for s in self.idxs if len(s["__key"])]
+        if not keys:
+            return
+        sample = pa.concat_arrays([k.slice(0, len(k)).take(
+            pa.array(np.arange(0, len(k), 16))) for k in keys])
+        for c in self.columns:
+            sharded_lookup(self.idxs, sample, c)
+        n = min(len(keys[0]), self.batch_size)
+        ids = keys[0].slice(0, n)
+        txt = self.idxs[0][self.columns[0]].slice(0, n)
+        warm = pa.table({"conv_id_left": ids, "conv_id_right": ids,
+                         "text_left": txt, "text_right": txt})
+        self.scorer(warm)
 
     def score_block(self, tbl: pa.Table) -> pa.Table:
+        import os
+        import sys
+        import time
+
         from ..schema import SCORED_PAIRS
         from ..util import sharded_lookup
 
         if tbl.num_rows == 0:
             return SCORED_PAIRS.empty_table()
+        prof = os.environ.get("GRAFT_SCORE_PROF")
+        w0 = time.time()
+        cpu0 = time.process_time()
+        t0 = time.monotonic()
         # attach once per block (index take is cheap at any size), but
         # SCORE in fixed-size chunks: a 70k-row block through the packed-
         # sort kernels allocates ~GB-scale sort temporaries and the rate
@@ -247,34 +324,51 @@ class BlockScorer:
                 "conversation table"
             )
         attached = pa.table(out)
+        t1 = time.monotonic()
         n = attached.num_rows
         if n <= self.batch_size:
-            return self.scorer(attached)
-        parts = [
-            self.scorer(attached.slice(s, self.batch_size))
-            for s in range(0, n, self.batch_size)
-        ]
-        return pa.concat_tables(parts)
+            res = self.scorer(attached)
+        else:
+            parts = [
+                self.scorer(attached.slice(s, self.batch_size))
+                for s in range(0, n, self.batch_size)
+            ]
+            res = pa.concat_tables(parts)
+        if prof:
+            t2 = time.monotonic()
+            print(
+                f"SCOREPROF pid={os.getpid()} rows={n} "
+                f"attach={t1 - t0:.3f} kernel={t2 - t1:.3f} "
+                f"wall0={w0:.2f} cpu={time.process_time() - cpu0:.3f}",
+                file=sys.stderr, flush=True,
+            )
+        return res
 
 
-def start_scorer_pool(n_actors: int, idf_ref=None, weights=None,
-                      shard_refs=None, columns=("text",),
+def start_scorer_pool(n_actors: int, weights=None, columns=("text",),
                       batch_size: int = 2048):
-    """Create ``n_actors`` BlockScorer actors NOW (they warm up in the
-    background); returns the handle list for ``score_with_pool``.
-    Kill with ``ray.kill`` when scoring is done so the processes free
-    their memory before downstream stages."""
+    """Create ``n_actors`` BlockScorer actors NOW (process spawn + imports
+    start immediately, in the background); returns the handle list. Call
+    ``load_scorer_pool`` once the side-index/IDF build refs exist, then
+    ``score_with_pool``. Kill with ``ray.kill`` when scoring is done so
+    the processes free their memory before downstream stages."""
     import ray
 
     Actor = ray.remote(num_cpus=0)(BlockScorer)
     return [
-        Actor.remote(
-            idf_ref_holder=[idf_ref] if idf_ref is not None else None,
-            weights=weights, shard_refs=shard_refs, columns=columns,
-            batch_size=batch_size,
-        )
+        Actor.remote(weights=weights, columns=columns, batch_size=batch_size)
         for _ in range(n_actors)
     ]
+
+
+def load_scorer_pool(pool, idf_ref=None, shard_refs=None):
+    """Fire-and-forget ``load`` on every pool actor: each resolves the
+    (possibly still-running) build-task refs and prewarms, overlapped with
+    blocking/pair-gen. Returns the ack refs (safe to drop; ``score_block``
+    calls queue behind ``load`` in each actor's mailbox)."""
+    holder = [idf_ref] if idf_ref is not None else None
+    return [a.load.remote(idf_ref_holder=holder, shard_refs=shard_refs)
+            for a in pool]
 
 
 def score_with_pool(pairs, pool):
@@ -284,11 +378,21 @@ def score_with_pool(pairs, pool):
     import ray.data as rd
     from ray.data.dataset import MaterializedDataset
 
+    import os
+    import sys
+    import time
+
+    prof = os.environ.get("GRAFT_SCORE_PROF")
+    w0 = time.time()
     mat = pairs if isinstance(pairs, MaterializedDataset) else pairs.materialize()
+    w1 = time.time()
     blocks: list[tuple] = []
     for rb in mat.iter_internal_ref_bundles():
         for ref, meta in rb.blocks:
             blocks.append((ref, meta.num_rows or 0))
+    if prof:
+        print(f"POOLPROF mat={w1 - w0:.2f} bundles={time.time() - w1:.2f}",
+              file=sys.stderr, flush=True)
     if not blocks:
         from ..schema import SCORED_PAIRS
 
@@ -299,6 +403,9 @@ def score_with_pool(pairs, pool):
         i = loads.index(min(loads))
         outs.append(pool[i].score_block.remote(ref))
         loads[i] += rows + 1
+    if prof:
+        print(f"POOLPROF dispatched n={len(outs)} at={time.time():.2f}",
+              file=sys.stderr, flush=True)
     return rd.from_arrow_refs(outs)
 
 

@@ -444,6 +444,34 @@ def build_sharded_index_async(ds, key: str, columns, num_shards: int = 16,
     ]
 
 
+def touch_pages(shard_indexes) -> int:
+    """Fault in every page of a (sharded) broadcast index's plasma-mapped
+    buffers: one strided byte-read per 4 KiB page, numpy arrays and Arrow
+    buffers alike. Zero-copy ``ray.get`` maps the object store memory
+    lazily — the first random-access lookup otherwise pays the whole
+    index's soft page faults on the consumer's critical path (measured
+    ~9-10 s per scorer actor at a ~GB index). Call from actor ``__init__``
+    so the faults land in the overlap window. Returns bytes touched."""
+    total = 0
+    sink = 0
+    for shard in shard_indexes:
+        for v in shard.values():
+            if isinstance(v, np.ndarray):
+                if v.nbytes and v.data.contiguous:
+                    b = v.reshape(-1).view(np.uint8)
+                    sink += int(b[::4096].sum())
+                    total += v.nbytes
+            elif isinstance(v, (pa.Array, pa.ChunkedArray)):
+                chunks = v.chunks if isinstance(v, pa.ChunkedArray) else [v]
+                for c in chunks:
+                    for buf in c.buffers():
+                        if buf is not None and buf.size:
+                            b = np.frombuffer(buf, np.uint8)
+                            sink += int(b[::4096].sum())
+                            total += buf.size
+    return total if sink >= 0 else -1  # keep the reads live
+
+
 def sharded_lookup(shard_indexes, query: pa.Array, column: str,
                    seed: int = _HASH_SEED) -> pa.Array:
     """Vectorized lookup across shard indexes (from
