@@ -302,6 +302,48 @@ def _q_bench_scenario_counts(sf_dir: str):
     )
 
 
+def _q_bench_ratio_counts(sf_dir: str):
+    """Per-(ratio-dataset, label) pair counts for the varying pos:neg
+    train constructor (reference ``build_ali_dataset_ratio_train.py:294``,
+    k ∈ {9,19,39,79,99} → 1:k) — each ratio dataset EXPORTED as tagged
+    parquet so DuckDB independently counts the materialized rows per
+    label, which certifies the 1:k ratio itself (count-only oracle; the
+    selection is content-hash-derived and not SQL-derivable; ratio /
+    split / determinism rules are pytest-covered)."""
+    import os
+    import shutil
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ember_ray.pipelines.benchmark import build_ratio_train
+    from ember_ray.util import dataset_to_arrow
+
+    out = build_ratio_train(_er_corpus(sf_dir), num_buckets=16)
+    root = os.path.join(_SIDE_DIR, "ratio_splits")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    rows = []
+    for name in sorted(out):
+        tbl = dataset_to_arrow(out[name].materialize())  # gate-sf: small
+        pq.write_table(
+            tbl.append_column(
+                "name", pa.array([name] * tbl.num_rows, pa.string())),
+            os.path.join(root, f"{name}.parquet"),
+        )
+        lab = tbl["label"].to_numpy(zero_copy_only=False)
+        for v in (0, 1):
+            rows.append((name, v, int((lab == v).sum())))
+    return pd.DataFrame(
+        {
+            "name": [r[0] for r in rows],
+            "label": pd.array([r[1] for r in rows], dtype="int64"),
+            "n_pairs": pd.array([r[2] for r in rows], dtype="int64"),
+        }
+    )
+
+
 def _q_bench_pairs_imbalanced(sf_dir: str):
     """Union of the four 1:99 imbalanced test sets (reference
     test_i/irl/icfm/iom, build_ali_dataset.py:311-327)."""
@@ -361,6 +403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bench_pairs_train": _q_bench_pairs_train,
         "bench_pairs_imbalanced": _q_bench_pairs_imbalanced,
         "bench_scenario_counts": _q_bench_scenario_counts,
+        "bench_ratio_counts": _q_bench_ratio_counts,
         # --- flagship ER pipeline (synthetic transcripts) ----------------
         "er_conversations": _q_er_conversations,
         "er_scored_pairs": _q_er_scored,              # rows-only (tfidf/score)
@@ -495,6 +538,17 @@ def oracle_sql() -> dict[str, str]:
             "union_by_name=true)) "
             "SELECT n.split, count(p.split)::BIGINT AS n_pairs "
             "FROM names n LEFT JOIN p ON p.split = n.split GROUP BY n.split"
+        ),
+        "bench_ratio_counts": (
+            "WITH p AS (SELECT name, label FROM "
+            f"read_parquet('{_SIDE_DIR}/ratio_splits/*.parquet', "
+            "union_by_name=true)), "
+            "keys AS (SELECT DISTINCT p.name, l.label "
+            "FROM p CROSS JOIN (VALUES (0), (1)) AS l(label)) "
+            "SELECT k.name, k.label::BIGINT AS label, "
+            "count(p.name)::BIGINT AS n_pairs FROM keys k "
+            "LEFT JOIN p ON p.name = k.name AND p.label = k.label "
+            "GROUP BY k.name, k.label"
         ),
         "dedup_minhash_verify": (
             "WITH cand AS (SELECT * FROM "

@@ -365,6 +365,16 @@ IMBALANCE_RATIO = 99  # reference IMBALANCE_POS_NEG_SIZE = (500, 99*500)
                       # (build_ali_dataset.py:30)
 
 
+def _add_pair_hash(batch: pa.Table) -> pa.Table:
+    """Content hash of the unordered pair — the deterministic analog of the
+    reference's ``df.sample``: sort by ``__ph`` + ``limit`` is a seeded
+    uniform draw that is stable across runs and parallelism."""
+    hl = stable_hash64(batch["conv_id_left"])
+    hr = stable_hash64(batch["conv_id_right"])
+    ph = (hl * np.uint64(0x9E3779B97F4A7C15)) ^ hr
+    return batch.append_column("__ph", pa.array(ph, pa.uint64()))
+
+
 def _ext_flags(conv_ids) -> np.ndarray:
     return stable_hash64(conv_ids, seed=11) % np.uint64(5) >= 3
 
@@ -449,11 +459,7 @@ def build_imbalanced(corpus_dir: str, num_buckets: int = 64,
 
         return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
-    def add_pair_hash(batch: pa.Table) -> pa.Table:
-        hl = stable_hash64(batch["conv_id_left"])
-        hr = stable_hash64(batch["conv_id_right"])
-        ph = (hl * np.uint64(0x9E3779B97F4A7C15)) ^ hr
-        return batch.append_column("__ph", pa.array(ph, pa.uint64()))
+    add_pair_hash = _add_pair_hash
 
     out: dict[str, rd.Dataset] = {}
     for name in ("test_i", "test_irl", "test_icfm", "test_iom"):
@@ -515,4 +521,108 @@ def build_imbalanced(corpus_dir: str, num_buckets: int = 64,
 
         out[name] = finish(pos, n_pos, 1).union(
             finish(neg, ratio * n_pos, 0)).materialize()
+    return out
+
+
+# ----------------------------------------------- ratio-varying train sets
+RATIO_TRAIN_KS = (9, 19, 39, 79, 99)  # reference build_ali_dataset_ratio_
+                                      # train.py:294 ``for k in [9,19,39,
+                                      # 79,99]`` → pos:neg = 1:k
+
+
+def build_ratio_train(corpus_dir: str, num_buckets: int = 64,
+                      ratios: tuple = RATIO_TRAIN_KS):
+    """Train datasets at varying pos:neg ratios — the reference's second
+    constructor (``build_ali_dataset_ratio_train.py:294-331``): for each
+    ``k`` a 1:k dataset of ~equal TOTAL size, split 7:1:2 into
+    train/val/test at the PAIR level (the reference's back-to-back
+    ``train_test_split(test_size=0.2)`` then ``(1/8)``).
+
+    Ray-Data shape: positives and negatives are generated ONCE
+    (cluster-bucketed cross join / capped random co-grouping — the same
+    distributed generators as ``build_imbalanced``), materialized with a
+    content pair hash; each ratio then re-slices the SAME candidate tables
+    by hash order, so k ratios cost one pair-generation pass, not k.
+
+    Determinism: selection is first-N in ``__ph`` order (the reference's
+    seeded ``df.sample``); the 7:1:2 split is a second, independent
+    content hash (seed 23) of the unordered pair — stable across runs,
+    parallelism, and ratio (a pair that appears at two ratios lands in
+    the same split, which also mirrors the reference's fixed seed 142).
+
+    Total size is held ~constant across ratios (reference: fixed 10,000):
+    ``T = min_k (1+k)·min(avail_pos, avail_neg // k)`` scaled to the
+    corpus, then per ratio ``n_pos = T // (1+k)``, ``n_neg = k·n_pos``
+    (ratio exact, total within one pair of T).
+    """
+    import ray.data as rd
+
+    tagged = _tagged_corpus(corpus_dir, num_buckets)
+
+    def main_only(batch: pa.Table) -> pa.Table:
+        om = _om_flags(np.asarray(batch["cluster_id"]).astype(np.int64))
+        ext = np.asarray(_ext_flags(batch["conv_id"]))
+        return batch.filter(pa.array(~om & ~ext))
+
+    pop = tagged.map_batches(
+        main_only, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    n_pop = pop.count()
+    if n_pop < 2:
+        return {}
+
+    # each side sorted by content hash ONCE (not once per ratio): all k
+    # ratios are prefix slices of the same sorted candidate table
+    pos = bucketed_group_map(
+        pop, key="cluster_id",
+        fn=lambda df: _pairs_in_groups(
+            df, "cluster_id", 1 << 40, hard_ascending=True,
+            same_cluster=True),
+        num_buckets=num_buckets,
+    ).map_batches(_add_pair_hash, batch_format="pyarrow",
+                  zero_copy_batch=True).sort("__ph").materialize()
+    neg = _random_cogroups(pop, n_pop, 64, 1 << 40).map_batches(
+        _add_pair_hash, batch_format="pyarrow",
+        zero_copy_batch=True).sort("__ph").materialize()
+    avail_pos, avail_neg = pos.count(), neg.count()
+    if avail_pos == 0 or avail_neg == 0:
+        return {}
+    total = min((1 + k) * min(avail_pos, avail_neg // k) for k in ratios)
+    if total == 0:
+        return {}
+
+    def finish(ds, n, label):
+        sel = ds.limit(n)
+
+        def fn(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            pk = pc.binary_join_element_wise(
+                batch["conv_id_left"], batch["conv_id_right"], "|")
+            h = stable_hash64(
+                pk.combine_chunks() if isinstance(pk, pa.ChunkedArray)
+                else pk, seed=23) % np.uint64(10)
+            split = np.where(h < 7, "train", np.where(h < 8, "val", "test"))
+            m = batch.num_rows
+            return pa.table(
+                {
+                    "conv_id_left": batch["conv_id_left"],
+                    "conv_id_right": batch["conv_id_right"],
+                    "jaccard": batch["jaccard"],
+                    "label": pa.array(np.full(m, label, np.int64)),
+                    "split": pa.array(split.tolist(), pa.string()),
+                }
+            )
+
+        return sel.map_batches(fn, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    out: dict[str, rd.Dataset] = {}
+    for k in ratios:
+        n_pos_k = max(1, total // (1 + k))
+        n_neg_k = k * n_pos_k
+        if n_pos_k > avail_pos or n_neg_k > avail_neg:
+            continue
+        out[f"ratio_{k + 1}"] = finish(pos, n_pos_k, 1).union(
+            finish(neg, n_neg_k, 0)).materialize()
     return out

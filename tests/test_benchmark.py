@@ -160,3 +160,45 @@ def test_deterministic(ray_session, corpus_dir):
     b = b.sort_values(key).reset_index(drop=True)
     # same pairs + labels regardless of parallelism/bucketing
     pd.testing.assert_frame_equal(a[key + ["label"]], b[key + ["label"]])
+
+
+@pytest.fixture(scope="module")
+def ratio_train(ray_session, corpus_dir):
+    from ember_ray.pipelines.benchmark import build_ratio_train
+
+    return {k: ds.to_pandas() for k, ds in
+            build_ratio_train(corpus_dir, num_buckets=8).items()}
+
+
+def test_ratio_train_exact_ratios(ratio_train, corpus_dir):
+    # reference build_ali_dataset_ratio_train.py:294 — k in [9,19,39,79,99],
+    # pos:neg exactly 1:k, total ~constant across ratios
+    from ember_ray.pipelines.benchmark import RATIO_TRAIN_KS
+
+    assert set(ratio_train) == {f"ratio_{k + 1}" for k in RATIO_TRAIN_KS}
+    g = _gold_map(corpus_dir)
+    totals = []
+    for k in RATIO_TRAIN_KS:
+        df = ratio_train[f"ratio_{k + 1}"]
+        n_pos = int((df.label == 1).sum())
+        n_neg = int((df.label == 0).sum())
+        assert n_pos >= 1 and n_neg == k * n_pos
+        totals.append(n_pos + n_neg)
+        # labels match gold clusters
+        same = df.conv_id_left.map(g).to_numpy() == df.conv_id_right.map(
+            g).to_numpy()
+        assert (same == (df.label.to_numpy() == 1)).all()
+    # total held ~constant (within one (1+k) granule of the target)
+    assert max(totals) - min(totals) <= max(RATIO_TRAIN_KS) + 1
+
+
+def test_ratio_train_split_stable_across_ratios(ratio_train):
+    # 7:1:2 split is a content hash of the pair: a pair present at two
+    # ratios must land in the SAME split (mirrors the reference's fixed
+    # seed); splits are pair-level and exhaustive
+    seen = {}
+    for name, df in ratio_train.items():
+        assert set(df.split.unique()) <= {"train", "val", "test"}
+        for key, split in zip(
+                zip(df.conv_id_left, df.conv_id_right), df.split):
+            assert seen.setdefault(key, split) == split
