@@ -183,8 +183,12 @@ def run_er(
         # overlapping shuffle aggregators contend for cores (measured
         # 45s fused vs 31s staged for this chain at 16 cpus, 60k corpus);
         # the intermediate block table is compact (uint64 band keys)
+        # hashed=True: the pair path runs on uint64 stable_hash64(conv_id)
+        # keys (16 B/pair through both exchanges); strings are resolved at
+        # score time from the sharded index (collision-checked at build)
         blocks = make_blocks(
-            convs, num_perm=cfg.num_perm, num_bands=cfg.num_bands, seed=cfg.seed
+            convs, num_perm=cfg.num_perm, num_bands=cfg.num_bands,
+            seed=cfg.seed, hashed=True,
         ).materialize()
         return generate_pairs(
             blocks, max_block_size=cfg.max_block_size,
@@ -284,15 +288,32 @@ def _score_stage(pairs, convs, cfg: ERConfig, idf_ref, checkpointer, base_fp,
         t0 = time.monotonic()
         missing_arr = np.array(missing, np.int64)
 
-        def tag_and_filter(batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
+        def _pair_part(batch: pa.Table) -> np.ndarray:
+            # content-hash partition id, derivable at any parallelism AND
+            # from either representation: an orientation-insensitive mix
+            # of the two stable_hash64(conv_id) values — hl/hr pairs carry
+            # them already (hl < hr by construction); scored string pairs
+            # (possibly swapped to lexicographic order) re-derive the same
+            # {lo, hi} set by hashing the ids
+            from ..util import stable_hash64
 
-            key = pc.binary_join_element_wise(
-                batch["conv_id_left"], batch["conv_id_right"], "|"
-            )
-            part = bucket_of(key, P)
-            batch = batch.append_column("part", pa.array(part, pa.int64()))
-            return batch.filter(pc.is_in(batch["part"], pa.array(missing_arr)))
+            if "hl" in batch.schema.names:
+                lo = batch["hl"].to_numpy(zero_copy_only=False)
+                hi = batch["hr"].to_numpy(zero_copy_only=False)
+            else:
+                a = stable_hash64(batch["conv_id_left"])
+                b = stable_hash64(batch["conv_id_right"])
+                lo, hi = np.minimum(a, b), np.maximum(a, b)
+            mix = lo * np.uint64(0x9E3779B97F4A7C15) ^ hi
+            return (mix % np.uint64(P)).astype(np.int64)
+
+        import pyarrow.compute as pc_mod
+
+        def tag_and_filter(batch: pa.Table) -> pa.Table:
+            batch = batch.append_column(
+                "part", pa.array(_pair_part(batch), pa.int64()))
+            return batch.filter(
+                pc_mod.is_in(batch["part"], pa.array(missing_arr)))
 
         subset = pairs.map_batches(
             tag_and_filter, batch_format="pyarrow", zero_copy_batch=True
@@ -300,13 +321,8 @@ def _score_stage(pairs, convs, cfg: ERConfig, idf_ref, checkpointer, base_fp,
         scored_sub = attach_and_score(subset)
 
         def retag(batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            key = pc.binary_join_element_wise(
-                batch["conv_id_left"], batch["conv_id_right"], "|"
-            )
             return batch.append_column(
-                "part", pa.array(bucket_of(key, P), pa.int64())
+                "part", pa.array(_pair_part(batch), pa.int64())
             )
 
         tmp = os.path.join(checkpointer.stage_dir(stage, fp) + ".run", "")

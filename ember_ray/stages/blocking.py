@@ -24,8 +24,16 @@ def make_blocks(
     num_perm: int = 64,
     num_bands: int = 16,
     seed: int = 142,
+    hashed: bool = False,
 ):
-    """conversations (needs ``conv_id`` + ``tokens``) → BLOCKS dataset."""
+    """conversations (needs ``conv_id`` + ``tokens``) → BLOCKS dataset.
+
+    ``hashed=True`` emits ``cid = stable_hash64(conv_id)`` (uint64)
+    instead of the conv_id string: the entire pair path (two exchanges +
+    dedup sorts) then moves 16 B/pair of numeric keys instead of ~40-50 B
+    of strings — the strings are recovered at score time from the sharded
+    broadcast index (``util.hash_sharded_lookup``), whose build rejects
+    hash collisions exactly."""
 
     def fn(batch: pa.Table) -> pa.Table:
         sig = minhash_signatures(batch["tokens"], num_perm=num_perm, seed=seed)
@@ -35,6 +43,16 @@ def make_blocks(
         ) else batch["conv_id"]
         n = keys.shape[0]
         idx = np.repeat(np.arange(n), num_bands)
+        if hashed:
+            from ..util import stable_hash64
+
+            cid = stable_hash64(conv)
+            return pa.table(
+                {
+                    "block_key": pa.array(keys.ravel(), pa.uint64()),
+                    "cid": pa.array(cid[idx], pa.uint64()),
+                }
+            )
         return pa.table(
             {
                 "block_key": pa.array(keys.ravel(), pa.uint64()),

@@ -53,6 +53,10 @@ def generate_pairs(
     """
     from ..util import bucket_of
 
+    if blocks.schema() is not None and "cid" in blocks.schema().names:
+        return _generate_pairs_hashed(blocks, max_block_size, num_buckets,
+                                      on_oversize)
+
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
         # one vectorized dedup+sort per bucket; per-group work batched by
         # SIZE CLASS (≤ max_block_size iterations), not per group — a
@@ -122,6 +126,97 @@ def generate_pairs(
     )
 
 
+def _dedup_hash_pairs(hl: np.ndarray, hr: np.ndarray):
+    """Exact (hl, hr) dedup: numeric lexsort + adjacent equality on BOTH
+    columns (never a mixed single key — a mix collision would DROP a
+    genuine pair)."""
+    if not len(hl):
+        return hl, hr
+    o = np.lexsort((hr, hl))
+    hl, hr = hl[o], hr[o]
+    d = (hl[1:] == hl[:-1]) & (hr[1:] == hr[:-1])
+    keep = np.r_[True, ~d]
+    return hl[keep], hr[keep]
+
+
+_EMPTY_HASH_PAIRS = pa.table(
+    {"hl": pa.array([], pa.uint64()), "hr": pa.array([], pa.uint64())})
+
+
+def _generate_pairs_hashed(blocks, max_block_size, num_buckets, on_oversize):
+    """The uint64 pair path (blocks carry ``cid = stable_hash64(conv_id)``,
+    see ``make_blocks(hashed=True)``): both exchanges and every dedup sort
+    run on 16 B/pair numeric keys — per-bucket working sets drop ~3× vs
+    string pairs, below the box's measured ~L3-share knee where
+    bandwidth-bound sorts stop scaling (BASELINE.md round-3 probe).
+    Canonical internal order is NUMERIC ``hl < hr``; the scorer restores
+    lexicographic ``conv_id_left < conv_id_right`` after resolving strings
+    (all pair features are symmetric, so orientation never changes
+    values). Sub-block salt is ``cid % k`` — identical members per
+    sub-block as the string path's ``bucket_of(conv_id, k)``, because
+    ``cid`` IS ``stable_hash64(conv_id)``."""
+    from ..util import hash_exchange
+
+    def pairs_in_bucket(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return _EMPTY_HASH_PAIRS
+        bk = tbl["block_key"].to_numpy(zero_copy_only=False)
+        cid = tbl["cid"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((cid, bk))
+        bk, cid = bk[order], cid[order]
+        dup = (bk[1:] == bk[:-1]) & (cid[1:] == cid[:-1])
+        keep = np.r_[True, ~dup]
+        bk, cid = bk[keep], cid[keep]
+        bounds = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1], True])
+        sizes = np.diff(bounds)
+        starts = bounds[:-1]
+        out_l: list[np.ndarray] = []
+        out_r: list[np.ndarray] = []
+        ok = (sizes >= 2) & (sizes <= max_block_size)
+        for s in np.unique(sizes[ok]):
+            gs = starts[ok & (sizes == s)]
+            # cid ascending within each group (the lexsort) → triu i<j
+            # yields canonical hl<hr directly
+            mat = cid[gs[:, None] + np.arange(s)[None, :]]
+            iu, ju = np.triu_indices(s, k=1)
+            out_l.append(mat[:, iu].ravel())
+            out_r.append(mat[:, ju].ravel())
+        for s, e in zip(starts[sizes > max_block_size],
+                        bounds[1:][sizes > max_block_size]):
+            if on_oversize == "drop":
+                continue
+            ids = cid[s:e]
+            k = -(-ids.size // max_block_size)
+            salt = (ids % np.uint64(k)).astype(np.int64)
+            for sub_id in range(k):
+                sub = ids[salt == sub_id]
+                if sub.size >= 2:
+                    i, j = np.triu_indices(sub.size, k=1)
+                    out_l.append(sub[i])
+                    out_r.append(sub[j])
+        if not out_l:
+            return _EMPTY_HASH_PAIRS
+        hl, hr = _dedup_hash_pairs(np.concatenate(out_l),
+                                   np.concatenate(out_r))
+        return pa.table({"hl": pa.array(hl, pa.uint64()),
+                         "hr": pa.array(hr, pa.uint64())})
+
+    paired = hash_exchange(blocks, key="block_key", num_buckets=num_buckets,
+                           reduce_fn=pairs_in_bucket, arrow=True).materialize()
+
+    def dedup_bucket(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return _EMPTY_HASH_PAIRS
+        hl = tbl["hl"].to_numpy(zero_copy_only=False)
+        hr = tbl["hr"].to_numpy(zero_copy_only=False)
+        hl, hr = _dedup_hash_pairs(hl, hr)
+        return pa.table({"hl": pa.array(hl, pa.uint64()),
+                         "hr": pa.array(hr, pa.uint64())})
+
+    return hash_exchange(paired, key="hl", num_buckets=num_buckets,
+                         reduce_fn=dedup_bucket, arrow=True)
+
+
 def build_side_index_async(conversations, columns=("text",),
                            num_shards: int = 8):
     """Launch the attach-side broadcast-index build as SHARDED background
@@ -158,6 +253,11 @@ def attach_sides(pairs, conversations, num_partitions: int = 32,
     """
     from ..util import bucketed_join
 
+    hashed = pairs.schema() is not None and "hl" in pairs.schema().names
+    if hashed:
+        return _attach_sides_hashed(pairs, conversations, num_partitions,
+                                    columns, broadcast_threshold,
+                                    prebuilt_index_ref)
     cols = ["conv_id", *columns]
     if prebuilt_index_ref is not None or conversations.count() <= broadcast_threshold:
         import ray
@@ -202,3 +302,87 @@ def attach_sides(pairs, conversations, num_partitions: int = 32,
                         num_buckets=num_partitions)
     return bucketed_join(out, right, on="conv_id_right",
                          num_buckets=num_partitions)
+
+
+def _attach_sides_hashed(pairs, conversations, num_partitions, columns,
+                         broadcast_threshold, prebuilt_index_ref):
+    """attach_sides for uint64 hash pairs (``hl``/``hr``): resolve conv_id
+    strings + payloads from the sharded index (broadcast path) or via two
+    bucketed joins on a derived ``cid`` column (giant-corpus path), then
+    restore lexicographic output orientation (features are symmetric, so
+    only the id columns swap; payload columns stay with their own side —
+    downstream kernels see the same unordered text pair either way)."""
+    import pyarrow.compute as pc
+
+    if prebuilt_index_ref is not None or conversations.count() <= broadcast_threshold:
+        import ray
+
+        from ..util import hash_sharded_lookup
+
+        refs = (
+            prebuilt_index_ref
+            if prebuilt_index_ref is not None
+            else build_side_index_async(conversations, columns)
+        )
+
+        def attach(batch: pa.Table) -> pa.Table:
+            idxs = [ray.get(r) for r in refs]
+            hl = batch["hl"].to_numpy(zero_copy_only=False)
+            hr = batch["hr"].to_numpy(zero_copy_only=False)
+            l_id = hash_sharded_lookup(idxs, hl, "__key")
+            r_id = hash_sharded_lookup(idxs, hr, "__key")
+            swap = pc.greater(l_id, r_id)
+            out = {
+                "conv_id_left": pc.if_else(swap, r_id, l_id),
+                "conv_id_right": pc.if_else(swap, l_id, r_id),
+            }
+            for c in columns:
+                out[f"{c}_left"] = hash_sharded_lookup(idxs, hl, c)
+                out[f"{c}_right"] = hash_sharded_lookup(idxs, hr, c)
+            c0 = columns[0]
+            if out[f"{c0}_left"].null_count or out[f"{c0}_right"].null_count:
+                raise ValueError(
+                    "attach_sides: pair references conv_ids absent from "
+                    "the conversation table"
+                )
+            return pa.table(out)
+
+        return pairs.map_batches(attach, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    from ..util import bucketed_join, stable_hash64
+
+    def add_cid(name):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                name, pa.array(stable_hash64(batch["conv_id"]), pa.uint64()))
+        return fn
+
+    cols = ["conv_id", *columns]
+    left = conversations.select_columns(cols).map_batches(
+        add_cid("hl"), batch_format="pyarrow", zero_copy_batch=True
+    ).rename_columns({c: f"{c}_left" for c in cols})
+    right = conversations.select_columns(cols).map_batches(
+        add_cid("hr"), batch_format="pyarrow", zero_copy_batch=True
+    ).rename_columns({c: f"{c}_right" for c in cols})
+    out = bucketed_join(pairs, left, on="hl", num_buckets=num_partitions)
+    out = bucketed_join(out, right, on="hr", num_buckets=num_partitions)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        l_id, r_id = batch["conv_id_left"], batch["conv_id_right"]
+        if isinstance(l_id, pa.ChunkedArray):
+            l_id = l_id.combine_chunks()
+        if isinstance(r_id, pa.ChunkedArray):
+            r_id = r_id.combine_chunks()
+        swap = pc.greater(l_id, r_id)
+        out = {
+            "conv_id_left": pc.if_else(swap, r_id, l_id),
+            "conv_id_right": pc.if_else(swap, l_id, r_id),
+        }
+        for c in columns:
+            out[f"{c}_left"] = batch[f"{c}_left"]
+            out[f"{c}_right"] = batch[f"{c}_right"]
+        return pa.table(out)
+
+    return out.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)

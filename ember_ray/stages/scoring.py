@@ -277,7 +277,7 @@ class BlockScorer:
         The gather warm-up is a strided ``sharded_lookup`` over ~1/16 of
         the index keys — same code path, same random-access pattern over
         the hash-permuted payloads as a real attach."""
-        from ..util import sharded_lookup, touch_pages
+        from ..util import hash_sharded_lookup, sharded_lookup, touch_pages
 
         touch_pages(self.idxs)
         keys = [s["__key"] for s in self.idxs if len(s["__key"])]
@@ -287,12 +287,42 @@ class BlockScorer:
             pa.array(np.arange(0, len(k), 16))) for k in keys])
         for c in self.columns:
             sharded_lookup(self.idxs, sample, c)
+        # warm the hash-keyed path too (the hashed pair route): same
+        # payload gathers, different routing/search arrays
+        hsample = np.concatenate(
+            [s["__hash"][::16] for s in self.idxs if len(s["__hash"])])
+        hash_sharded_lookup(self.idxs, hsample, "__key")
         n = min(len(keys[0]), self.batch_size)
         ids = keys[0].slice(0, n)
         txt = self.idxs[0][self.columns[0]].slice(0, n)
         warm = pa.table({"conv_id_left": ids, "conv_id_right": ids,
                          "text_left": txt, "text_right": txt})
         self.scorer(warm)
+
+    def _attach_hashed(self, tbl: pa.Table) -> dict:
+        """uint64 hash pairs (``hl``/``hr`` from the hashed pair path) →
+        conv_id strings + side payloads via ``hash_sharded_lookup``, with
+        the OUTPUT orientation restored to lexicographic
+        ``conv_id_left < conv_id_right`` (the internal canonical order is
+        numeric hash order; every pair feature is symmetric, so only the
+        two id columns need swapping)."""
+        import pyarrow.compute as pc
+
+        from ..util import hash_sharded_lookup
+
+        hl = tbl["hl"].to_numpy(zero_copy_only=False)
+        hr = tbl["hr"].to_numpy(zero_copy_only=False)
+        l_id = hash_sharded_lookup(self.idxs, hl, "__key")
+        r_id = hash_sharded_lookup(self.idxs, hr, "__key")
+        swap = pc.greater(l_id, r_id)
+        out = {
+            "conv_id_left": pc.if_else(swap, r_id, l_id),
+            "conv_id_right": pc.if_else(swap, l_id, r_id),
+        }
+        for c in self.columns:
+            out[f"{c}_left"] = hash_sharded_lookup(self.idxs, hl, c)
+            out[f"{c}_right"] = hash_sharded_lookup(self.idxs, hr, c)
+        return out
 
     def score_block(self, tbl: pa.Table) -> pa.Table:
         import os
@@ -313,10 +343,15 @@ class BlockScorer:
         # sort kernels allocates ~GB-scale sort temporaries and the rate
         # HALVES vs ~2k-row chunks (measured at the 240k scaling corpus —
         # same lesson as CLAUDE.md's "large numpy temporaries" note)
-        out = {n: tbl[n] for n in tbl.schema.names}
-        for c in self.columns:
-            out[f"{c}_left"] = sharded_lookup(self.idxs, tbl["conv_id_left"], c)
-            out[f"{c}_right"] = sharded_lookup(self.idxs, tbl["conv_id_right"], c)
+        if "hl" in tbl.schema.names:
+            out = self._attach_hashed(tbl)
+        else:
+            out = {n: tbl[n] for n in tbl.schema.names}
+            for c in self.columns:
+                out[f"{c}_left"] = sharded_lookup(
+                    self.idxs, tbl["conv_id_left"], c)
+                out[f"{c}_right"] = sharded_lookup(
+                    self.idxs, tbl["conv_id_right"], c)
         c0 = self.columns[0]
         if out[f"{c0}_left"].null_count or out[f"{c0}_right"].null_count:
             raise ValueError(

@@ -502,6 +502,50 @@ def sharded_lookup(shard_indexes, query: pa.Array, column: str,
     return vals.take(pa.array(inv))
 
 
+def hash_sharded_lookup(shard_indexes, qh: np.ndarray, column: str) -> pa.Array:
+    """Lookup by PRECOMPUTED ``stable_hash64`` keys (uint64) across shard
+    indexes from ``build_sharded_index_async``: shard routing (``hash % S``)
+    and the per-shard ``__hash`` sort both derive from the same
+    ``stable_hash64`` the exchange splitter used, so a hash query resolves
+    without ever touching string keys. Pass ``column="__key"`` to recover
+    the original key values. Exact despite skipping the string-equality
+    verify: ``build_broadcast_index`` rejects distinct-key hash collisions
+    at build time, so within an index hash equality IS key equality."""
+    import pyarrow.compute as pc
+
+    S = len(shard_indexes)
+    qh = np.ascontiguousarray(qh, dtype=np.uint64)
+    qb = (qh % np.uint64(S)).astype(np.int64)
+    order = np.argsort(qb, kind="stable")
+    inv = np.empty_like(order)
+    inv[order] = np.arange(len(order))
+    qs = qh[order]
+    bounds = np.searchsorted(qb[order], np.arange(S + 1))
+    parts = []
+    for s in range(S):
+        n = bounds[s + 1] - bounds[s]
+        if n == 0:
+            continue
+        idx = shard_indexes[s]
+        sl = qs[bounds[s]:bounds[s + 1]]
+        H = idx["__hash"]
+        if len(H) == 0:
+            parts.append(pa.nulls(int(n), idx[column].type))
+            continue
+        pos = np.searchsorted(H, sl)
+        pos = np.clip(pos, 0, len(H) - 1)
+        rows = pa.array(idx["__order"][pos])
+        hit = pa.array(H[pos] == sl)
+        vals = idx[column].take(rows)
+        parts.append(pc.if_else(hit, vals, pa.nulls(int(n), vals.type)))
+    if not parts:
+        return pa.nulls(0, shard_indexes[0][column].type)
+    vals = pa.concat_arrays(
+        [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+         for p in parts])
+    return vals.take(pa.array(inv))
+
+
 def build_broadcast_index(table, key: str, columns: list[str]):
     """Build a zero-copy-broadcastable lookup index from a (small-side)
     pandas DataFrame or Arrow table: rows sorted by ``stable_hash64(key)``.
@@ -518,6 +562,20 @@ def build_broadcast_index(table, key: str, columns: list[str]):
     keys = flatten_chunked(table[key])
     h = stable_hash64(keys)
     order = np.argsort(h, kind="stable")
+    # distinct keys colliding on the 64-bit hash would make hash-keyed
+    # resolution (hash_sharded_lookup) silently wrong — fail at build.
+    # Expected never: ~n²/2^65 odds; adjacent-dup scan is O(n)
+    hs = h[order]
+    dup = np.flatnonzero(hs[1:] == hs[:-1])
+    if len(dup):
+        import pyarrow.compute as pc
+
+        ka = keys.take(pa.array(order[dup]))
+        kb = keys.take(pa.array(order[dup + 1]))
+        if not pc.all(pc.equal(ka, kb)).as_py():
+            raise ValueError(
+                "build_broadcast_index: stable_hash64 collision between "
+                f"distinct {key!r} keys — hash-keyed lookups would be wrong")
     # payload columns stay UNSORTED but FLAT, with an order permutation:
     # lookups are random access either way, so sorting the payloads was a
     # pointless full-table take; and they must be flat because chunked

@@ -301,3 +301,58 @@ def test_hash_exchange_auto_buckets(rd):
     a = auto.to_pandas().sort_values("k").reset_index(drop=True)
     b = explicit.to_pandas().sort_values("k").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_hashed_pair_path_matches_string_path(rd):
+    """The uint64 pair path (make_blocks(hashed=True) → hl/hr exchanges →
+    hash_sharded_lookup string resolution) must produce exactly the string
+    path's pair set, in lexicographic output orientation."""
+    import numpy as np
+    import ray
+
+    from ember_ray.stages.blocking import make_blocks
+    from ember_ray.stages.pairs import attach_sides, generate_pairs
+    from ember_ray.stages.tokenize import add_tokens
+    from ember_ray.util import stable_hash64
+
+    rows = []
+    for g in range(12):
+        base = [f"tok{g}_{i}" for i in range(40)]
+        for m in range(3):
+            toks = base[: 40 - m] + [f"extra{g}_{m}_{i}" for i in range(m)]
+            rows.append({"conv_id": f"g{g:02d}_m{m}", "text": " ".join(toks)})
+    convs = add_tokens(rd.from_items(rows)).materialize()
+
+    sp = generate_pairs(
+        make_blocks(convs, num_perm=32, num_bands=8), max_block_size=8,
+        num_buckets=4,
+    ).to_pandas()
+    want = {tuple(r) for r in sp[["conv_id_left", "conv_id_right"]]
+            .itertuples(index=False)}
+
+    hp = generate_pairs(
+        make_blocks(convs, num_perm=32, num_bands=8, hashed=True),
+        max_block_size=8, num_buckets=4,
+    )
+    hdf = hp.to_pandas()
+    assert set(hdf.columns) == {"hl", "hr"}
+    assert (hdf["hl"].to_numpy() < hdf["hr"].to_numpy()).all()
+    # hash set equals the string pair set under stable_hash64
+    h = dict(zip(stable_hash64([r["conv_id"] for r in rows]),
+                 [r["conv_id"] for r in rows]))
+    got = set()
+    for a, b in hdf[["hl", "hr"]].itertuples(index=False):
+        got.add(tuple(sorted((h[np.uint64(a)], h[np.uint64(b)]))))
+    assert got == want
+
+    # attach resolves strings + payloads and restores lexicographic order
+    att = attach_sides(hp, convs, columns=("text",)).to_pandas()
+    assert (att["conv_id_left"] < att["conv_id_right"]).all()
+    got2 = {tuple(r) for r in att[["conv_id_left", "conv_id_right"]]
+            .itertuples(index=False)}
+    assert got2 == want
+    texts = {r["conv_id"]: r["text"] for r in rows}
+    assert all(att["text_left"].iloc[i] in
+               (texts[att["conv_id_left"].iloc[i]],
+                texts[att["conv_id_right"].iloc[i]])
+               for i in range(len(att)))
