@@ -63,9 +63,16 @@ def _idf_finalize(tid_all: np.ndarray, df_all: np.ndarray, n: float):
 
 
 def _idf_combine_arrays(num_docs, *partials):
-    tid_all = np.concatenate([p[0] for p in partials]) if partials else np.empty(0, np.int64)
-    df_all = np.concatenate([p[1].astype(np.float64) for p in partials]) if partials else np.empty(0, np.float64)
-    return _idf_finalize(tid_all, df_all, float(num_docs))
+    """Dense-accumulate combine: tids live in the fixed 2^20 feature
+    space, so one 8 MB float64 buffer + per-partial scatter-add replaces
+    the concat + np.unique sort over tens of millions of partial rows
+    (the old combine was a single ~4-6 s task gating every scorer actor's
+    load())."""
+    df = np.zeros(IDF_NUM_FEATURES, np.float64)
+    for tid, cnt in partials:
+        df[tid] += cnt
+    nz = np.flatnonzero(df)
+    return nz.astype(np.int64), np.log(1.0 + float(num_docs) / df[nz])
 
 
 def build_idf_async(conversations, num_docs: int):
@@ -142,6 +149,7 @@ class PairScorer:
         # 0.71), so char mode is the default; kept as a config for corpora
         # with very long tokens where char-DP cost would dominate.
         self.token_sequence_sim = token_sequence_sim
+        self.sub_t = [0.0, 0.0, 0.0]  # tokenize / jw+lev / jaccard+tfidf
         self.idf = None
         if idf_ref is not None:
             import ray
@@ -149,10 +157,13 @@ class PairScorer:
             self.idf = ray.get(idf_ref)  # broadcast table, fetched once per actor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import time as _time
+
         def col(name):
             c = batch[name]
             return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
 
+        _t0 = _time.monotonic()
         tl, tr = col("text_left"), col("text_right")
         names = batch.schema.names
         if "tokens_left" in names and "tokens_right" in names:
@@ -164,14 +175,20 @@ class PairScorer:
             from ..functions.text import tokenize_array
 
             kl, kr = tokenize_array(tl), tokenize_array(tr)
+        _t1 = _time.monotonic()
         if self.token_sequence_sim:
             jw, lev = self.kernel(
                 encode_tokens_to_string(kl), encode_tokens_to_string(kr)
             )
         else:
             jw, lev = self.kernel(tl, tr)
+        _t2 = _time.monotonic()
         # fused: one hash + one packed-unique sort per side for BOTH metrics
         jac, cos = token_pair_scores(kl, kr, self.idf, IDF_NUM_FEATURES)
+        _t3 = _time.monotonic()
+        self.sub_t[0] += _t1 - _t0
+        self.sub_t[1] += _t2 - _t1
+        self.sub_t[2] += _t3 - _t2
         w = self.weights
         score = (
             w["jaccard"] * jac
@@ -371,10 +388,12 @@ class BlockScorer:
             res = pa.concat_tables(parts)
         if prof:
             t2 = time.monotonic()
+            st = self.scorer.sub_t
             print(
                 f"SCOREPROF pid={os.getpid()} rows={n} "
                 f"attach={t1 - t0:.3f} kernel={t2 - t1:.3f} "
-                f"wall0={w0:.2f} cpu={time.process_time() - cpu0:.3f}",
+                f"wall0={w0:.2f} cpu={time.process_time() - cpu0:.3f} "
+                f"tok={st[0]:.2f} jwlev={st[1]:.2f} tps={st[2]:.2f}",
                 file=sys.stderr, flush=True,
             )
         return res

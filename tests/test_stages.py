@@ -236,6 +236,14 @@ def test_idf_build(rd):
     tid2, vals2 = build_idf(ds, num_docs=3, combine_threshold=0)
     assert (tid2 == tid).all()
     assert np.allclose(vals2, vals)
+    # async task-parallel build (dense-accumulate combine) must agree too
+    import ray
+
+    from ember_ray.stages.scoring import build_idf_async
+
+    tid3, vals3 = ray.get(build_idf_async(ds.materialize(), num_docs=3))
+    assert (tid3 == tid).all()
+    assert np.allclose(vals3, vals)
 
 
 def test_generate_pairs_salted_oversize(rd):
