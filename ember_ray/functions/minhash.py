@@ -67,6 +67,33 @@ def row_unique_groups(h: np.ndarray, offsets: np.ndarray):
     return rs[starts], hs[starts], tf, order[starts]
 
 
+def token_hash_lists(tokens: pa.Array):
+    """list<string> tokens → ``(thash, ttf)`` list columns: per-row SORTED
+    UNIQUE token hashes (list<uint64>) + term frequencies (list<int32>).
+
+    The precompute-once backbone of the hashed scorer path: tokenize+hash
+    runs once per conversation at assembly instead of once per pair side
+    (~5× per conv) in the scorer, and the per-side packed-unique sorts in
+    the pair kernels collapse to merges over these presorted lists."""
+    h, offsets = token_hashes(tokens)
+    n = len(np.asarray(offsets)) - 1
+    row, uh, tf, _ = row_unique_groups(h, offsets)
+    cnt = np.bincount(row, minlength=n) if len(row) else np.zeros(n, np.int64)
+    off = pa.array(np.concatenate([[0], np.cumsum(cnt)]).astype(np.int32),
+                   pa.int32())
+    thash = pa.ListArray.from_arrays(off, pa.array(uh, pa.uint64()))
+    ttf = pa.ListArray.from_arrays(off, pa.array(tf.astype(np.int32),
+                                                 pa.int32()))
+    return thash, ttf
+
+
+def hash_list_arrays(col, dtype=np.uint64) -> tuple[np.ndarray, np.ndarray]:
+    """list<numeric> column → (flat values as ``dtype``, int64 offsets)."""
+    lst = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return (np.asarray(lst.values, dtype=dtype) if len(lst.values)
+            else np.empty(0, dtype)), np.asarray(lst.offsets, np.int64)
+
+
 def minhash_signatures(
     tokens: pa.Array, num_perm: int = 64, seed: int = 142
 ) -> np.ndarray:

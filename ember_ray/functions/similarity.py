@@ -411,6 +411,67 @@ def token_pair_scores(
     return jac, cos
 
 
+def _packed_from_sorted_unique(h: np.ndarray, offsets: np.ndarray,
+                               tf: np.ndarray):
+    """Presorted-unique per-row hashes → (packed keys, merged tf, rep idx).
+
+    Equivalent to ``_packed_unique`` on the expanded multiset but with NO
+    sort: the rows are ascending by construction and hashes ascending
+    within each row, so ``row<<43 | hash>>21`` is already globally sorted.
+    Distinct full hashes that collide in the 43-bit packed space (adjacent
+    after packing) merge with their tf summed — the same behavior
+    ``_packed_unique`` has."""
+    n = len(offsets) - 1
+    counts = np.diff(offsets)
+    row = np.repeat(np.arange(n, dtype=np.uint64), counts)
+    pk = (row << _ROW_BITS) | (h >> np.uint64(21))
+    if len(pk) == 0:
+        return pk, tf.astype(np.float64), np.empty(0, np.int64)
+    eq = pk[1:] == pk[:-1]
+    if not eq.any():
+        return pk, tf.astype(np.float64), np.arange(len(pk))
+    starts = np.flatnonzero(np.r_[True, ~eq])
+    tfm = np.add.reduceat(tf.astype(np.float64), starts)
+    return pk[starts], tfm, starts
+
+
+def token_pair_scores_prehashed(
+    lh: np.ndarray, lo: np.ndarray, ltf: np.ndarray,
+    rh: np.ndarray, ro: np.ndarray, rtf: np.ndarray,
+    idf=None,
+    num_features: int = 1 << 20,
+):
+    """``token_pair_scores`` over PRECOMPUTED per-row sorted-unique token
+    hashes + term frequencies (the ``thash``/``ttf`` columns built once per
+    conversation at assembly): no tokenize, no hashing, and no per-side
+    packed-unique sorts — only the cross-side merges remain. Produces
+    bitwise-identical (jaccard, tfidf_cosine) to the string path given the
+    same token multisets (same 43-bit packed space, same hashing-trick IDF
+    ids)."""
+    lo = np.asarray(lo, np.int64)
+    ro = np.asarray(ro, np.int64)
+    n = len(lo) - 1
+    jac = np.empty(n, np.float64)
+    cos = np.empty(n, np.float64)
+    for s in range(0, max(n, 1), _CHUNK_ROWS):
+        e = min(n, s + _CHUNK_ROWS)
+        if e <= s:
+            break
+        hl = lh[lo[s]:lo[e]]
+        hr = rh[ro[s]:ro[e]]
+        pka, tfa, fa = _packed_from_sorted_unique(
+            hl, lo[s:e + 1] - lo[s], ltf[lo[s]:lo[e]])
+        pkb, tfb, fb = _packed_from_sorted_unique(
+            hr, ro[s:e + 1] - ro[s], rtf[ro[s]:ro[e]])
+        jac[s:e] = _jaccard_from_packed(pka, pkb, e - s)
+        ida = (hl[fa] % np.uint64(num_features)).astype(np.int64)
+        idb = (hr[fb] % np.uint64(num_features)).astype(np.int64)
+        av = tfa * idf_weights(ida, idf)
+        bv = tfb * idf_weights(idb, idf)
+        cos[s:e] = _cosine_from_packed(pka, av, pkb, bv, e - s)
+    return jac, cos
+
+
 def encode_tokens_to_string(tokens: pa.Array, alphabet: int = 1 << 14,
                             base: int = 0x4E00):
     """Encode each token as ONE unicode codepoint (hash % alphabet + base,

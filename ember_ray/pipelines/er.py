@@ -131,9 +131,12 @@ def run_er(
 
     # --- assemble + tokenize (checkpointed together: "conversations") ------
     def compute_convs():
-        # tokenize fused into the assembly reduce (one pass, one Data job)
+        # tokenize fused into the assembly reduce (one pass, one Data job);
+        # token_hashes: emit per-conv sorted-unique hash lists (thash/ttf)
+        # so blocking / IDF / scorer never re-tokenize or re-hash
         return assemble_conversations(ds, num_buckets=cfg.num_buckets,
-                                      tokenizer=cfg.tokenizer)
+                                      tokenizer=cfg.tokenizer,
+                                      token_hashes=True)
 
     if checkpointer:
         convs = timed("assemble", lambda: checkpointer.run(
@@ -153,11 +156,22 @@ def run_er(
     from ..stages.pairs import build_side_index_async
     from ..stages.scoring import build_idf_async
 
-    # text-only broadcast: shipping the tokens column too saved the
-    # scorer's re-tokenize (~40µs/pair) but tripled the index bytes and
-    # its flatten cost — measured net-negative at ≥1M conversations
+    # index payload: the MAX_SIM_CHARS text prefix (sim_prefix_prepare —
+    # JW/Lev read nothing past it; full transcripts would be ~7× the
+    # bytes) + the precomputed thash/ttf hash lists, so the scorer never
+    # tokenizes, hashes, or per-side-sorts (measured: tokenize was 31%
+    # and the per-side sorts ~half of the remaining token-kernel cost).
+    # Falls back to text-only when resuming an old tokens-schema
+    # checkpoint.
+    from ..stages.pairs import sim_prefix_prepare
+
+    conv_sch = convs.schema()
+    side_cols = (("text", "thash", "ttf")
+                 if conv_sch is not None and "thash" in conv_sch.names
+                 else ("text",))
     side_index_ref = (
-        build_side_index_async(convs, columns=("text",))
+        build_side_index_async(convs, columns=side_cols,
+                               prepare_fn=sim_prefix_prepare)
         if n_convs <= ATTACH_BROADCAST_THRESHOLD
         else None
     )

@@ -118,16 +118,24 @@ def _assemble_bucket_numeric(tbl: pa.Table) -> pa.Table:
     )
 
 
-def _assemble_bucket_arrow(tokenizer: str | None):
+def _assemble_bucket_arrow(tokenizer: str | None, token_hashes: bool = False):
     """Arrow-mode reduce: numeric group-concat + (optionally) tokenize the
     assembled text IN the reduce task. Fusing tokenize here removes a full
     second materialize pass + one Ray Data job over the conversation table
-    (~GBs at the scaling-corpus size — pure cpu-count-independent tax)."""
+    (~GBs at the scaling-corpus size — pure cpu-count-independent tax).
+
+    ``token_hashes=True`` (requires a tokenizer): emit ``thash``/``ttf``
+    (per-conversation sorted-unique token hashes + term frequencies,
+    ``functions.minhash.token_hash_lists``) INSTEAD of the ``tokens``
+    string lists — tokenize+hash runs once per conversation here, and the
+    blocking / IDF / scorer stages all consume the hash lists directly."""
     from ..functions.text import tokenize_array, tokenize_array_cjk
 
     tok = None
     if tokenizer is not None:
         tok = {"word": tokenize_array, "cjk": tokenize_array_cjk}[tokenizer]
+    if token_hashes and tok is None:
+        raise ValueError("token_hashes=True requires a tokenizer")
 
     def fn(tbl: pa.Table) -> pa.Table:
         if tbl.num_rows == 0:
@@ -143,23 +151,33 @@ def _assemble_bucket_arrow(tokenizer: str | None):
         else:
             t = _assemble_bucket_numeric(tbl)
         if tok is not None:
-            t = t.append_column("tokens", tok(t["text"]))
+            tokens = tok(t["text"])
+            if token_hashes:
+                from ..functions.minhash import token_hash_lists
+
+                thash, ttf = token_hash_lists(tokens)
+                t = t.append_column("thash", thash).append_column("ttf", ttf)
+            else:
+                t = t.append_column("tokens", tokens)
         return t
 
     return fn
 
 
 def assemble_conversations(transcripts, num_buckets: int = 64,
-                           tokenizer: str | None = None):
+                           tokenizer: str | None = None,
+                           token_hashes: bool = False):
     """transcripts Dataset → conversations Dataset (schema.CONVERSATIONS).
 
     ``tokenizer`` ("word" | "cjk"): fuse the TOKENIZED derivation into the
     assembly reduce tasks (schema.TOKENIZED output) instead of a separate
-    ``add_tokens`` pass over the materialized conversations."""
+    ``add_tokens`` pass over the materialized conversations.
+    ``token_hashes``: emit ``thash``/``ttf`` hash lists instead of token
+    strings (see ``_assemble_bucket_arrow``)."""
     return hash_exchange(
         transcripts.select_columns(["conv_id", "turn_idx", "role", "text", "tool"]),
         key="conv_id",
         num_buckets=num_buckets,
-        reduce_fn=_assemble_bucket_arrow(tokenizer),
+        reduce_fn=_assemble_bucket_arrow(tokenizer, token_hashes),
         arrow=True,
     )

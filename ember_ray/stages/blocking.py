@@ -36,7 +36,18 @@ def make_blocks(
     hash collisions exactly."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        sig = minhash_signatures(batch["tokens"], num_perm=num_perm, seed=seed)
+        if "thash" in batch.schema.names:
+            # precomputed per-conv unique token hashes: identical
+            # signatures (minhash is set-invariant) without re-tokenizing
+            # or re-hashing the corpus
+            from ..functions.minhash import (_minhash_from_hashes,
+                                             hash_list_arrays)
+
+            h, off = hash_list_arrays(batch["thash"])
+            sig = _minhash_from_hashes(h, off, num_perm, seed)
+        else:
+            sig = minhash_signatures(batch["tokens"], num_perm=num_perm,
+                                     seed=seed)
         keys = lsh_band_keys(sig, num_bands=num_bands)  # (n, bands) uint64
         conv = batch["conv_id"].combine_chunks() if isinstance(
             batch["conv_id"], pa.ChunkedArray
@@ -63,6 +74,8 @@ def make_blocks(
     # batch_size=4096: measured 2× faster than Ray's 1024 default for this
     # kernel (fewer per-batch fixed costs; the in-place minhash buffer
     # keeps memory flat regardless of batch size)
-    return conversations.select_columns(["conv_id", "tokens"]).map_batches(
+    sch = conversations.schema()
+    tok_col = "thash" if sch is not None and "thash" in sch.names else "tokens"
+    return conversations.select_columns(["conv_id", tok_col]).map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096
     )

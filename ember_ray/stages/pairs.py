@@ -218,17 +218,36 @@ def _generate_pairs_hashed(blocks, max_block_size, num_buckets, on_oversize):
 
 
 def build_side_index_async(conversations, columns=("text",),
-                           num_shards: int = 8):
+                           num_shards: int = 8, prepare_fn=None):
     """Launch the attach-side broadcast-index build as SHARDED background
     Ray tasks over the materialized conversation blocks; returns a list of
     ObjectRefs (one per hash shard) for ``util.sharded_lookup``. Call as
     soon as conversations materialize so the build overlaps blocking and
     pair-gen; sharding keeps the build parallel (a single build task was
-    ~40s at 1.8M conversations and re-serialized the pipeline)."""
+    ~40s at 1.8M conversations and re-serialized the pipeline).
+
+    ``prepare_fn(tbl) -> tbl`` runs inside each shard build task — e.g.
+    slicing ``text`` to the scorer's MAX_SIM_CHARS prefix so the index
+    stores only the bytes the scorer reads."""
     from ..util import build_sharded_index_async
 
     return build_sharded_index_async(conversations, "conv_id", list(columns),
-                                     num_shards=num_shards)
+                                     num_shards=num_shards,
+                                     prepare_fn=prepare_fn)
+
+
+def sim_prefix_prepare(tbl: pa.Table) -> pa.Table:
+    """Index-build prepare hook: keep only the MAX_SIM_CHARS text prefix —
+    JW/Levenshtein read nothing past it, and the full transcript text
+    (~900 B avg at the scaling corpus) would otherwise dominate the
+    broadcast index bytes ~7×."""
+    import pyarrow.compute as pc
+
+    from ..functions.similarity import MAX_SIM_CHARS
+
+    i = tbl.schema.get_field_index("text")
+    return tbl.set_column(
+        i, "text", pc.utf8_slice_codeunits(tbl["text"], 0, MAX_SIM_CHARS))
 
 
 def attach_sides(pairs, conversations, num_partitions: int = 32,

@@ -35,9 +35,19 @@ IDF_NUM_FEATURES = 1 << 20
 
 def _idf_partial_arrays(batch: pa.Table):
     """One block/batch → (unique tid, df) partial arrays (per-doc unique
-    via one packed single-key sort — no per-doc loop)."""
+    via one packed single-key sort — no per-doc loop). With a precomputed
+    ``thash`` column (per-doc unique hashes) the sort is skipped entirely:
+    the flat values mod the feature space ARE the per-doc tids — the same
+    values the tokens path derives."""
     from ..functions.similarity import _packed_unique
 
+    names = batch.schema.names if batch.num_rows else []
+    if batch.num_rows and "thash" in names:
+        from ..functions.minhash import hash_list_arrays
+
+        h, _ = hash_list_arrays(batch["thash"])
+        tid = (h % np.uint64(IDF_NUM_FEATURES)).astype(np.int64)
+        return np.unique(tid, return_counts=True)
     if batch.num_rows == 0 or "tokens" not in batch.schema.names:
         # empty blocks can carry an empty schema (Ray 2.49 artifact)
         return np.empty(0, np.int64), np.empty(0, np.int64)
@@ -166,7 +176,10 @@ class PairScorer:
         _t0 = _time.monotonic()
         tl, tr = col("text_left"), col("text_right")
         names = batch.schema.names
-        if "tokens_left" in names and "tokens_right" in names:
+        prehashed = "thash_left" in names and "ttf_left" in names
+        if prehashed:
+            kl = kr = None  # hashes precomputed at assembly — no tokenize
+        elif "tokens_left" in names and "tokens_right" in names:
             kl, kr = col("tokens_left"), col("tokens_right")
         else:
             # tokens are re-derived here (vectorized) rather than carried
@@ -177,14 +190,30 @@ class PairScorer:
             kl, kr = tokenize_array(tl), tokenize_array(tr)
         _t1 = _time.monotonic()
         if self.token_sequence_sim:
+            if prehashed:
+                raise ValueError(
+                    "token_sequence_sim needs token strings — incompatible "
+                    "with the prehashed (thash) attach columns")
             jw, lev = self.kernel(
                 encode_tokens_to_string(kl), encode_tokens_to_string(kr)
             )
         else:
             jw, lev = self.kernel(tl, tr)
         _t2 = _time.monotonic()
-        # fused: one hash + one packed-unique sort per side for BOTH metrics
-        jac, cos = token_pair_scores(kl, kr, self.idf, IDF_NUM_FEATURES)
+        if prehashed:
+            from ..functions.minhash import hash_list_arrays
+            from ..functions.similarity import token_pair_scores_prehashed
+
+            lh, lo = hash_list_arrays(col("thash_left"))
+            rh, ro = hash_list_arrays(col("thash_right"))
+            ltf, _ = hash_list_arrays(col("ttf_left"), dtype=np.int32)
+            rtf, _ = hash_list_arrays(col("ttf_right"), dtype=np.int32)
+            jac, cos = token_pair_scores_prehashed(
+                lh, lo, ltf, rh, ro, rtf, self.idf, IDF_NUM_FEATURES)
+        else:
+            # fused: one hash + one packed-unique sort per side for BOTH
+            # metrics
+            jac, cos = token_pair_scores(kl, kr, self.idf, IDF_NUM_FEATURES)
         _t3 = _time.monotonic()
         self.sub_t[0] += _t1 - _t0
         self.sub_t[1] += _t2 - _t1
@@ -266,6 +295,11 @@ class BlockScorer:
         self.idxs = [ray.get(r) for r in shard_refs] if shard_refs else None
         t1 = time.time()
         if self.idxs is not None:
+            # attach exactly what the index carries (insertion order:
+            # __hash/__order/__key then payload columns) — the pool is
+            # spawned before the conversation schema is known
+            self.columns = tuple(
+                k for k in self.idxs[0] if not k.startswith("__"))
             self._prewarm()
         t2 = time.time()
         if idf_ref_holder:
@@ -311,10 +345,12 @@ class BlockScorer:
         hash_sharded_lookup(self.idxs, hsample, "__key")
         n = min(len(keys[0]), self.batch_size)
         ids = keys[0].slice(0, n)
-        txt = self.idxs[0][self.columns[0]].slice(0, n)
-        warm = pa.table({"conv_id_left": ids, "conv_id_right": ids,
-                         "text_left": txt, "text_right": txt})
-        self.scorer(warm)
+        warm = {"conv_id_left": ids, "conv_id_right": ids}
+        for c in self.columns:
+            v = self.idxs[0][c].slice(0, n)
+            warm[f"{c}_left"] = v
+            warm[f"{c}_right"] = v
+        self.scorer(pa.table(warm))
 
     def _attach_hashed(self, tbl: pa.Table) -> dict:
         """uint64 hash pairs (``hl``/``hr`` from the hashed pair path) →

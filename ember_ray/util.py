@@ -411,19 +411,22 @@ def flatten_chunked(col):
     return col.combine_chunks()
 
 
-def _index_shard_build(key, columns, *tables):
+def _index_shard_build(key, columns, prepare_fn, *tables):
     """Shard task: concat this shard's slices (one per source block),
-    flatten, build a broadcast index over them."""
+    apply ``prepare_fn`` (e.g. slice payloads to what consumers actually
+    read), build a broadcast index over them."""
     live = [t for t in tables if t.num_rows]
     if not live:
         live = list(tables[:1])
     cols = [key, *columns]
     tbl = pa.concat_tables(t.select(cols) for t in live)
+    if prepare_fn is not None:
+        tbl = prepare_fn(tbl)
     return build_broadcast_index(tbl, key, columns)
 
 
 def build_sharded_index_async(ds, key: str, columns, num_shards: int = 16,
-                              seed: int = _HASH_SEED):
+                              seed: int = _HASH_SEED, prepare_fn=None):
     """Parallel broadcast-index build: split each materialized block by
     ``hash(key) % num_shards`` (the exchange splitter), then one build
     task per shard. Returns a list of ObjectRefs (one index per shard) for
@@ -439,7 +442,7 @@ def build_sharded_index_async(ds, key: str, columns, num_shards: int = 16,
     build = _cached_remote(_index_shard_build)
     outs = [split.remote(b, key, num_shards, seed) for b in blocks]
     return [
-        build.remote(key, list(columns), *[o[s] for o in outs])
+        build.remote(key, list(columns), prepare_fn, *[o[s] for o in outs])
         for s in range(num_shards)
     ]
 

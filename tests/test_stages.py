@@ -364,3 +364,40 @@ def test_hashed_pair_path_matches_string_path(rd):
                (texts[att["conv_id_left"].iloc[i]],
                 texts[att["conv_id_right"].iloc[i]])
                for i in range(len(att)))
+
+
+def test_prehashed_scorer_matches_string_path(rd):
+    """PairScorer over thash/ttf lists must produce bitwise-identical
+    features to the tokenize-in-scorer path (same 43-bit packed space,
+    same tf weights, same IDF ids)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ember_ray.functions.minhash import token_hash_lists
+    from ember_ray.functions.text import tokenize_array
+    from ember_ray.stages.scoring import PairScorer
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(50)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(3, 40)))
+             for _ in range(257)]
+    tl = pa.array(texts)
+    tr = pa.array(texts[1:] + texts[:1])
+    ids = pa.array([f"c{i}" for i in range(257)])
+    base = {"conv_id_left": ids, "conv_id_right": ids,
+            "text_left": tl, "text_right": tr}
+    thl, ttl = token_hash_lists(tokenize_array(tl))
+    thr, ttr = token_hash_lists(tokenize_array(tr))
+    hashed = dict(base, thash_left=thl, ttf_left=ttl,
+                  thash_right=thr, ttf_right=ttr)
+    # a fake idf so the cosine actually exercises the weight lookup
+    sc = PairScorer()
+    tid = np.arange(0, 1 << 20, 97, dtype=np.int64)
+    sc.idf = (tid, 1.0 + (tid % 7) / 3.0)
+    a = sc(pa.table(base))
+    b = sc(pa.table(hashed))
+    for colname in ("jaccard", "tfidf_cosine", "jaro_winkler",
+                    "levenshtein", "score"):
+        av = np.asarray(a[colname].combine_chunks())
+        bv = np.asarray(b[colname].combine_chunks())
+        assert (av == bv).all(), colname
