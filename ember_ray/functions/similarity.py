@@ -435,6 +435,41 @@ def _packed_from_sorted_unique(h: np.ndarray, offsets: np.ndarray,
     return pk[starts], tfm, starts
 
 
+def _jaccard_cosine_from_packed(pka, va, pkb, vb, n: int):
+    """Fused (jaccard, cosine) from per-side sorted-unique packed keys:
+    ONE argsort of the concatenated keys serves both the intersection
+    count and the dot product (``_jaccard_from_packed`` +
+    ``_cosine_from_packed`` each sorted the same concat — this halves the
+    merge sorts). Value-identical to calling both."""
+    ra = (pka >> _ROW_BITS).astype(np.int64)
+    rb = (pkb >> _ROW_BITS).astype(np.int64)
+    ua = np.bincount(ra, minlength=n)
+    ub = np.bincount(rb, minlength=n)
+    na2 = np.bincount(ra, weights=va * va, minlength=n)
+    nb2 = np.bincount(rb, weights=vb * vb, minlength=n)
+    keys = np.concatenate([pka, pkb])
+    vals = np.concatenate([va, vb])
+    inter = np.zeros(n, np.int64)
+    dot = np.zeros(n, np.float64)
+    if len(keys):
+        order = np.argsort(keys)
+        ks, vs = keys[order], vals[order]
+        eq = ks[1:] == ks[:-1]
+        rows_eq = (ks[1:][eq] >> _ROW_BITS).astype(np.int64)
+        inter = np.bincount(rows_eq, minlength=n)
+        dot = np.bincount(rows_eq, weights=vs[1:][eq] * vs[:-1][eq],
+                          minlength=n)
+    denom = ua + ub - inter
+    jac = np.zeros(n, np.float64)
+    nz = denom > 0
+    jac[nz] = inter[nz] / denom[nz]
+    norm = np.sqrt(na2 * nb2)
+    cos = np.zeros(n, np.float64)
+    nz = norm > 0
+    cos[nz] = dot[nz] / norm[nz]
+    return jac, cos
+
+
 def token_pair_scores_prehashed(
     lh: np.ndarray, lo: np.ndarray, ltf: np.ndarray,
     rh: np.ndarray, ro: np.ndarray, rtf: np.ndarray,
@@ -463,12 +498,12 @@ def token_pair_scores_prehashed(
             hl, lo[s:e + 1] - lo[s], ltf[lo[s]:lo[e]])
         pkb, tfb, fb = _packed_from_sorted_unique(
             hr, ro[s:e + 1] - ro[s], rtf[ro[s]:ro[e]])
-        jac[s:e] = _jaccard_from_packed(pka, pkb, e - s)
         ida = (hl[fa] % np.uint64(num_features)).astype(np.int64)
         idb = (hr[fb] % np.uint64(num_features)).astype(np.int64)
         av = tfa * idf_weights(ida, idf)
         bv = tfb * idf_weights(idb, idf)
-        cos[s:e] = _cosine_from_packed(pka, av, pkb, bv, e - s)
+        jac[s:e], cos[s:e] = _jaccard_cosine_from_packed(
+            pka, av, pkb, bv, e - s)
     return jac, cos
 
 

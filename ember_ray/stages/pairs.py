@@ -345,19 +345,22 @@ def _attach_sides_hashed(pairs, conversations, num_partitions, columns,
         )
 
         def attach(batch: pa.Table) -> pa.Table:
+            from ..util import hash_sharded_lookup_multi
+
             idxs = [ray.get(r) for r in refs]
             hl = batch["hl"].to_numpy(zero_copy_only=False)
             hr = batch["hr"].to_numpy(zero_copy_only=False)
-            l_id = hash_sharded_lookup(idxs, hl, "__key")
-            r_id = hash_sharded_lookup(idxs, hr, "__key")
-            swap = pc.greater(l_id, r_id)
+            cols = ("__key", *columns)
+            L = hash_sharded_lookup_multi(idxs, hl, cols)
+            R = hash_sharded_lookup_multi(idxs, hr, cols)
+            swap = pc.greater(L["__key"], R["__key"])
             out = {
-                "conv_id_left": pc.if_else(swap, r_id, l_id),
-                "conv_id_right": pc.if_else(swap, l_id, r_id),
+                "conv_id_left": pc.if_else(swap, R["__key"], L["__key"]),
+                "conv_id_right": pc.if_else(swap, L["__key"], R["__key"]),
             }
             for c in columns:
-                out[f"{c}_left"] = hash_sharded_lookup(idxs, hl, c)
-                out[f"{c}_right"] = hash_sharded_lookup(idxs, hr, c)
+                out[f"{c}_left"] = L[c]
+                out[f"{c}_right"] = R[c]
             c0 = columns[0]
             if out[f"{c0}_left"].null_count or out[f"{c0}_right"].null_count:
                 raise ValueError(

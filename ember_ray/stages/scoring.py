@@ -361,20 +361,21 @@ class BlockScorer:
         two id columns need swapping)."""
         import pyarrow.compute as pc
 
-        from ..util import hash_sharded_lookup
+        from ..util import hash_sharded_lookup_multi
 
         hl = tbl["hl"].to_numpy(zero_copy_only=False)
         hr = tbl["hr"].to_numpy(zero_copy_only=False)
-        l_id = hash_sharded_lookup(self.idxs, hl, "__key")
-        r_id = hash_sharded_lookup(self.idxs, hr, "__key")
-        swap = pc.greater(l_id, r_id)
+        cols = ("__key", *self.columns)
+        L = hash_sharded_lookup_multi(self.idxs, hl, cols)
+        R = hash_sharded_lookup_multi(self.idxs, hr, cols)
+        swap = pc.greater(L["__key"], R["__key"])
         out = {
-            "conv_id_left": pc.if_else(swap, r_id, l_id),
-            "conv_id_right": pc.if_else(swap, l_id, r_id),
+            "conv_id_left": pc.if_else(swap, R["__key"], L["__key"]),
+            "conv_id_right": pc.if_else(swap, L["__key"], R["__key"]),
         }
         for c in self.columns:
-            out[f"{c}_left"] = hash_sharded_lookup(self.idxs, hl, c)
-            out[f"{c}_right"] = hash_sharded_lookup(self.idxs, hr, c)
+            out[f"{c}_left"] = L[c]
+            out[f"{c}_right"] = R[c]
         return out
 
     def score_block(self, tbl: pa.Table) -> pa.Table:

@@ -549,6 +549,56 @@ def hash_sharded_lookup(shard_indexes, qh: np.ndarray, column: str) -> pa.Array:
     return vals.take(pa.array(inv))
 
 
+def hash_sharded_lookup_multi(shard_indexes, qh: np.ndarray,
+                              columns) -> dict:
+    """``hash_sharded_lookup`` for several columns at once: the routing
+    argsort + per-shard binary search run ONCE and every column reuses the
+    resolved row indices (the searches were the per-column fixed cost)."""
+    import pyarrow.compute as pc
+
+    S = len(shard_indexes)
+    qh = np.ascontiguousarray(qh, dtype=np.uint64)
+    qb = (qh % np.uint64(S)).astype(np.int64)
+    order = np.argsort(qb, kind="stable")
+    inv = np.empty_like(order)
+    inv[order] = np.arange(len(order))
+    qs = qh[order]
+    bounds = np.searchsorted(qb[order], np.arange(S + 1))
+    parts: dict = {c: [] for c in columns}
+    for s in range(S):
+        n = bounds[s + 1] - bounds[s]
+        if n == 0:
+            continue
+        idx = shard_indexes[s]
+        sl = qs[bounds[s]:bounds[s + 1]]
+        H = idx["__hash"]
+        if len(H) == 0:
+            for c in columns:
+                parts[c].append(pa.nulls(int(n), idx[c].type))
+            continue
+        pos = np.searchsorted(H, sl)
+        pos = np.clip(pos, 0, len(H) - 1)
+        rows = pa.array(idx["__order"][pos])
+        hit = pa.array(H[pos] == sl)
+        miss = not np.asarray(hit).all()
+        for c in columns:
+            vals = idx[c].take(rows)
+            parts[c].append(
+                pc.if_else(hit, vals, pa.nulls(int(n), vals.type))
+                if miss else vals)
+    out = {}
+    inv_a = pa.array(inv)
+    for c in columns:
+        if not parts[c]:
+            out[c] = pa.nulls(0, shard_indexes[0][c].type)
+            continue
+        vals = pa.concat_arrays(
+            [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+             for p in parts[c]])
+        out[c] = vals.take(inv_a)
+    return out
+
+
 def build_broadcast_index(table, key: str, columns: list[str]):
     """Build a zero-copy-broadcastable lookup index from a (small-side)
     pandas DataFrame or Arrow table: rows sorted by ``stable_hash64(key)``.
