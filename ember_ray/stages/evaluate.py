@@ -24,27 +24,29 @@ def _broadcast_attach(pairs, entities, gold):
     stage)."""
     import ray
 
-    from ..util import broadcast_lookup, build_broadcast_index, dataset_to_arrow
+    from ..util import build_sharded_index_async, sharded_lookup
 
-    # two independent indexes (no driver-side pandas merge — that outer
-    # merge on 10^5-row string keys was pure constant time on the driver)
-    ent_tbl = dataset_to_arrow(entities.materialize())
-    gld_tbl = dataset_to_arrow(
-        gold.select_columns(["conv_id", "cluster_id"]).materialize()
-    )
-    eref = ray.put(build_broadcast_index(ent_tbl, "conv_id", ["entity_id"]))
-    gref = ray.put(build_broadcast_index(gld_tbl, "conv_id", ["cluster_id"]))
+    # two independent SHARDED indexes built by parallel background tasks
+    # over the materialized blocks — the old driver-side gather + index
+    # build was ~2-3 s of cpu-count-independent serial time at 1.8M rows
+    # (no driver-side pandas merge either — that outer merge on 10^5-row
+    # string keys was pure constant time on the driver)
+    erefs = build_sharded_index_async(
+        entities.materialize(), "conv_id", ["entity_id"], num_shards=8)
+    grefs = build_sharded_index_async(
+        gold.select_columns(["conv_id", "cluster_id"]).materialize(),
+        "conv_id", ["cluster_id"], num_shards=8)
 
     def attach(batch: pa.Table) -> pa.Table:
-        eidx = ray.get(eref)
-        gidx = ray.get(gref)
+        eidx = [ray.get(r) for r in erefs]
+        gidx = [ray.get(r) for r in grefs]
         l, r = batch["conv_id_left"], batch["conv_id_right"]
         return pa.table(
             {
-                "entity_left": broadcast_lookup(eidx, l, "entity_id"),
-                "entity_right": broadcast_lookup(eidx, r, "entity_id"),
-                "cluster_left": broadcast_lookup(gidx, l, "cluster_id"),
-                "cluster_right": broadcast_lookup(gidx, r, "cluster_id"),
+                "entity_left": sharded_lookup(eidx, l, "entity_id"),
+                "entity_right": sharded_lookup(eidx, r, "entity_id"),
+                "cluster_left": sharded_lookup(gidx, l, "cluster_id"),
+                "cluster_right": sharded_lookup(gidx, r, "cluster_id"),
             }
         )
 
