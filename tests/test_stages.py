@@ -401,3 +401,30 @@ def test_prehashed_scorer_matches_string_path(rd):
         av = np.asarray(a[colname].combine_chunks())
         bv = np.asarray(b[colname].combine_chunks())
         assert (av == bv).all(), colname
+
+
+def test_hashed_pair_salt_matches_string_path(rd):
+    """Salted oversize blocks: the hashed path's cid % k salt must select
+    the same sub-block members as the string path's bucket_of(conv_id, k)
+    (cid IS stable_hash64(conv_id)), so the pair sets agree."""
+    import numpy as np
+
+    from ember_ray.stages.pairs import generate_pairs
+    from ember_ray.util import stable_hash64
+
+    ids = [f"conv{i:03d}" for i in range(23)]
+    rows = [{"block_key": "HOT", "conv_id": c} for c in ids]
+    ds = rd.from_items(rows)
+    sp = generate_pairs(ds, max_block_size=4, num_buckets=2,
+                        on_oversize="salt").to_pandas()
+    want = {tuple(r) for r in sp[["conv_id_left", "conv_id_right"]]
+            .itertuples(index=False)}
+
+    h = stable_hash64(ids)
+    hrows = [{"block_key": np.uint64(7), "cid": v} for v in h]
+    hp = generate_pairs(rd.from_items(hrows), max_block_size=4,
+                        num_buckets=2, on_oversize="salt").to_pandas()
+    m = dict(zip(h, ids))
+    got = {tuple(sorted((m[np.uint64(a)], m[np.uint64(b)])))
+           for a, b in hp[["hl", "hr"]].itertuples(index=False)}
+    assert got == want and len(got) > 0
