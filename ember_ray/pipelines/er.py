@@ -133,10 +133,13 @@ def run_er(
     def compute_convs():
         # tokenize fused into the assembly reduce (one pass, one Data job);
         # token_hashes: emit per-conv sorted-unique hash lists (thash/ttf)
-        # so blocking / IDF / scorer never re-tokenize or re-hash
-        return assemble_conversations(ds, num_buckets=cfg.num_buckets,
-                                      tokenizer=cfg.tokenizer,
-                                      token_hashes=True)
+        # so blocking / IDF / scorer never re-tokenize or re-hash; bands:
+        # MinHash-LSH band keys in the same pass, so pair-gen needs no
+        # make_blocks job over the materialized conversations at all
+        return assemble_conversations(
+            ds, num_buckets=cfg.num_buckets, tokenizer=cfg.tokenizer,
+            token_hashes=True,
+            bands=(cfg.num_perm, cfg.num_bands, cfg.seed))
 
     if checkpointer:
         convs = timed("assemble", lambda: checkpointer.run(
@@ -192,18 +195,29 @@ def run_er(
 
     # --- blocking + pair generation (checkpointed: "pairs") ----------------
     def compute_pairs():
-        # materialize at the all-to-all boundary: Ray 2.49's streaming
-        # executor otherwise pipelines INTO the next shuffle and the
-        # overlapping shuffle aggregators contend for cores (measured
-        # 45s fused vs 31s staged for this chain at 16 cpus, 60k corpus);
-        # the intermediate block table is compact (uint64 band keys)
-        # hashed=True: the pair path runs on uint64 stable_hash64(conv_id)
-        # keys (16 B/pair through both exchanges); strings are resolved at
-        # score time from the sharded index (collision-checked at build)
-        blocks = make_blocks(
-            convs, num_perm=cfg.num_perm, num_bands=cfg.num_bands,
-            seed=cfg.seed, hashed=True,
-        ).materialize()
+        # hashed path: the pair exchanges run on uint64
+        # stable_hash64(conv_id) keys (16 B/pair); strings are resolved at
+        # score time from the sharded index (collision-checked at build).
+        # With precomputed band keys on the conversations, BLOCKS is just
+        # raw explode tasks chained straight into the exchange splits —
+        # no make_blocks Data job, no barrier (vs. Ray-Data shuffles,
+        # which DO need the staging barrier — see er.compute_pairs r1
+        # note); fallback recomputes bands for old-schema checkpoints
+        import ray.data as rd
+
+        conv_sch2 = convs.schema()
+        if conv_sch2 is not None and "bands" in conv_sch2.names:
+            from ..stages.blocking import explode_bands
+            from ..util import _cached_remote
+
+            ex = _cached_remote(explode_bands)
+            blocks = rd.from_arrow_refs(
+                [ex.remote(r) for r in convs.to_arrow_refs()])
+        else:
+            blocks = make_blocks(
+                convs, num_perm=cfg.num_perm, num_bands=cfg.num_bands,
+                seed=cfg.seed, hashed=True,
+            ).materialize()
         return generate_pairs(
             blocks, max_block_size=cfg.max_block_size,
             num_buckets=cfg.num_buckets, on_oversize=cfg.on_oversize,
@@ -225,10 +239,13 @@ def run_er(
         for a in pool:
             ray.kill(a)
 
-    # --- threshold → edges → transitive clustering -------------------------
-    edges = edges_from_scores(scored, threshold=cfg.threshold)
-    comps = timed("cluster", lambda: connected_components(
-        edges, num_buckets=cfg.num_buckets, num_partitions=cfg.num_partitions,
+    # --- threshold → edges → transitive clustering (fused: thresholding
+    # + node hashing run inside raw tasks over the scored blocks) ----------
+    from ..stages.cluster import connected_components_from_scored
+
+    comps = timed("cluster", lambda: connected_components_from_scored(
+        scored, cfg.threshold, num_buckets=cfg.num_buckets,
+        num_partitions=cfg.num_partitions,
         driver_threshold=cfg.cc_driver_threshold,
     ))
     entities = assign_entities(convs, comps, num_partitions=cfg.num_partitions)

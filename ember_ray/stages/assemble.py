@@ -118,7 +118,8 @@ def _assemble_bucket_numeric(tbl: pa.Table) -> pa.Table:
     )
 
 
-def _assemble_bucket_arrow(tokenizer: str | None, token_hashes: bool = False):
+def _assemble_bucket_arrow(tokenizer: str | None, token_hashes: bool = False,
+                           bands: tuple | None = None):
     """Arrow-mode reduce: numeric group-concat + (optionally) tokenize the
     assembled text IN the reduce task. Fusing tokenize here removes a full
     second materialize pass + one Ray Data job over the conversation table
@@ -136,6 +137,8 @@ def _assemble_bucket_arrow(tokenizer: str | None, token_hashes: bool = False):
         tok = {"word": tokenize_array, "cjk": tokenize_array_cjk}[tokenizer]
     if token_hashes and tok is None:
         raise ValueError("token_hashes=True requires a tokenizer")
+    if bands is not None and not token_hashes:
+        raise ValueError("bands requires token_hashes=True")
 
     def fn(tbl: pa.Table) -> pa.Table:
         if tbl.num_rows == 0:
@@ -159,6 +162,26 @@ def _assemble_bucket_arrow(tokenizer: str | None, token_hashes: bool = False):
                 t = t.append_column("thash", thash).append_column("ttf", ttf)
             else:
                 t = t.append_column("tokens", tokens)
+        if bands is not None and t.num_rows:
+            # fuse MinHash-LSH band keys into the same pass: the thash
+            # flats are in hand, and a separate make_blocks Data job over
+            # the materialized conversations (re-reading the token lists
+            # from plasma + one more job startup + barrier) disappears
+            from ..functions.minhash import (_minhash_from_hashes,
+                                             hash_list_arrays,
+                                             lsh_band_keys)
+
+            num_perm, num_bands, seed = bands
+            h, off = hash_list_arrays(t["thash"])
+            sig = _minhash_from_hashes(h, off, num_perm, seed)
+            keys = lsh_band_keys(sig, num_bands)  # (n, bands) uint64
+            t = t.append_column(
+                "bands",
+                pa.FixedSizeListArray.from_arrays(
+                    pa.array(keys.ravel(), pa.uint64()), num_bands))
+        elif bands is not None:
+            t = t.append_column(
+                "bands", pa.array([], pa.list_(pa.uint64(), bands[1])))
         return t
 
     return fn
@@ -166,18 +189,21 @@ def _assemble_bucket_arrow(tokenizer: str | None, token_hashes: bool = False):
 
 def assemble_conversations(transcripts, num_buckets: int = 64,
                            tokenizer: str | None = None,
-                           token_hashes: bool = False):
+                           token_hashes: bool = False,
+                           bands: tuple | None = None):
     """transcripts Dataset → conversations Dataset (schema.CONVERSATIONS).
 
     ``tokenizer`` ("word" | "cjk"): fuse the TOKENIZED derivation into the
     assembly reduce tasks (schema.TOKENIZED output) instead of a separate
     ``add_tokens`` pass over the materialized conversations.
     ``token_hashes``: emit ``thash``/``ttf`` hash lists instead of token
-    strings (see ``_assemble_bucket_arrow``)."""
+    strings (see ``_assemble_bucket_arrow``).
+    ``bands``: ``(num_perm, num_bands, seed)`` — also fuse the MinHash-LSH
+    band keys into the pass (column ``bands``, fixed_size_list<uint64>)."""
     return hash_exchange(
         transcripts.select_columns(["conv_id", "turn_idx", "role", "text", "tool"]),
         key="conv_id",
         num_buckets=num_buckets,
-        reduce_fn=_assemble_bucket_arrow(tokenizer, token_hashes),
+        reduce_fn=_assemble_bucket_arrow(tokenizer, token_hashes, bands),
         arrow=True,
     )

@@ -19,6 +19,30 @@ import pyarrow as pa
 from ..functions.minhash import lsh_band_keys, minhash_signatures
 
 
+def explode_bands(tbl: pa.Table) -> pa.Table:
+    """One conversation block WITH a precomputed ``bands`` column
+    (fixed_size_list<uint64>, from ``assemble_conversations(bands=...)``)
+    → BLOCKS rows ``(block_key, cid)``. Pure reshape — run as a raw Ray
+    task per conversation block so the pair exchange's split tasks chain
+    directly on its outputs with no Data job or barrier in between."""
+    from ..util import stable_hash64
+
+    if tbl.num_rows == 0:
+        return pa.table({"block_key": pa.array([], pa.uint64()),
+                         "cid": pa.array([], pa.uint64())})
+    col = tbl["bands"]
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    nb = col.type.list_size
+    keys = np.asarray(col.flatten(), dtype=np.uint64)  # slice-safe
+    cid = stable_hash64(tbl["conv_id"])
+    return pa.table(
+        {
+            "block_key": pa.array(keys, pa.uint64()),
+            "cid": pa.array(np.repeat(cid, nb), pa.uint64()),
+        }
+    )
+
+
 def make_blocks(
     conversations,
     num_perm: int = 64,

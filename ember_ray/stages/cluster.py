@@ -50,7 +50,7 @@ def _driver_cc(edges) -> "pa.Table":
     Hash collisions can only merge two components (odds ≈ n²/2^64 ≈ 1e-6
     at 4M nodes — below the noise of any downstream metric and
     deterministic across runs/parallelism since the hash is seeded)."""
-    import polars as pl
+    import ray
 
     from ..util import _cached_remote
 
@@ -58,10 +58,14 @@ def _driver_cc(edges) -> "pa.Table":
     # pairs (16 B/edge) + per-block pre-deduped (hash, node) maps instead
     # of the full string edge list (~50 B/edge) — the gather + driver-side
     # hashing of 8.6M strings was ~2-3 s of cpu-count-independent time
-    import ray
-
     ext = _cached_remote(_cc_extract_block)
     parts = ray.get([ext.remote(r) for r in edges.to_arrow_refs()])
+    return _driver_cc_from_parts(parts)
+
+
+def _driver_cc_from_parts(parts) -> "pa.Table":
+    import polars as pl
+
     parts = [p for p in parts if p is not None]
     if not parts:
         return _CC_EMPTY.empty_table()
@@ -90,6 +94,52 @@ def _driver_cc(edges) -> "pa.Table":
     return out.to_arrow().cast(
         pa.schema([("node", pa.string()), ("label", pa.string())])
     )
+
+
+def connected_components_from_scored(scored, threshold: float,
+                                     num_buckets: int = 32,
+                                     num_partitions: int = 32,
+                                     max_rounds: int = 25,
+                                     driver_threshold: int = 2_000_000):
+    """``connected_components`` fused over the materialized SCORED blocks:
+    thresholding + node hashing run inside one raw task per scored block,
+    so the driver path needs no separate edges Data job or edge-table
+    materialization. Falls back to the distributed min-label path (via a
+    lazy ``edges_from_scores``) when the thresholded edge count exceeds
+    ``driver_threshold``."""
+    import ray
+    import ray.data as rd
+
+    from ..util import _cached_remote
+
+    ext = _cached_remote(_cc_extract_scored)
+    parts = ray.get(
+        [ext.remote(r, threshold) for r in scored.to_arrow_refs()])
+    live = [p for p in parts if p is not None]
+    n_edges = sum(len(p[0]) for p in live)
+    if n_edges == 0:
+        return rd.from_arrow(_CC_EMPTY.empty_table())
+    if n_edges <= driver_threshold:
+        return rd.from_arrow(_driver_cc_from_parts(live))
+    from .scoring import edges_from_scores
+
+    return connected_components(
+        edges_from_scores(scored, threshold=threshold),
+        num_buckets=num_buckets, num_partitions=num_partitions,
+        max_rounds=max_rounds, driver_threshold=0,
+    )
+
+
+def _cc_extract_scored(tbl: pa.Table, threshold: float):
+    """One SCORED block → thresholded edge hash arrays + node map
+    (the fused threshold+hash extract)."""
+    import pyarrow.compute as pc
+
+    if tbl.num_rows == 0:
+        return None
+    keep = tbl.filter(pc.greater_equal(tbl["score"], pa.scalar(threshold)))
+    return _cc_extract_block(
+        pa.table({"src": keep["conv_id_left"], "dst": keep["conv_id_right"]}))
 
 
 def _cc_extract_block(tbl: pa.Table):

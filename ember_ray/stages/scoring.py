@@ -378,7 +378,8 @@ class BlockScorer:
             out[f"{c}_right"] = R[c]
         return out
 
-    def score_block(self, tbl: pa.Table) -> pa.Table:
+    def score_block(self, tbl: pa.Table, start: int = 0,
+                    length: int | None = None) -> pa.Table:
         import os
         import sys
         import time
@@ -386,6 +387,8 @@ class BlockScorer:
         from ..schema import SCORED_PAIRS
         from ..util import sharded_lookup
 
+        if length is not None:
+            tbl = tbl.slice(start, length)  # zero-copy sub-block dispatch
         if tbl.num_rows == 0:
             return SCORED_PAIRS.empty_table()
         prof = os.environ.get("GRAFT_SCORE_PROF")
@@ -488,11 +491,24 @@ def score_with_pool(pairs, pool):
         from ..schema import SCORED_PAIRS
 
         return rd.from_arrow(SCORED_PAIRS.empty_table())
+    # split oversized blocks into zero-copy slices so the LPT schedule's
+    # last wave has no multi-second straggler (the slice happens inside
+    # the actor — only (ref, start, len) travels)
+    total = sum(r for _, r in blocks)
+    cap = max(4096, -(-total // (len(pool) * 4)))
+    units: list[tuple] = []
+    for ref, rows in blocks:
+        if rows <= cap:
+            units.append((ref, 0, None, rows))
+        else:
+            for s in range(0, rows, cap):
+                n = min(cap, rows - s)
+                units.append((ref, s, n, n))
     loads = [0] * len(pool)
     outs = []
-    for ref, rows in sorted(blocks, key=lambda b: -b[1]):
+    for ref, s, ln, rows in sorted(units, key=lambda u: -u[3]):
         i = loads.index(min(loads))
-        outs.append(pool[i].score_block.remote(ref))
+        outs.append(pool[i].score_block.remote(ref, s, ln))
         loads[i] += rows + 1
     if prof:
         print(f"POOLPROF dispatched n={len(outs)} at={time.time():.2f}",
