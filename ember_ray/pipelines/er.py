@@ -138,8 +138,7 @@ def run_er(
         # make_blocks job over the materialized conversations at all
         return assemble_conversations(
             ds, num_buckets=cfg.num_buckets, tokenizer=cfg.tokenizer,
-            token_hashes=True,
-            bands=(cfg.num_perm, cfg.num_bands, cfg.seed))
+            token_hashes=True)
 
     if checkpointer:
         convs = timed("assemble", lambda: checkpointer.run(
@@ -206,13 +205,14 @@ def run_er(
         import ray.data as rd
 
         conv_sch2 = convs.schema()
-        if conv_sch2 is not None and "bands" in conv_sch2.names:
-            from ..stages.blocking import explode_bands
+        if conv_sch2 is not None and "thash" in conv_sch2.names:
+            from ..stages.blocking import make_blocks_task
             from ..util import _cached_remote
 
-            ex = _cached_remote(explode_bands)
+            mb = _cached_remote(make_blocks_task)
             blocks = rd.from_arrow_refs(
-                [ex.remote(r) for r in convs.to_arrow_refs()])
+                [mb.remote(r, cfg.num_perm, cfg.num_bands, cfg.seed)
+                 for r in convs.to_arrow_refs()])
         else:
             blocks = make_blocks(
                 convs, num_perm=cfg.num_perm, num_bands=cfg.num_bands,

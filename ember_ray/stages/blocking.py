@@ -19,6 +19,34 @@ import pyarrow as pa
 from ..functions.minhash import lsh_band_keys, minhash_signatures
 
 
+def make_blocks_task(tbl: pa.Table, num_perm: int, num_bands: int,
+                     seed: int) -> pa.Table:
+    """``make_blocks(hashed=True)`` as ONE raw-task kernel over a whole
+    conversation block — run via ``ray.remote`` per materialized conv
+    block so the pair exchange's splits chain directly on the outputs (no
+    Data job, no barrier). Fusing the MinHash INTO the assembly reduce
+    was measured WORSE (+9 s at 16 cpus: the reduces are already
+    bandwidth-saturated by concat+sort+join; the permutation matmuls
+    inflate super-linearly there), so blocking keeps its own execution
+    window."""
+    from ..functions.minhash import _minhash_from_hashes, hash_list_arrays
+    from ..util import stable_hash64
+
+    if tbl.num_rows == 0:
+        return pa.table({"block_key": pa.array([], pa.uint64()),
+                         "cid": pa.array([], pa.uint64())})
+    h, off = hash_list_arrays(tbl["thash"])
+    sig = _minhash_from_hashes(h, off, num_perm, seed)
+    keys = lsh_band_keys(sig, num_bands)
+    cid = stable_hash64(tbl["conv_id"])
+    return pa.table(
+        {
+            "block_key": pa.array(keys.ravel(), pa.uint64()),
+            "cid": pa.array(np.repeat(cid, num_bands), pa.uint64()),
+        }
+    )
+
+
 def explode_bands(tbl: pa.Table) -> pa.Table:
     """One conversation block WITH a precomputed ``bands`` column
     (fixed_size_list<uint64>, from ``assemble_conversations(bands=...)``)
