@@ -316,6 +316,41 @@ def batch_jaccard_hashes(lh: np.ndarray, lo: np.ndarray,
     return out
 
 
+def batch_jaccard_sorted_sets(lh: np.ndarray, lo: np.ndarray,
+                              rh: np.ndarray, ro: np.ndarray) -> np.ndarray:
+    """Exact full-width set Jaccard per pair over PRESORTED-UNIQUE per-row
+    hash lists (e.g. the dedup pipelines' ``th`` columns): the four
+    per-side argsorts of ``_exact_unique`` vanish — only the cross-side
+    merge (two stable single-key argsorts) remains. Value-identical to
+    ``batch_jaccard_hashes(exact=True)`` on the same multisets."""
+    lo = np.asarray(lo, np.int64)
+    ro = np.asarray(ro, np.int64)
+    n = len(lo) - 1
+    if n <= 0:
+        return np.empty(0, np.float64)
+    ua = np.diff(lo)
+    ub = np.diff(ro)
+    rows = np.concatenate([
+        np.repeat(np.arange(n, dtype=np.int64), ua),
+        np.repeat(np.arange(n, dtype=np.int64), ub),
+    ])
+    hashes = np.concatenate([lh[lo[0]:lo[n]], rh[ro[0]:ro[n]]])
+    if len(hashes):
+        o1 = np.argsort(hashes, kind="stable")
+        o2 = np.argsort(rows[o1], kind="stable")
+        order = o1[o2]
+        rs, hs = rows[order], hashes[order]
+        eq = (rs[1:] == rs[:-1]) & (hs[1:] == hs[:-1])
+        inter = np.bincount(rs[1:][eq], minlength=n)
+    else:
+        inter = np.zeros(n, np.int64)
+    denom = ua + ub - inter
+    out = np.zeros(n, np.float64)
+    nz = denom > 0
+    out[nz] = inter[nz] / denom[nz]
+    return out
+
+
 def batch_jaccard(left_tokens: pa.Array, right_tokens: pa.Array) -> np.ndarray:
     """Vectorized-ish token-set Jaccard over list<string> pair columns.
 

@@ -23,7 +23,8 @@ from ..functions.minhash import (
     minhash_signatures,
     simhash,
 )
-from ..functions.similarity import batch_jaccard, batch_jaccard_hashes
+from ..functions.similarity import (batch_jaccard, batch_jaccard_hashes,
+                                    batch_jaccard_sorted_sets)
 from ..functions.text import tokenize_array
 from ..util import bucketed_group_map, bucketed_join
 
@@ -34,27 +35,41 @@ def _round6(x: np.ndarray) -> np.ndarray:
     return np.rint(x * 1e6) / 1e6
 
 
+def _sorted_unique_lists(h: np.ndarray, offsets) -> "pa.ListArray":
+    """flat (hashes, offsets) → list<uint64> of per-row SORTED UNIQUE
+    values. The verify kernels compute SET Jaccard, so storing the set
+    (a) shrinks the per-pair attach payload (long near-dup docs repeat
+    tokens/shingles heavily) and (b) lets the exact-width kernel skip all
+    per-side sorts (``batch_jaccard_sorted_sets``)."""
+    from ..functions.minhash import row_unique_groups
+
+    offsets = np.asarray(offsets, np.int64)
+    n = len(offsets) - 1
+    row, uh, _, _ = row_unique_groups(h, offsets)
+    cnt = np.bincount(row, minlength=n) if len(row) else np.zeros(n, np.int64)
+    off = np.concatenate([[0], np.cumsum(cnt)]).astype(np.int32)
+    return pa.ListArray.from_arrays(pa.array(off, pa.int32()),
+                                    pa.array(uh, pa.uint64()))
+
+
 def _token_hash_column(t: pa.Table) -> pa.Table:
-    """documents batch → (doc_id, th: list<uint64> token hashes)."""
+    """documents batch → (doc_id, th: sorted-unique list<uint64> token
+    hash sets)."""
     from ..functions.minhash import token_hashes
 
     h, offsets = token_hashes(tokenize_array(t["text"]))
-    th = pa.ListArray.from_arrays(
-        pa.array(np.asarray(offsets, np.int64), pa.int32()), pa.array(h, pa.uint64())
-    )
-    return pa.table({"doc_id": t["doc_id"], "th": th})
+    return pa.table({"doc_id": t["doc_id"],
+                     "th": _sorted_unique_lists(h, offsets)})
 
 
 def _shingle_hash_column(k: int):
-    """documents batch fn → (doc_id, th: list<uint64> char-shingle ids)."""
+    """documents batch fn → (doc_id, th: sorted-unique list<uint64>
+    char-shingle id sets)."""
 
     def fn(t: pa.Table) -> pa.Table:
         h, offsets = char_shingle_hashes(t["text"], k=k)
-        th = pa.ListArray.from_arrays(
-            pa.array(np.asarray(offsets, np.int64), pa.int32()),
-            pa.array(h, pa.uint64()),
-        )
-        return pa.table({"doc_id": t["doc_id"], "th": th})
+        return pa.table({"doc_id": t["doc_id"],
+                         "th": _sorted_unique_lists(h, offsets)})
 
     return fn
 
@@ -238,7 +253,7 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8, num_perm: int = 64,
     def verify(t: pa.Table) -> pa.Table:
         lh, lo = _flat_hashes(t["th_left"])
         rh, ro = _flat_hashes(t["th_right"])
-        jac = batch_jaccard_hashes(lh, lo, rh, ro)
+        jac = batch_jaccard_sorted_sets(lh, lo, rh, ro)
         keep = jac >= threshold
         return pa.table(
             {
@@ -248,7 +263,8 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8, num_perm: int = 64,
             }
         )
 
-    return with_th.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+    return with_th.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True,
+                                 batch_size=4096)
 
 
 # ---------------------------------------------------------------- simhash
@@ -308,7 +324,8 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 12, num_buckets: int = 16):
             }
         )
 
-    return with_fp.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+    return with_fp.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True,
+                                 batch_size=4096)
 
 
 # ---------------------------------------------------------- n-gram jaccard
@@ -344,7 +361,7 @@ def dedup_ngram(sf_dir: str, k: int = 5, threshold: float = 0.55,
     def verify(t: pa.Table) -> pa.Table:
         lh, lo = _flat_hashes(t["th_left"])
         rh, ro = _flat_hashes(t["th_right"])
-        jac = batch_jaccard_hashes(lh, lo, rh, ro)
+        jac = batch_jaccard_sorted_sets(lh, lo, rh, ro)
         keep = jac >= threshold
         return pa.table(
             {
@@ -354,7 +371,8 @@ def dedup_ngram(sf_dir: str, k: int = 5, threshold: float = 0.55,
             }
         )
 
-    return with_th.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+    return with_th.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True,
+                                 batch_size=4096)
 
 
 # ------------------------------------------------------- embedding cosine
@@ -412,4 +430,5 @@ def dedup_embedding(sf_dir: str, threshold: float = 0.35, num_buckets: int = 16)
             }
         )
 
-    return joined.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+    return joined.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True,
+                                 batch_size=4096)

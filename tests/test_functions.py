@@ -250,3 +250,37 @@ def test_char_shingle_hashes_matches_reference():
     assert len(h2) == 2 and len(h3) == 6
     assert h2[0] == h3[0] and h2[1] == h3[5]  # same content, same id
     assert h3[2] not in set(h2.tolist())      # straddler "cdefg" absent
+
+
+def test_batch_jaccard_sorted_sets_matches_exact():
+    """The presorted-set kernel must be value-identical to the exact-width
+    multiset path on the same underlying token lists."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ember_ray.functions.similarity import (batch_jaccard_hashes,
+                                                batch_jaccard_sorted_sets)
+    from ember_ray.pipelines.dedup import _sorted_unique_lists
+
+    rng = np.random.default_rng(3)
+    rows_l, rows_r = [], []
+    for _ in range(300):
+        rows_l.append(rng.integers(0, 40, size=rng.integers(0, 60)))
+        rows_r.append(rng.integers(0, 40, size=rng.integers(0, 60)))
+
+    def pack(rows):
+        flat = np.concatenate([r for r in rows]) if rows else np.empty(0)
+        h = (flat.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+        off = np.concatenate([[0], np.cumsum([len(r) for r in rows])])
+        return h, off.astype(np.int64)
+
+    lh, lo = pack(rows_l)
+    rh, ro = pack(rows_r)
+    want = batch_jaccard_hashes(lh, lo, rh, ro, exact=True)
+
+    ul = _sorted_unique_lists(lh, lo)
+    ur = _sorted_unique_lists(rh, ro)
+    got = batch_jaccard_sorted_sets(
+        np.asarray(ul.values, np.uint64), np.asarray(ul.offsets, np.int64),
+        np.asarray(ur.values, np.uint64), np.asarray(ur.offsets, np.int64))
+    assert (got == want).all()
