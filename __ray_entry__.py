@@ -211,6 +211,34 @@ def _q_er_conversations(sf_dir: str):
     return assemble_conversations(_as_dataset(corpus), num_buckets=16)
 
 
+def _q_dedup_simhash_verify(sf_dir: str):
+    """dedup_simhash with the candidate pair ids + fingerprint table
+    exported so DuckDB independently recomputes the verify stage —
+    ``bit_count(xor(fp_a, fp_b)) <= k`` is pure integer arithmetic, so
+    parity is exact. The sketch/banding candidate generation has no SQL
+    equivalent (covered by pytest)."""
+    import os
+
+    from ember_ray.pipelines import dedup
+
+    return dedup.dedup_simhash(
+        sf_dir, export=os.path.join(_SIDE_DIR, "simhash"))
+
+
+def _q_dedup_embedding_verify(sf_dir: str):
+    """dedup_embedding with the candidate pair ids exported so DuckDB
+    independently recomputes the cosine verify over the embeddings table
+    (``list_cosine_similarity`` with both sides cast ::DOUBLE[] — the
+    ann_topk float32 lesson). The random-hyperplane bucket generation has
+    no SQL equivalent (covered by pytest)."""
+    import os
+
+    from ember_ray.pipelines import dedup
+
+    return dedup.dedup_embedding(
+        sf_dir, export_candidates=os.path.join(_SIDE_DIR, "emb_candidates"))
+
+
 def _q_dedup_minhash_verify(sf_dir: str):
     """dedup_minhash with the candidate pair ids exported so DuckDB
     independently recomputes the verify stage (exact token Jaccard ≥ τ)
@@ -390,8 +418,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": dedup.dedup_minhash,               # rows-only
         "dedup_minhash_verify": _q_dedup_minhash_verify,    # verify-stage oracle
         "dedup_simhash": dedup.dedup_simhash,               # rows-only
+        "dedup_simhash_verify": _q_dedup_simhash_verify,    # verify-stage oracle
         "dedup_ngram": dedup.dedup_ngram,                   # rows-only
         "dedup_embedding": dedup.dedup_embedding,           # rows-only
+        "dedup_embedding_verify": _q_dedup_embedding_verify,  # verify oracle
         # --- similarity search -------------------------------------------
         "ann_topk": ann.ann_topk,
         "ann_topk_lsh": ann.ann_topk_lsh,                   # rows-only
@@ -563,6 +593,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id_left, doc_id_right, "
             "round(jac * 1000000) / 1000000 AS jaccard "
             "FROM j WHERE jac >= 0.8"
+        ),
+        "dedup_simhash_verify": (
+            # verify-stage recompute: integer hamming over the exported
+            # fingerprints — exact parity (no floats involved)
+            "WITH cand AS (SELECT * FROM "
+            f"read_parquet('{_SIDE_DIR}/simhash/candidates/*.parquet')), "
+            "f AS (SELECT doc_id, fp FROM "
+            f"read_parquet('{_SIDE_DIR}/simhash/fps/*.parquet')), "
+            "j AS (SELECT c.doc_id_left, c.doc_id_right, "
+            "bit_count(xor(a.fp, b.fp))::BIGINT AS hamming FROM cand c "
+            "JOIN f a ON a.doc_id = c.doc_id_left "
+            "JOIN f b ON b.doc_id = c.doc_id_right) "
+            "SELECT doc_id_left, doc_id_right, hamming "
+            "FROM j WHERE hamming <= 12"
+        ),
+        "dedup_embedding_verify": (
+            # cosine recompute over exported candidates; ::DOUBLE[] casts
+            # (DuckDB's list_cosine_similarity over FLOAT[] returns
+            # float32 — the ann_topk lesson) + the shared round-at-1e6
+            "WITH cand AS (SELECT * FROM "
+            f"read_parquet('{_SIDE_DIR}/emb_candidates/*.parquet')), "
+            "j AS (SELECT c.vec_id_left, c.vec_id_right, "
+            "list_cosine_similarity(a.embedding::DOUBLE[], "
+            "b.embedding::DOUBLE[]) AS cos FROM cand c "
+            "JOIN embeddings a ON a.vec_id = c.vec_id_left "
+            "JOIN embeddings b ON b.vec_id = c.vec_id_right) "
+            "SELECT vec_id_left, vec_id_right, "
+            "round(cos * 1000000) / 1000000 AS cosine "
+            "FROM j WHERE cos >= 0.35"
         ),
         "filter_project": (
             "SELECT doc_id, lang, n_chars FROM documents "

@@ -268,13 +268,20 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8, num_perm: int = 64,
 
 
 # ---------------------------------------------------------------- simhash
-def dedup_simhash(sf_dir: str, max_hamming: int = 12, num_buckets: int = 16):
+def dedup_simhash(sf_dir: str, max_hamming: int = 12, num_buckets: int = 16,
+                  export: str | None = None):
     """SimHash near-dup: 64-bit fingerprints, candidates via 4×16-bit
     band buckets (any shared band ⇒ candidate), verify Hamming ≤ k.
 
     Fingerprints are computed ONCE into a materialized (doc_id, fp) table
     (16 B/row); both the band exploder and the verify-side attach read
-    from it — the text is tokenized exactly once per document."""
+    from it — the text is tokenized exactly once per document.
+
+    ``export``: optional dir — persist the candidate pair ids AND the
+    fingerprint table so an external oracle (DuckDB) independently
+    recomputes the verify stage: ``bit_count(xor(fp_a, fp_b)) <= k`` is
+    pure integer arithmetic, so parity is exact (the sketch/banding
+    itself has no SQL equivalent)."""
     docs = _docs(sf_dir)
 
     fps = docs.map_batches(
@@ -308,6 +315,13 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 12, num_buckets: int = 16):
 
     blocks = fps.map_batches(band_fn, batch_format="pyarrow", zero_copy_batch=True)
     pairs = _pairs_from_blocks(blocks, "doc_id", num_buckets)
+    if export is not None:
+        import shutil
+
+        pairs = pairs.materialize()
+        shutil.rmtree(export, ignore_errors=True)
+        pairs.write_parquet(os.path.join(export, "candidates"))
+        fps.write_parquet(os.path.join(export, "fps"))
     with_fp = _attach_pair_sides(pairs, fps, "doc_id", ["fp"], num_buckets)
 
     def verify(t: pa.Table) -> pa.Table:
@@ -376,7 +390,8 @@ def dedup_ngram(sf_dir: str, k: int = 5, threshold: float = 0.55,
 
 
 # ------------------------------------------------------- embedding cosine
-def dedup_embedding(sf_dir: str, threshold: float = 0.35, num_buckets: int = 16):
+def dedup_embedding(sf_dir: str, threshold: float = 0.35, num_buckets: int = 16,
+                    export_candidates: str | None = None):
     """Embedding-cosine near-dup: random-hyperplane LSH buckets (8-bit sign
     sketch of the normalized vector) → candidate pairs within bucket →
     exact cosine verify. The sign sketch is the scale path; brute-force
@@ -403,6 +418,12 @@ def dedup_embedding(sf_dir: str, threshold: float = 0.35, num_buckets: int = 16)
 
     blocks = emb.map_batches(block_fn, batch_format="pyarrow", zero_copy_batch=True)
     pairs = _pairs_from_blocks(blocks, "vec_id", num_buckets, cap=4096)
+    if export_candidates is not None:
+        import shutil
+
+        pairs = pairs.materialize()
+        shutil.rmtree(export_candidates, ignore_errors=True)
+        pairs.write_parquet(export_candidates)
 
     joined = _attach_pair_sides(pairs, emb, "vec_id", ["embedding"],
                                 num_buckets)
