@@ -428,3 +428,28 @@ def test_hashed_pair_salt_matches_string_path(rd):
     got = {tuple(sorted((m[np.uint64(a)], m[np.uint64(b)])))
            for a, b in hp[["hl", "hr"]].itertuples(index=False)}
     assert got == want and len(got) > 0
+
+
+def test_cc_from_scored_both_paths(rd):
+    """connected_components_from_scored: the fused driver path and the
+    distributed fallback (driver_threshold=0) must agree with the
+    edge-dataset API on thresholded scored input."""
+    scored = rd.from_items(
+        [
+            {"conv_id_left": "a", "conv_id_right": "b", "score": 0.9},
+            {"conv_id_left": "b", "conv_id_right": "c", "score": 0.95},
+            {"conv_id_left": "c", "conv_id_right": "d", "score": 0.2},  # cut
+            {"conv_id_left": "e", "conv_id_right": "f", "score": 0.8},
+        ]
+    )
+    from ember_ray.stages.cluster import connected_components_from_scored
+
+    for thr in (2_000_000, 0):
+        labels = connected_components_from_scored(
+            scored, 0.7, num_buckets=4, num_partitions=4,
+            driver_threshold=thr,
+        ).to_pandas()
+        lab = dict(zip(labels["node"], labels["label"]))
+        assert lab["a"] == lab["b"] == lab["c"] == "a"
+        assert "d" not in lab
+        assert lab["e"] == lab["f"] == "e"
