@@ -112,15 +112,20 @@ def connected_components_from_scored(scored, threshold: float,
 
     from ..util import _cached_remote
 
-    ext = _cached_remote(_cc_extract_scored)
-    parts = ray.get(
-        [ext.remote(r, threshold) for r in scored.to_arrow_refs()])
-    live = [p for p in parts if p is not None]
-    n_edges = sum(len(p[0]) for p in live)
+    # num_returns=2: the driver gathers ONLY the tiny per-block edge
+    # counts first; the payload refs stay in the object store until the
+    # size check passes — at 10^12-turn scale the thresholded edge set
+    # exceeds any driver, and gathering it before deciding would OOM
+    ext = _cached_remote(_cc_extract_scored, num_returns=2)
+    pairs_of_refs = [ext.remote(r, threshold) for r in scored.to_arrow_refs()]
+    counts = ray.get([c for c, _ in pairs_of_refs])
+    n_edges = sum(counts)
     if n_edges == 0:
         return rd.from_arrow(_CC_EMPTY.empty_table())
     if n_edges <= driver_threshold:
-        return rd.from_arrow(_driver_cc_from_parts(live))
+        parts = ray.get([p for (_, p), c in zip(pairs_of_refs, counts)
+                         if c > 0])
+        return rd.from_arrow(_driver_cc_from_parts(parts))
     from .scoring import edges_from_scores
 
     return connected_components(
@@ -131,15 +136,18 @@ def connected_components_from_scored(scored, threshold: float,
 
 
 def _cc_extract_scored(tbl: pa.Table, threshold: float):
-    """One SCORED block → thresholded edge hash arrays + node map
-    (the fused threshold+hash extract)."""
+    """One SCORED block → ``(edge_count, payload)`` where payload is the
+    thresholded edge hash arrays + node map (the fused threshold+hash
+    extract). Two returns so the driver can gather counts without
+    touching payloads."""
     import pyarrow.compute as pc
 
     if tbl.num_rows == 0:
-        return None
+        return 0, None
     keep = tbl.filter(pc.greater_equal(tbl["score"], pa.scalar(threshold)))
-    return _cc_extract_block(
+    part = _cc_extract_block(
         pa.table({"src": keep["conv_id_left"], "dst": keep["conv_id_right"]}))
+    return (0, None) if part is None else (len(part[0]), part)
 
 
 def _cc_extract_block(tbl: pa.Table):
