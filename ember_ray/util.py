@@ -138,6 +138,14 @@ def hash_exchange(ds, key: str, num_buckets: int | None, reduce_fn,
     mat = ds if isinstance(ds, MaterializedDataset) else ds.materialize()
     if num_buckets is None:
         num_buckets = _auto_buckets(mat, target_bucket_bytes)
+    else:
+        # a tuned bucket count is a parallelism hint, not a memory
+        # contract: reduce tasks concat their whole bucket, so when the
+        # input outgrows caller config the memory rule wins (results are
+        # bucket-count-invariant — tested)
+        by_mem = -(-(mat.size_bytes() or 0) // max(1, target_bucket_bytes))
+        if by_mem > num_buckets:
+            num_buckets = int(min(1024, by_mem))
     blocks = list(mat.to_arrow_refs())
     if not blocks:
         sch = mat.schema()

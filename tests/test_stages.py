@@ -453,3 +453,35 @@ def test_cc_from_scored_both_paths(rd):
         assert lab["a"] == lab["b"] == lab["c"] == "a"
         assert "d" not in lab
         assert lab["e"] == lab["f"] == "e"
+
+
+def test_hash_exchange_bumps_undersized_bucket_config(rd):
+    """An explicit num_buckets too small for the input bytes is bumped by
+    the memory rule (reduce tasks concat whole buckets), with identical
+    results."""
+    import pyarrow as pa
+
+    from ember_ray.util import hash_exchange
+
+    n = 20_000
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([f"k{i % 997}" for i in range(n)]),
+                "v": pa.array(list(range(n)), pa.int64()),
+            }
+        )
+    ).materialize()
+
+    def agg(df):
+        g = df.groupby("k", sort=False)["v"]
+        import pandas as pd
+
+        return pd.DataFrame({"k": g.min().index, "v_min": g.min().to_numpy()})
+
+    bumped = hash_exchange(ds, "k", 2, agg, target_bucket_bytes=4096)
+    assert bumped.materialize().num_blocks() > 2  # memory rule won
+    plain = hash_exchange(ds, "k", 2, agg)
+    a = bumped.to_pandas().sort_values("k").reset_index(drop=True)
+    b = plain.to_pandas().sort_values("k").reset_index(drop=True)
+    assert a.equals(b)
