@@ -384,7 +384,8 @@ def _q_bench_pairs_imbalanced(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from ember_ray.pipelines import ann, dedup, multimodal, relational, textops
+    from ember_ray.pipelines import (ann, dedup, multimodal, relational,
+                                     temporal, textops)
 
     return {
         # --- relational operators (SURVEY §2; oracle-checked) -------------
@@ -405,6 +406,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_clean": relational.regex_clean,              # M6/F3
         "overlap_stats": relational.overlap_stats,          # A5
         "window_agg": relational.window_agg,                # windowed agg
+        # --- temporal custom operators (no native Ray Data form) ----------
+        "asof_join": temporal.asof_join,                    # as-of join
+        "range_join": temporal.range_join,                  # time-range join
+        "sessionize": temporal.sessionize,                  # session windows
         # --- text analysis ------------------------------------------------
         "token_count": textops.token_count,
         "quality_scores": textops.quality_scores,
@@ -698,6 +703,39 @@ def oracle_sql() -> dict[str, str]:
             "SELECT date_trunc('hour', ts) AS window_start, event_type, "
             "count(*) AS n, round(sum(value) * 100) / 100 AS sum_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "asof_join": (
+            "SELECT p.event_id, p.user_id, p.ts, "
+            "v.ts AS last_view_ts, v.value AS last_view_value "
+            "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+            "ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v "
+            "ON p.user_id = v.user_id AND p.ts > v.ts"
+        ),
+        "range_join": (
+            "SELECT p.event_id, p.user_id, p.ts, "
+            "count(c.ts) AS n_prior_24h, "
+            "round(coalesce(sum(c.value), 0) * 100) / 100 AS sum_value_24h "
+            "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+            "LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c "
+            "ON c.user_id = p.user_id AND c.ts >= p.ts - INTERVAL 24 HOUR "
+            "AND c.ts < p.ts "
+            "GROUP BY p.event_id, p.user_id, p.ts"
+        ),
+        "sessionize": (
+            "WITH g AS ("
+            "  SELECT user_id, ts, value, CASE WHEN lag(ts) OVER w IS NULL "
+            "    OR ts - lag(ts) OVER w > INTERVAL 6 HOUR THEN 1 ELSE 0 END "
+            "    AS brk FROM events WINDOW w AS "
+            "    (PARTITION BY user_id ORDER BY ts)"
+            "), s AS ("
+            "  SELECT user_id, ts, value, sum(brk) OVER "
+            "    (PARTITION BY user_id ORDER BY ts "
+            "     ROWS UNBOUNDED PRECEDING) AS session_seq FROM g"
+            ") SELECT user_id, session_seq::BIGINT AS session_seq, "
+            "min(ts) AS session_start, max(ts) AS session_end, "
+            "count(*)::BIGINT AS n_events, "
+            "round(sum(value) * 100) / 100 AS sum_value "
+            "FROM s GROUP BY user_id, session_seq"
         ),
         "token_count": (
             "SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens "

@@ -1,0 +1,106 @@
+"""Temporal operators (as-of join / range join / sessionize): semantics vs
+an independent pandas reference, bucket-count invariance, and the packed
+(user, ts) key overflow guard."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(df.columns)
+    return (df[cols].sort_values(cols, kind="mergesort")
+            .reset_index(drop=True))
+
+
+def _events() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF_DIR}/events.parquet")
+
+
+def _assert_matches(ds, ref: pd.DataFrame):
+    got = ds.to_pandas()
+    pd.testing.assert_frame_equal(
+        _sorted(got), _sorted(ref), check_dtype=False)
+
+
+def test_asof_join_matches_pandas_merge_asof(ray_session):
+    from ember_ray.pipelines.temporal import asof_join
+
+    ev = _events()
+    p = ev[ev.event_type == "purchase"].sort_values("ts")
+    v = ev[ev.event_type == "view"].sort_values("ts")
+    ref = pd.merge_asof(
+        p[["event_id", "user_id", "ts"]],
+        v[["user_id", "ts", "value"]].rename(
+            columns={"ts": "last_view_ts", "value": "last_view_value"}),
+        left_on="ts", right_on="last_view_ts", by="user_id",
+        allow_exact_matches=False,
+    ).dropna(subset=["last_view_ts"])
+    _assert_matches(asof_join(SF_DIR), ref)
+
+
+def test_range_join_matches_bruteforce(ray_session):
+    from ember_ray.pipelines.temporal import range_join
+    from ember_ray.pipelines.temporal import RANGE_WINDOW_US
+
+    ev = _events()
+    p = ev[ev.event_type == "purchase"]
+    c = ev[ev.event_type == "click"]
+    rows = []
+    for _, r in p.iterrows():  # brute force is the point of the oracle
+        w = c[(c.user_id == r.user_id)
+              & (c.ts >= r.ts - pd.Timedelta(microseconds=RANGE_WINDOW_US))
+              & (c.ts < r.ts)]
+        rows.append((r.event_id, r.user_id, r.ts, len(w),
+                     np.rint(w.value.sum() * 100) / 100))
+    ref = pd.DataFrame(rows, columns=[
+        "event_id", "user_id", "ts", "n_prior_24h", "sum_value_24h"])
+    _assert_matches(range_join(SF_DIR), ref)
+
+
+def test_sessionize_matches_pandas(ray_session):
+    from ember_ray.pipelines.temporal import SESSION_GAP_US, sessionize
+
+    ev = _events().sort_values(["user_id", "ts"])
+    gap = pd.Timedelta(microseconds=SESSION_GAP_US)
+    brk = (ev.groupby("user_id")["ts"].diff() > gap) | \
+        ev["user_id"].ne(ev["user_id"].shift())
+    ev = ev.assign(_s=brk.cumsum())
+    ref = ev.groupby(["user_id", "_s"], sort=True).agg(
+        session_start=("ts", "min"), session_end=("ts", "max"),
+        n_events=("ts", "size"), sum_value=("value", "sum"),
+    ).reset_index()
+    ref["sum_value"] = np.rint(ref["sum_value"] * 100) / 100
+    ref["session_seq"] = ref.groupby("user_id").cumcount() + 1
+    ref = ref.drop(columns="_s")
+    _assert_matches(sessionize(SF_DIR), ref)
+
+
+def test_bucket_count_invariance(ray_session):
+    """Results must not depend on the exchange fan-out (partitioning is an
+    executor choice, not a semantic)."""
+    import ember_ray.pipelines.temporal as t
+
+    base = _sorted(t.sessionize(SF_DIR).to_pandas())
+    orig = t.bucketed_group_map
+
+    def forced(ds, key, fn, num_buckets, **kw):
+        return orig(ds, key=key, fn=fn, num_buckets=7, **kw)
+
+    t.bucketed_group_map = forced
+    try:
+        alt = _sorted(t.sessionize(SF_DIR).to_pandas())
+    finally:
+        t.bucketed_group_map = orig
+    pd.testing.assert_frame_equal(base, alt)
+
+
+def test_packed_key_overflow_guard():
+    from ember_ray.pipelines.temporal import _key_layout
+
+    users = np.arange(1 << 21, dtype=np.int64)
+    ts = np.array([0, (1 << 44) - 1], dtype=np.int64)  # 44-bit range
+    with pytest.raises(ValueError, match="overflow"):
+        _key_layout(users, users[:0], ts)
