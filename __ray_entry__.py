@@ -239,6 +239,31 @@ def _q_dedup_embedding_verify(sf_dir: str):
         sf_dir, export_candidates=os.path.join(_SIDE_DIR, "emb_candidates"))
 
 
+def _q_ann_lsh_verify(sf_dir: str):
+    """ann_topk_lsh with the merged candidate ids exported so DuckDB
+    independently recomputes the cosines (::DOUBLE[] casts + the shared
+    round-at-1e6) and re-derives the global top-k with the same
+    (cosine DESC, vec_id ASC) ordering. The sign-sketch bucket probe has
+    no SQL equivalent (recall is pytest-gated vs the exact path)."""
+    import os
+
+    from ember_ray.pipelines import ann
+
+    return ann.ann_topk_lsh(
+        sf_dir, export_candidates=os.path.join(_SIDE_DIR, "ann_lsh_candidates"))
+
+
+def _q_ann_ivf_verify(sf_dir: str):
+    """ann_topk_ivf with exported candidates — same verify contract as
+    :func:`_q_ann_lsh_verify` for the IVF probe path."""
+    import os
+
+    from ember_ray.pipelines import ann
+
+    return ann.ann_topk_ivf(
+        sf_dir, export_candidates=os.path.join(_SIDE_DIR, "ann_ivf_candidates"))
+
+
 def _q_dedup_minhash_verify(sf_dir: str):
     """dedup_minhash with the candidate pair ids exported so DuckDB
     independently recomputes the verify stage (exact token Jaccard ≥ τ)
@@ -430,6 +455,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search -------------------------------------------
         "ann_topk": ann.ann_topk,
         "ann_topk_lsh": ann.ann_topk_lsh,                   # rows-only
+        "ann_topk_lsh_verify": _q_ann_lsh_verify,           # verify-stage oracle
+        "ann_topk_ivf": ann.ann_topk_ivf,                   # rows-only
+        "ann_topk_ivf_verify": _q_ann_ivf_verify,           # verify-stage oracle
         # --- multimodal plumbing -----------------------------------------
         "mm_payload_sizes": multimodal.payload_sizes,
         "mm_features": multimodal.mm_features,              # rows-only
@@ -627,6 +655,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id_left, vec_id_right, "
             "round(cos * 1000000) / 1000000 AS cosine "
             "FROM j WHERE cos >= 0.35"
+        ),
+        "ann_topk_lsh_verify": (
+            "WITH cand AS (SELECT query_id, vec_id FROM "
+            f"read_parquet('{_SIDE_DIR}/ann_lsh_candidates/*.parquet')), "
+            "j AS (SELECT c.query_id, c.vec_id, "
+            "round(list_cosine_similarity(q.embedding::DOUBLE[], "
+            "v.embedding::DOUBLE[]) * 1000000) / 1000000 AS cosine "
+            "FROM cand c JOIN embeddings q ON q.vec_id = c.query_id "
+            "JOIN embeddings v ON v.vec_id = c.vec_id), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+            "ORDER BY cosine DESC, vec_id) AS rn FROM j) "
+            "SELECT query_id, vec_id, cosine FROM r WHERE rn <= 10"
+        ),
+        "ann_topk_ivf_verify": (
+            "WITH cand AS (SELECT query_id, vec_id FROM "
+            f"read_parquet('{_SIDE_DIR}/ann_ivf_candidates/*.parquet')), "
+            "j AS (SELECT c.query_id, c.vec_id, "
+            "round(list_cosine_similarity(q.embedding::DOUBLE[], "
+            "v.embedding::DOUBLE[]) * 1000000) / 1000000 AS cosine "
+            "FROM cand c JOIN embeddings q ON q.vec_id = c.query_id "
+            "JOIN embeddings v ON v.vec_id = c.vec_id), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+            "ORDER BY cosine DESC, vec_id) AS rn FROM j) "
+            "SELECT query_id, vec_id, cosine FROM r WHERE rn <= 10"
         ),
         "filter_project": (
             "SELECT doc_id, lang, n_chars FROM documents "
