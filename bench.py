@@ -118,7 +118,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     sf = _sf_of(sf_dir)
     corpus = _corpus(max(100, int(60_000 * sf)))
     _init_ray(num_cpus)
-    from ember_ray.pipelines import ann, dedup, relational
+    from ember_ray.pipelines import ann, dedup, relational, temporal
     from ember_ray.pipelines.er import run_er
 
     _warm_cache(sf_dir)
@@ -143,10 +143,16 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     timed("topk", lambda: relational.topk(sf_dir).to_pandas())
     timed("window_agg", lambda: relational.window_agg(sf_dir).to_pandas())
 
+    # --- temporal custom operators ------------------------------------------
+    timed("asof_join", lambda: temporal.asof_join(sf_dir).count())
+    timed("range_join", lambda: temporal.range_join(sf_dir).count())
+    timed("sessionize", lambda: temporal.sessionize(sf_dir).count())
+
     # --- training-data ops --------------------------------------------------
     timed("dedup_exact", lambda: dedup.dedup_exact(sf_dir).count())
     timed("dedup_minhash", lambda: dedup.dedup_minhash(sf_dir).count())
     timed("ann_topk", lambda: ann.ann_topk(sf_dir).count())
+    timed("ann_topk_ivf", lambda: ann.ann_topk_ivf(sf_dir).count())
 
     ray.shutdown()
 
