@@ -101,7 +101,7 @@ def run_er(
         gp = os.path.join(transcripts, "gold_clusters.parquet")
         if os.path.exists(gp):
             gold = rd.read_parquet(gp)
-    ds = _as_dataset(transcripts)
+    ds = None if isinstance(transcripts, str) else _as_dataset(transcripts)
 
     # scorer pool FIRST: actor process spawn + module imports (~3-4 core-s
     # each, measured ~20 s wall for 16 actors under load) overlap the
@@ -130,6 +130,12 @@ def run_er(
         return out
 
     # --- assemble + tokenize (checkpointed together: "conversations") ------
+    # path inputs assemble via the fused parquet read+split exchange (the
+    # decoded turns never round-trip plasma as whole read-job blocks)
+    assemble_input = transcripts if isinstance(transcripts, str) else ds
+    if isinstance(assemble_input, str) and os.path.isdir(assemble_input):
+        assemble_input = os.path.join(assemble_input, "transcripts.parquet")
+
     def compute_convs():
         # tokenize fused into the assembly reduce (one pass, one Data job);
         # token_hashes: emit per-conv sorted-unique hash lists (thash/ttf)
@@ -137,8 +143,8 @@ def run_er(
         # MinHash-LSH band keys in the same pass, so pair-gen needs no
         # make_blocks job over the materialized conversations at all
         return assemble_conversations(
-            ds, num_buckets=cfg.num_buckets, tokenizer=cfg.tokenizer,
-            token_hashes=True)
+            assemble_input, num_buckets=cfg.num_buckets,
+            tokenizer=cfg.tokenizer, token_hashes=True)
 
     if checkpointer:
         convs = timed("assemble", lambda: checkpointer.run(

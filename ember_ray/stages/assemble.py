@@ -187,11 +187,20 @@ def _assemble_bucket_arrow(tokenizer: str | None, token_hashes: bool = False,
     return fn
 
 
+_TURN_COLS = ["conv_id", "turn_idx", "role", "text", "tool"]
+
+
 def assemble_conversations(transcripts, num_buckets: int = 64,
                            tokenizer: str | None = None,
                            token_hashes: bool = False,
                            bands: tuple | None = None):
-    """transcripts Dataset → conversations Dataset (schema.CONVERSATIONS).
+    """transcripts Dataset OR parquet path → conversations Dataset
+    (schema.CONVERSATIONS).
+
+    A ``str`` input (transcripts parquet file/dir) takes the fused
+    read+split exchange (``util.hash_exchange_parquet``): parquet decode
+    happens INSIDE the split tasks, skipping the read job's full plasma
+    round trip of the decoded turns and one Data-job startup.
 
     ``tokenizer`` ("word" | "cjk"): fuse the TOKENIZED derivation into the
     assembly reduce tasks (schema.TOKENIZED output) instead of a separate
@@ -200,10 +209,18 @@ def assemble_conversations(transcripts, num_buckets: int = 64,
     strings (see ``_assemble_bucket_arrow``).
     ``bands``: ``(num_perm, num_bands, seed)`` — also fuse the MinHash-LSH
     band keys into the pass (column ``bands``, fixed_size_list<uint64>)."""
+    reduce_fn = _assemble_bucket_arrow(tokenizer, token_hashes, bands)
+    if isinstance(transcripts, str):
+        from ..util import hash_exchange_parquet
+
+        return hash_exchange_parquet(
+            transcripts, _TURN_COLS, key="conv_id",
+            num_buckets=num_buckets, reduce_fn=reduce_fn, arrow=True,
+        )
     return hash_exchange(
-        transcripts.select_columns(["conv_id", "turn_idx", "role", "text", "tool"]),
+        transcripts.select_columns(_TURN_COLS),
         key="conv_id",
         num_buckets=num_buckets,
-        reduce_fn=_assemble_bucket_arrow(tokenizer, token_hashes, bands),
+        reduce_fn=reduce_fn,
         arrow=True,
     )

@@ -73,22 +73,42 @@ def _driver_cc_from_parts(parts) -> "pa.Table":
     hdst = np.concatenate([p[1] for p in parts])
     nh = np.concatenate([p[2] for p in parts])
     nstr = pa.concat_arrays([p[3] for p in parts])
-    uh, first_idx = np.unique(nh, return_index=True)
-    nodes = nstr.take(pa.array(first_idx))  # representative per hash
-    n = len(uh)
-    src = np.searchsorted(uh, hsrc)
-    dst = np.searchsorted(uh, hdst)
+    m = len(hsrc)
+    # dense node ids via MULTITHREADED polars hash unique+join — the
+    # single-threaded np.unique + 2×searchsorted renumber was the whole
+    # cluster-stage tail at 3M edges (measured ~3.0s vs ~0.6s here), a
+    # cpu-count-constant that capped scaling efficiency. Ids are
+    # assignment-order arbitrary: the final component label is the min
+    # conv_id STRING per component, so output is id-order independent.
+    dfu = (pl.DataFrame({"h": nh, "node": pl.from_arrow(nstr)})
+           .unique(subset="h", maintain_order=True)
+           .with_row_index("i"))
+    inv = (pl.DataFrame({"h": np.concatenate([hsrc, hdst])})
+           .join(dfu.select(["h", "i"]), on="h", how="left",
+                 maintain_order="left")["i"]
+           .to_numpy().astype(np.int64))
+    src, dst = inv[:m], inv[m:]
+    n = dfu.height
     lab = np.arange(n, dtype=np.int64)
+    # preallocated round buffers: fresh ~85 MB of temporaries per round
+    # re-pays the cold-page tax every iteration (CLAUDE.md lesson)
+    old = np.empty_like(lab)
+    jump = np.empty_like(lab)
+    ls = np.empty(m, np.int64)
+    ld = np.empty(m, np.int64)
     while True:
-        old = lab.copy()
-        m = np.minimum(lab[src], lab[dst])
-        np.minimum.at(lab, src, m)
-        np.minimum.at(lab, dst, m)
-        lab = lab[lab]  # pointer jump: halves chain length per round
+        np.copyto(old, lab)
+        np.take(lab, src, out=ls)
+        np.take(lab, dst, out=ld)
+        np.minimum(ls, ld, out=ls)
+        np.minimum.at(lab, src, ls)
+        np.minimum.at(lab, dst, ls)
+        np.take(lab, lab, out=jump)  # pointer jump: halves chain length
+        lab, jump = jump, lab
         if np.array_equal(lab, old):
             break
-    # component id (min hash index) → min conv_id string of the component
-    dfp = pl.DataFrame({"comp": lab, "node": pl.from_arrow(nodes)})
+    # component id → min conv_id string of the component
+    dfp = dfu.select(["node"]).with_columns(pl.Series("comp", lab))
     rep = dfp.group_by("comp").agg(pl.col("node").min().alias("label"))
     out = dfp.join(rep, on="comp", how="left").select(["node", "label"])
     return out.to_arrow().cast(

@@ -37,6 +37,28 @@ def test_assembly_per_turn_text_equality(rd, tiny_corpus):
     assert (convs.set_index("conv_id")["n_turns"].sort_index() == nt.sort_index()).all()
 
 
+def test_assembly_fused_parquet_path_matches_dataset(rd, tiny_corpus):
+    """The fused read+split exchange (str path input) must be byte-equal
+    to the Dataset-input path, including the thash/ttf token columns."""
+    from ember_ray.stages.assemble import assemble_conversations
+
+    path = f"{tiny_corpus}/transcripts.parquet"
+    via_ds = assemble_conversations(
+        rd.read_parquet(path), num_buckets=8, tokenizer="word",
+        token_hashes=True).to_pandas()
+    via_path = assemble_conversations(
+        path, num_buckets=8, tokenizer="word", token_hashes=True).to_pandas()
+    a = via_ds.sort_values("conv_id", kind="mergesort").reset_index(drop=True)
+    b = via_path.sort_values("conv_id", kind="mergesort").reset_index(drop=True)
+    assert list(a.columns) == list(b.columns)
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if a[c].dtype == object and len(a) and isinstance(av[0], np.ndarray):
+            assert all(np.array_equal(x, y) for x, y in zip(av, bv))
+        else:
+            assert (av == bv).all()
+
+
 def test_tokenize_stage(rd):
     from ember_ray.stages.tokenize import add_tokens
 
