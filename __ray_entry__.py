@@ -410,7 +410,7 @@ def _q_bench_pairs_imbalanced(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from ember_ray.pipelines import (ann, dedup, multimodal, relational,
-                                     temporal, textops)
+                                     sketches, temporal, textops)
 
     return {
         # --- relational operators (SURVEY §2; oracle-checked) -------------
@@ -435,6 +435,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": temporal.asof_join,                    # as-of join
         "range_join": temporal.range_join,                  # time-range join
         "sessionize": temporal.sessionize,                  # session windows
+        # --- sketches / one-pass summaries (extension; see sketches.py) ---
+        "distinct_count": sketches.distinct_count,
+        "distinct_count_hll": sketches.distinct_count_hll,  # rows-only sketch
+        "group_quantiles": sketches.group_quantiles,
         # --- text analysis ------------------------------------------------
         "token_count": textops.token_count,
         "quality_scores": textops.quality_scores,
@@ -511,6 +515,17 @@ def oracle_sql() -> dict[str, str]:
         "WHEN fr >= es THEN 'fr' ELSE 'es' END AS lang_pred FROM c"
     )
     return {
+        "distinct_count": (
+            "SELECT count(DISTINCT user_id) AS n_distinct FROM events"
+        ),
+        "group_quantiles": (
+            # interpolation + rounding recipe mirrored in
+            # sketches._quantile_cont / _round recipe (CLAUDE.md)
+            "SELECT event_type, count(*) AS n, "
+            "round(quantile_cont(value, 0.5) * 1000000) / 1000000 AS p50, "
+            "round(quantile_cont(value, 0.95) * 1000000) / 1000000 AS p95 "
+            "FROM events GROUP BY event_type"
+        ),
         "lang_id": lang_sql,
         "fingerprints": (
             f"SELECT doc_id, md5({norm}) AS fp FROM documents"

@@ -1,0 +1,190 @@
+"""Cardinality / quantile operators over the driver testdata tables.
+
+Extensions beyond the reference (which has no sketching — its statistics
+scripts compute exact pandas counts, ``scripts/statistics/stat_ali.py:9-20``):
+at 100 TB a training-data pipeline needs mergeable one-pass summaries —
+distinct counts (vocabulary sizes, unique-user counts) and quantiles
+(latency / length distributions) — that never materialize the full value
+set on any single worker.
+
+Three operators:
+
+* ``distinct_count`` — EXACT count-distinct, scale-shaped: per-block
+  unique (map-side volume reduction) → one hash exchange on the value →
+  per-bucket unique count → tiny sum. No single task ever sees more than
+  one hash bucket of distinct values. Oracle: ``count(DISTINCT ...)``.
+* ``distinct_count_hll`` — HyperLogLog sketch (Flajolet et al. 2007,
+  the one-pass mergeable scale path): each batch folds into a 2^p-register
+  array (16 KiB at p=14), partials merge by element-wise max — a shuffle
+  of 16 KiB rows regardless of input size. Deterministic (stable_hash64),
+  but not SQL-expressible → rows-only, accuracy pytest-gated against the
+  exact count (expected rel. std. err. 1.04/sqrt(2^p) ≈ 0.8 % at p=14).
+* ``group_quantiles`` — per-group EXACT p50/p95 via one hash exchange on
+  the group key; interpolation mirrors DuckDB ``quantile_cont``
+  (lower + (upper-lower)*frac at rank q*(n-1)) so the oracle matches
+  bitwise after the shared rint-rounding recipe. Partitioning assumption:
+  one group's values fit a reduce task (event-type cardinality is tiny);
+  the documented scale path for huge groups is a mergeable quantile
+  sketch (t-digest/KLL) or sort-based rank selection.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+HLL_P = 14  # 2^14 registers = 16 KiB per partial
+
+
+def _rp(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+    import os
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                           columns=columns)
+
+
+# ------------------------------------------------------------ exact distinct
+def distinct_count(sf_dir: str, table: str = "events",
+                   column: str = "user_id", num_buckets: int = 32):
+    """Exact global count-distinct, one row ``{n_distinct}``."""
+    from ..util import hash_exchange
+
+    ds = _rp(sf_dir, table, columns=[column])
+
+    def _block_unique(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({column: pc.unique(t[column])})
+
+    def _bucket_count(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = len(pc.unique(t[column])) if t.num_rows else 0
+        return pa.table({"n_distinct": pa.array([n], pa.int64())})
+
+    parts = hash_exchange(
+        ds.map_batches(_block_unique, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        key=column, num_buckets=num_buckets, reduce_fn=_bucket_count,
+        arrow=True)
+    total = int(parts.sum("n_distinct") or 0)
+    return pa.table({"n_distinct": pa.array([total], pa.int64())})
+
+
+# ---------------------------------------------------------------- HLL sketch
+def _hll_partial(values: pa.ChunkedArray | pa.Array, p: int) -> np.ndarray:
+    """Fold a value array into a 2^p uint8 register array (vectorized)."""
+    from ..util import stable_hash64
+
+    h = stable_hash64(values)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = h & np.uint64((1 << (64 - p)) - 1)
+    # rho = leading-zero count of the low (64-p) bits + 1; w < 2^50 so
+    # float64 log2 is exact enough for floor (53-bit mantissa)
+    bits = np.zeros(len(w), np.int64)
+    nz = w > 0
+    bits[nz] = np.floor(np.log2(w[nz].astype(np.float64))).astype(np.int64) + 1
+    rho = ((64 - p) - bits + 1).astype(np.uint8)
+    reg = np.zeros(1 << p, np.uint8)
+    np.maximum.at(reg, idx, rho)
+    return reg
+
+
+def hll_estimate(reg: np.ndarray) -> float:
+    """Standard HLL estimator with the small-range (linear counting)
+    correction — the large-range correction is unnecessary with 64-bit
+    hashes (Heule et al. 2013, HLL++ observation)."""
+    m = float(len(reg))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e = alpha * m * m / np.sum(np.exp2(-reg.astype(np.float64)))
+    zeros = int(np.count_nonzero(reg == 0))
+    if e <= 2.5 * m and zeros:
+        e = m * np.log(m / zeros)
+    return float(e)
+
+
+def distinct_count_hll(sf_dir: str, table: str = "events",
+                       column: str = "user_id", p: int = HLL_P):
+    """One-pass mergeable distinct-count sketch; one row
+    ``{n_distinct_est, n_registers}``. Each batch contributes a 2^p
+    register row; the driver merges k×16 KiB partials (k = #blocks) by
+    element-wise max — the only data movement besides the pruned read."""
+    ds = _rp(sf_dir, table, columns=[column])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        reg = _hll_partial(t[column], p)
+        return pa.table({
+            "reg": pa.FixedSizeListArray.from_arrays(
+                pa.array(reg, pa.uint8()), len(reg)),
+        })
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    merged = np.zeros(1 << p, np.uint8)
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        flat = np.asarray(b["reg"].combine_chunks().flatten())
+        np.maximum(merged, flat.reshape(-1, 1 << p).max(axis=0), out=merged)
+    return pa.table({
+        "n_distinct_est": pa.array([int(round(hll_estimate(merged)))],
+                                   pa.int64()),
+        "n_registers": pa.array([1 << p], pa.int64()),
+    })
+
+
+# ----------------------------------------------------------- group quantiles
+_QS = (0.5, 0.95)
+
+
+def _quantile_cont(v: np.ndarray, q: float) -> float:
+    """DuckDB quantile_cont interpolation: lower + (upper-lower)*frac at
+    rank q*(n-1), computed in the same association order."""
+    pos = q * (len(v) - 1)
+    lo = int(np.floor(pos))
+    frac = pos - lo
+    if frac == 0.0:
+        return float(v[lo])
+    return float(v[lo] + (v[lo + 1] - v[lo]) * frac)
+
+
+def group_quantiles(sf_dir: str, ndigits: int = 6):
+    """Per-event_type exact p50/p95 of ``value`` + count. One hash
+    exchange on the group key; values sort per group inside the reduce."""
+    from ..util import hash_exchange
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "value"])
+    scale = float(10 ** ndigits)
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0:
+            return pa.table({
+                "event_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "p50": pa.array([], pa.float64()),
+                "p95": pa.array([], pa.float64()),
+            })
+        d = pc.dictionary_encode(t["event_type"].combine_chunks())
+        codes = np.asarray(d.indices, np.int64)
+        vals = np.asarray(t["value"], np.float64)
+        order = np.lexsort((vals, codes))
+        cs, vs = codes[order], vals[order]
+        bounds = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1], True])
+        names, p50s, p95s, ns = [], [], [], []
+        dict_vals = d.dictionary.to_pylist()
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            g = vs[s:e]
+            names.append(dict_vals[cs[s]])
+            ns.append(int(e - s))
+            p50s.append(np.rint(_quantile_cont(g, 0.5) * scale) / scale)
+            p95s.append(np.rint(_quantile_cont(g, 0.95) * scale) / scale)
+        return pa.table({
+            "event_type": pa.array(names, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "p50": pa.array(p50s, pa.float64()),
+            "p95": pa.array(p95s, pa.float64()),
+        })
+
+    return hash_exchange(ds, key="event_type", num_buckets=8,
+                         reduce_fn=_bucket, arrow=True)

@@ -1,0 +1,76 @@
+"""Sketch / summary operators (pipelines/sketches.py): HLL accuracy &
+mergeability, quantile interpolation parity with DuckDB, and the exact
+distinct-count pipeline against a direct computation."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ember_ray.pipelines.sketches import (_hll_partial, _quantile_cont,
+                                          distinct_count, distinct_count_hll,
+                                          group_quantiles, hll_estimate)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_hll_estimate_within_expected_error():
+    rng = np.random.default_rng(142)
+    for n_true in (1_000, 50_000):
+        vals = rng.integers(0, 1 << 62, size=n_true * 2)
+        vals = np.unique(vals)[:n_true]
+        reg = _hll_partial(pa.array(vals, pa.int64()), p=14)
+        est = hll_estimate(reg)
+        # rel. std. err. at p=14 is ~0.8%; 4 sigma ≈ 3.3%
+        assert abs(est - n_true) / n_true < 0.033
+
+
+def test_hll_partials_merge_by_max():
+    rng = np.random.default_rng(7)
+    a = pa.array(rng.integers(0, 1 << 40, size=5000), pa.int64())
+    b = pa.array(rng.integers(0, 1 << 40, size=5000), pa.int64())
+    both = pa.concat_arrays([a, b])
+    merged = np.maximum(_hll_partial(a, 14), _hll_partial(b, 14))
+    assert np.array_equal(merged, _hll_partial(both, 14))
+
+
+def test_quantile_cont_matches_duckdb():
+    duckdb = pytest.importorskip("duckdb")
+    rng = np.random.default_rng(3)
+    v = np.sort(rng.normal(size=1001))
+    con = duckdb.connect()
+    for q in (0.0, 0.25, 0.5, 0.95, 1.0):
+        want = con.execute(
+            "SELECT quantile_cont(x, ?) FROM (SELECT unnest(?) AS x)",
+            [q, v.tolist()],
+        ).fetchone()[0]
+        assert _quantile_cont(v, q) == pytest.approx(want, abs=1e-12)
+    con.close()
+
+
+def test_distinct_count_exact(ray_session):
+    import pyarrow.parquet as pq
+
+    got = distinct_count(SF_DIR)["n_distinct"][0].as_py()
+    users = pq.read_table(f"{SF_DIR}/events.parquet", columns=["user_id"])
+    assert got == len(np.unique(np.asarray(users["user_id"])))
+
+
+def test_hll_vs_exact_on_events(ray_session):
+    est = distinct_count_hll(SF_DIR)["n_distinct_est"][0].as_py()
+    exact = distinct_count(SF_DIR)["n_distinct"][0].as_py()
+    assert abs(est - exact) / exact < 0.033
+
+
+def test_group_quantiles_against_numpy(ray_session):
+    import pyarrow.parquet as pq
+
+    got = group_quantiles(SF_DIR).to_pandas().set_index("event_type")
+    ev = pq.read_table(f"{SF_DIR}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    for etype, g in ev.groupby("event_type"):
+        v = np.sort(g["value"].to_numpy())
+        row = got.loc[etype]
+        assert row["n"] == len(v)
+        scale = 1e6
+        assert row["p50"] == np.rint(_quantile_cont(v, 0.5) * scale) / scale
+        assert row["p95"] == np.rint(_quantile_cont(v, 0.95) * scale) / scale
