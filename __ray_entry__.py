@@ -431,6 +431,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_clean": relational.regex_clean,              # M6/F3
         "overlap_stats": relational.overlap_stats,          # A5
         "window_agg": relational.window_agg,                # windowed agg
+        "pivot_counts": relational.pivot_counts,            # pivot/cond-agg
+        "left_join_counts": relational.left_join_counts,    # left outer join
         # --- temporal custom operators (no native Ray Data form) ----------
         "asof_join": temporal.asof_join,                    # as-of join
         "range_join": temporal.range_join,                  # time-range join
@@ -517,6 +519,20 @@ def oracle_sql() -> dict[str, str]:
     return {
         "distinct_count": (
             "SELECT count(DISTINCT user_id) AS n_distinct FROM events"
+        ),
+        "pivot_counts": (
+            "SELECT user_id, "
+            + ", ".join(
+                f"count(*) FILTER (WHERE event_type = '{t}') AS {t}"
+                for t in ("click", "error", "purchase", "signup", "view")
+            )
+            + " FROM events GROUP BY user_id"
+        ),
+        "left_join_counts": (
+            "SELECT c.c_custkey, c.c_mktsegment, "
+            "coalesce(e.n_events, 0) AS n_events FROM customer c LEFT JOIN "
+            "(SELECT user_id, count(*) AS n_events FROM events "
+            "GROUP BY user_id) e ON c.c_custkey = e.user_id"
         ),
         "group_quantiles": (
             # interpolation + rounding recipe mirrored in

@@ -118,7 +118,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     sf = _sf_of(sf_dir)
     corpus = _corpus(max(100, int(60_000 * sf)))
     _init_ray(num_cpus)
-    from ember_ray.pipelines import ann, dedup, relational, temporal
+    from ember_ray.pipelines import ann, dedup, relational, sketches, temporal
     from ember_ray.pipelines.er import run_er
 
     _warm_cache(sf_dir)
@@ -142,6 +142,12 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     timed("assembly", lambda: relational.assembly(sf_dir).count())
     timed("topk", lambda: relational.topk(sf_dir).to_pandas())
     timed("window_agg", lambda: relational.window_agg(sf_dir).to_pandas())
+    timed("pivot_counts", lambda: relational.pivot_counts(sf_dir).count())
+    timed("left_join_counts",
+          lambda: relational.left_join_counts(sf_dir).count())
+    timed("distinct_count_hll",
+          lambda: sketches.distinct_count_hll(sf_dir).num_rows)
+    timed("group_quantiles", lambda: sketches.group_quantiles(sf_dir).count())
 
     # --- temporal custom operators ------------------------------------------
     timed("asof_join", lambda: temporal.asof_join(sf_dir).count())

@@ -410,3 +410,78 @@ def window_agg(sf_dir: str):
 
     agg = agg.map_batches(cast_us, batch_format="pyarrow", zero_copy_batch=True)
     return _round_cols(agg, ("sum_value",))
+
+
+# ---------------------------------------------------------------- J5 variant
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_counts(sf_dir: str):
+    """Pivot / conditional aggregation (wide one-hot counts — the feature
+    layout a per-entity training table needs): one row per user_id with a
+    count column per event type. Scale shape: each batch pre-pivots to the
+    fixed five int columns, so the shuffle carries (user, 5×int64) partials
+    and the final groupby sums them — never a wide string column through
+    the exchange. Oracle: count(*) FILTER (WHERE event_type=...) per type."""
+    from ray.data.aggregate import Sum
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = (
+            df.groupby(["user_id", "event_type"], sort=False)
+            .size()
+            .unstack("event_type", fill_value=0)
+            .reindex(columns=list(EVENT_TYPES), fill_value=0)
+            .astype("int64")
+            .reset_index()
+        )
+        g.columns.name = None
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return parts.groupby("user_id").aggregate(
+        *[Sum(c, alias_name=c) for c in EVENT_TYPES]
+    )
+
+
+# -------------------------------------------------------------- left join
+def left_join_counts(sf_dir: str):
+    """LEFT OUTER hash join (the join type the inner-join suite doesn't
+    exercise): every customer row survives, with its event count or 0 —
+    at this sf ~90% of customers have no events, so the null path is
+    genuinely covered. Build side is the pre-aggregated per-user count
+    (partial+final), probe side streams through one bucketed exchange."""
+    from ray.data.aggregate import Sum
+
+    from ..util import bucketed_join
+
+    cust = _rp(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    ev = _rp(sf_dir, "events", columns=["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        u, cnt = np.unique(np.asarray(t["user_id"]), return_counts=True)
+        return pa.table({"user_id": pa.array(u, pa.int64()),
+                         "n_events": pa.array(cnt, pa.int64())})
+
+    counts = (
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Sum("n_events", alias_name="n_events"))
+    )
+    joined = bucketed_join(
+        cust, counts, on="c_custkey", right_on="user_id",
+        how="left_outer", num_buckets=16,
+    )
+
+    def fill0(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("n_events")
+        return t.set_column(
+            i, "n_events",
+            pc.fill_null(pc.cast(t["n_events"], pa.int64()), 0))
+
+    return joined.map_batches(fill0, batch_format="pyarrow",
+                              zero_copy_batch=True)
