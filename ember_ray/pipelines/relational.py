@@ -423,7 +423,7 @@ def pivot_counts(sf_dir: str):
     fixed five int columns, so the shuffle carries (user, 5×int64) partials
     and the final groupby sums them — never a wide string column through
     the exchange. Oracle: count(*) FILTER (WHERE event_type=...) per type."""
-    from ray.data.aggregate import Sum
+    from ..util import bucketed_group_map
 
     ds = _rp(sf_dir, "events", columns=["user_id", "event_type"])
 
@@ -441,9 +441,15 @@ def pivot_counts(sf_dir: str):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    return parts.groupby("user_id").aggregate(
-        *[Sum(c, alias_name=c) for c in EVENT_TYPES]
-    )
+    # final combine via the raw-task hash exchange, NOT Dataset.groupby:
+    # Ray 2.49's sort shuffle value-sorts the partials (measured 4s wall /
+    # 23 core-s for a 62k-row partial table at sf0.1)
+    cols = list(EVENT_TYPES)
+
+    def fin(df):
+        return df.groupby("user_id", sort=False, as_index=False)[cols].sum()
+
+    return bucketed_group_map(parts, "user_id", fin, num_buckets=None)
 
 
 # -------------------------------------------------------------- left join
@@ -453,9 +459,7 @@ def left_join_counts(sf_dir: str):
     at this sf ~90% of customers have no events, so the null path is
     genuinely covered. Build side is the pre-aggregated per-user count
     (partial+final), probe side streams through one bucketed exchange."""
-    from ray.data.aggregate import Sum
-
-    from ..util import bucketed_join
+    from ..util import bucketed_group_map, bucketed_join
 
     cust = _rp(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     ev = _rp(sf_dir, "events", columns=["user_id"])
@@ -467,11 +471,14 @@ def left_join_counts(sf_dir: str):
         return pa.table({"user_id": pa.array(u, pa.int64()),
                          "n_events": pa.array(cnt, pa.int64())})
 
-    counts = (
-        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("user_id")
-        .aggregate(Sum("n_events", alias_name="n_events"))
-    )
+    parts = ev.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def fin(df):
+        return df.groupby("user_id", sort=False, as_index=False)[
+            ["n_events"]].sum()
+
+    counts = bucketed_group_map(parts, "user_id", fin, num_buckets=None)
     joined = bucketed_join(
         cust, counts, on="c_custkey", right_on="user_id",
         how="left_outer", num_buckets=16,
