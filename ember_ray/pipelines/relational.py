@@ -72,12 +72,23 @@ def filter_project(sf_dir: str):
 # ------------------------------------------------------------------- A2/A3
 def groupby_count(sf_dir: str):
     """Group sizes + sums (reference A2 value_counts,
-    build_ali_dataset.py:355-356)."""
-    from ray.data.aggregate import Count, Sum
+    build_ali_dataset.py:355-356). Partial+final: each batch collapses to
+    ≤5 event-type rows before the (value-sorting) Aggregate."""
+    from ray.data.aggregate import Sum
 
     ds = _rp(sf_dir, "events", columns=["event_type", "value"])
-    agg = ds.groupby("event_type").aggregate(
-        Count(alias_name="n"), Sum("value", alias_name="sum_value")
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("event_type", sort=False).agg(
+            n=("value", "size"), sum_value=("value", "sum")).reset_index()
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    agg = parts.groupby("event_type").aggregate(
+        Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value")
     )
     return _round_cols(agg, ("sum_value",))
 
@@ -155,21 +166,43 @@ def anti_join(sf_dir: str):
 # -------------------------------------------------------------- large join
 def join_agg(sf_dir: str):
     """Hash-partitioned large join + aggregate (reference J1/J2 rephrased on
-    TPC-H-ish tables): orders ⋈ customer → per-mktsegment counts."""
-    from ray.data.aggregate import Count, Sum
+    TPC-H-ish tables): orders ⋈ customer → per-mktsegment counts.
 
-    from ..util import hash_join
+    The join runs over the RAW orders rows (the operator under test is
+    the distributed join, not an aggregate pushdown) through the raw-task
+    hash exchange (`bucketed_join`) — Ray 2.49's native `Dataset.join`
+    (still available as `util.hash_join`) measures ~2× slower here."""
+    from ray.data.aggregate import Sum
+
+    from ..util import bucketed_join
 
     orders = _rp(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     cust = _rp(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    joined = hash_join(
-        orders.rename_columns({"o_custkey": "c_custkey"}),
+    joined = bucketed_join(
         cust,
+        orders,
         on="c_custkey",
-        num_partitions=16,
+        right_on="o_custkey",
+        num_buckets=16,
     )
-    agg = joined.groupby("c_mktsegment").aggregate(
-        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="sum_price")
+
+    # partial+final: each joined batch collapses to ≤5 segment rows, so
+    # the (value-sorting) final Aggregate sees 5×n_blocks rows, not the
+    # full joined table
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("c_mktsegment", sort=False).agg(
+            n_orders=("o_totalprice", "size"),
+            sum_price=("o_totalprice", "sum"),
+        ).reset_index()
+        g["n_orders"] = g["n_orders"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = joined.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    agg = parts.groupby("c_mktsegment").aggregate(
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("sum_price", alias_name="sum_price"),
     )
     return _round_cols(agg, ("sum_price",))
 

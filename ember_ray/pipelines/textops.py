@@ -71,14 +71,29 @@ def quality_scores(sf_dir: str):
 
 
 def quality_by_lang(sf_dir: str):
-    """Corpus-level quality profile per language (integer sums — exact)."""
-    from ray.data.aggregate import Count, Max, Sum
+    """Corpus-level quality profile per language (integer sums — exact).
+    Partial+final: each batch collapses to ≤n_langs rows before the
+    (value-sorting) Aggregate — never the raw table through the shuffle."""
+    from ray.data.aggregate import Max, Sum
 
     ds = _rp(sf_dir, "documents", columns=["lang", "n_chars"])
-    return ds.groupby("lang").aggregate(
-        Count(alias_name="n_docs"),
-        Sum("n_chars", alias_name="sum_chars"),
-        Max("n_chars", alias_name="max_chars"),
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("lang", sort=False).agg(
+            n_docs=("n_chars", "size"),
+            sum_chars=("n_chars", "sum"),
+            max_chars=("n_chars", "max"),
+        ).reset_index()
+        g["n_docs"] = g["n_docs"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return parts.groupby("lang").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("sum_chars", alias_name="sum_chars"),
+        Max("max_chars", alias_name="max_chars"),
     )
 
 

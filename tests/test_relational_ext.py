@@ -46,3 +46,34 @@ def test_left_join_counts_keeps_unmatched(ray_session):
         want[["c_custkey", "c_mktsegment"]])
     assert got["n_events"].astype("int64").equals(
         want["n_events"].astype("int64"))
+
+
+def test_hash_join_native_wrapper(ray_session):
+    """util.hash_join (native Dataset.join + empty-block workarounds) —
+    kept as the API-diversity path after join_agg moved to the raw-task
+    bucketed_join; this test keeps its edge cases covered."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ember_ray.util import hash_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 5], pa.int64()),
+        "lv": pa.array(["a", "b", "c", "e"]),
+    }))
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array([2, 3, 4], pa.int64()),
+        "rv": pa.array([20.0, 30.0, 40.0]),
+    }))
+    out = (hash_join(left, right, on="k", right_on="rk", num_partitions=4)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert list(out["k"]) == [2, 3]
+    assert list(out["lv"]) == ["b", "c"]
+    assert list(out["rv"]) == [20.0, 30.0]
+
+    # empty right side: inner join yields 0 rows with the full schema
+    empty = rd.from_arrow(pa.table({
+        "rk": pa.array([], pa.int64()), "rv": pa.array([], pa.float64())}))
+    out2 = hash_join(left, empty, on="k", right_on="rk")
+    assert out2.count() == 0
+    assert set(out2.schema().names) == {"k", "lv", "rv"}
