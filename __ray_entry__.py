@@ -409,8 +409,8 @@ def _q_bench_pairs_imbalanced(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from ember_ray.pipelines import (ann, dedup, multimodal, relational,
-                                     sketches, temporal, textops)
+    from ember_ray.pipelines import (ann, curation, dedup, multimodal,
+                                     relational, sketches, temporal, textops)
 
     return {
         # --- relational operators (SURVEY §2; oracle-checked) -------------
@@ -437,6 +437,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": temporal.asof_join,                    # as-of join
         "range_join": temporal.range_join,                  # time-range join
         "sessionize": temporal.sessionize,                  # session windows
+        # --- curation (extension: quantile quality band, shard packing) ---
+        "quality_filter": curation.quality_filter,
+        "shard_pack": curation.shard_pack,
         # --- sketches / one-pass summaries (extension; see sketches.py) ---
         "distinct_count": sketches.distinct_count,
         "distinct_count_hll": sketches.distinct_count_hll,  # rows-only sketch
@@ -517,6 +520,23 @@ def oracle_sql() -> dict[str, str]:
         "WHEN fr >= es THEN 'fr' ELSE 'es' END AS lang_pred FROM c"
     )
     return {
+        "quality_filter": (
+            # bounds rounded with the shared rint recipe on BOTH sides so
+            # boundary comparisons are bitwise-identical (CLAUDE.md)
+            "WITH b AS (SELECT lang,"
+            " round(quantile_cont(n_chars, 0.05)*1000000)/1000000 AS lo,"
+            " round(quantile_cont(n_chars, 0.95)*1000000)/1000000 AS hi"
+            " FROM documents GROUP BY lang)"
+            " SELECT d.doc_id, d.lang, d.n_chars FROM documents d"
+            " JOIN b USING (lang)"
+            " WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi"
+        ),
+        "shard_pack": (
+            "SELECT doc_id, n_chars, CAST(floor(coalesce(sum(n_chars)"
+            " OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND"
+            " 1 PRECEDING), 0) / 100000) AS BIGINT) AS shard_id"
+            " FROM documents"
+        ),
         "distinct_count": (
             "SELECT count(DISTINCT user_id) AS n_distinct FROM events"
         ),

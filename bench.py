@@ -118,7 +118,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     sf = _sf_of(sf_dir)
     corpus = _corpus(max(100, int(60_000 * sf)))
     _init_ray(num_cpus)
-    from ember_ray.pipelines import ann, dedup, relational, sketches, temporal
+    from ember_ray.pipelines import (ann, curation, dedup, relational,
+                                     sketches, temporal)
     from ember_ray.pipelines.er import run_er
 
     _warm_cache(sf_dir)
@@ -148,6 +149,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     timed("distinct_count_hll",
           lambda: sketches.distinct_count_hll(sf_dir).num_rows)
     timed("group_quantiles", lambda: sketches.group_quantiles(sf_dir).count())
+    timed("quality_filter", lambda: curation.quality_filter(sf_dir).count())
+    timed("shard_pack", lambda: curation.shard_pack(sf_dir).count())
 
     # --- temporal custom operators ------------------------------------------
     timed("asof_join", lambda: temporal.asof_join(sf_dir).count())

@@ -1,0 +1,75 @@
+"""Curation operators (quality_filter / shard_pack) vs direct DuckDB."""
+
+import duckdb
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _duck(sql):
+    con = duckdb.connect()
+    con.execute("SET threads=2")
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')")
+    out = con.execute(sql).df()
+    con.close()
+    return out
+
+
+def test_quality_filter_matches_sql(ray_session):
+    from ember_ray.pipelines.curation import quality_filter
+
+    got = (quality_filter(SF_DIR).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    want = _duck(
+        "WITH b AS (SELECT lang,"
+        " round(quantile_cont(n_chars, 0.05)*1000000)/1000000 AS lo,"
+        " round(quantile_cont(n_chars, 0.95)*1000000)/1000000 AS hi"
+        " FROM documents GROUP BY lang)"
+        " SELECT d.doc_id, d.lang, d.n_chars FROM documents d"
+        " JOIN b USING (lang) WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi"
+        " ORDER BY d.doc_id")
+    assert len(got) > 0 and len(got) < len(
+        _duck("SELECT doc_id FROM documents"))
+    assert got[["doc_id", "lang", "n_chars"]].equals(
+        want[["doc_id", "lang", "n_chars"]])
+
+
+def test_shard_pack_matches_window_cumsum(ray_session):
+    from ember_ray.pipelines.curation import shard_pack
+
+    got = (shard_pack(SF_DIR, budget=5000).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    want = _duck(
+        "SELECT doc_id, n_chars, CAST(floor(coalesce(sum(n_chars) OVER ("
+        "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+        "), 0) / 5000) AS BIGINT) AS shard_id FROM documents "
+        "ORDER BY doc_id")
+    assert got["shard_id"].max() > 0, "budget must split multiple shards"
+    assert got.astype("int64").equals(want.astype("int64"))
+
+
+def test_shard_pack_parallelism_invariant(ray_session):
+    """Shard ids must not depend on block layout: re-split the input into
+    many small blocks and expect identical assignment."""
+    from ember_ray.pipelines.curation import shard_pack
+
+    a = (shard_pack(SF_DIR, budget=3000).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+
+    import ray.data as rd
+
+    import ember_ray.pipelines.curation as cur
+
+    orig = cur._rp
+
+    def shredded(sf_dir, table, columns=None):
+        return orig(sf_dir, table, columns=columns).repartition(17)
+
+    cur._rp = shredded
+    try:
+        b = (shard_pack(SF_DIR, budget=3000).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    finally:
+        cur._rp = orig
+    assert a.equals(b)
