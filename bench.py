@@ -58,12 +58,18 @@ def _corpus(n_clusters: int) -> str:
 def _er_cfg(num_cpus: int):
     from ember_ray.pipelines.er import ERConfig
 
+    kw = {}
+    # A/B knob for the CC path (tools/cc_bench.py record): 0 forces the
+    # distributed delta min-label path at any edge count
+    if "GRAFT_CC_DRIVER_THRESHOLD" in os.environ:
+        kw["cc_driver_threshold"] = int(os.environ["GRAFT_CC_DRIVER_THRESHOLD"])
     return ERConfig(
         scorer_concurrency=max(2, (num_cpus * 3) // 4),
         scorer_batch_size=2048,
         num_buckets=max(32, num_cpus * 4),
         num_partitions=max(16, num_cpus * 2),
         score_parts=32,
+        **kw,
     )
 
 
