@@ -77,3 +77,38 @@ def test_hash_join_native_wrapper(ray_session):
     out2 = hash_join(left, empty, on="k", right_on="rk")
     assert out2.count() == 0
     assert set(out2.schema().names) == {"k", "lv", "rv"}
+
+
+def test_exchange_raises_on_missing_key(ray_session):
+    """ADVICE r2: a non-empty block missing the exchange key must raise,
+    not silently drop rows via the empty-slices fallback."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from ember_ray.util import bucketed_group_map
+
+    ds = rd.from_arrow(pa.table({"a": pa.array([1, 2, 3], pa.int64())}))
+    with pytest.raises(Exception) as ei:
+        bucketed_group_map(ds, "missing_key", lambda df: df,
+                           num_buckets=2).count()
+    assert "missing_key" in str(ei.value)
+
+
+def test_empty_blocks_pass_exchange(ray_session):
+    """0-row blocks (no key column needed) must flow through unharmed."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ember_ray.util import bucketed_group_map
+
+    t = pa.table({"k": pa.array([1, 1, 2], pa.int64()),
+                  "v": pa.array([10, 20, 30], pa.int64())})
+    ds = rd.from_arrow(t).repartition(8)  # forces some 0-row blocks
+    out = bucketed_group_map(
+        ds, "k",
+        lambda df: df.groupby("k", as_index=False)["v"].sum(),
+        num_buckets=4,
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    assert list(out["k"]) == [1, 2]
+    assert list(out["v"]) == [30, 30]
