@@ -174,12 +174,16 @@ def run_er(
     from ..stages.pairs import sim_prefix_prepare
 
     conv_sch = convs.schema()
-    side_cols = (("text", "thash", "ttf")
-                 if conv_sch is not None and "thash" in conv_sch.names
-                 else ("text",))
+    has_thash = conv_sch is not None and "thash" in conv_sch.names
+    side_cols = ("text", "thash", "ttf") if has_thash else ("text",)
+    # prefix-truncate text ONLY when thash/ttf ride along (the scorer then
+    # never tokenizes); on the text-only fallback (old-schema checkpoint
+    # resume) the scorer re-tokenizes the attached text, so it must stay
+    # full-length or jaccard/tfidf silently drift (ADVICE r3 #2).
     side_index_ref = (
         build_side_index_async(convs, columns=side_cols,
-                               prepare_fn=sim_prefix_prepare)
+                               prepare_fn=sim_prefix_prepare if has_thash
+                               else None)
         if n_convs <= ATTACH_BROADCAST_THRESHOLD
         else None
     )
@@ -315,7 +319,12 @@ def _score_stage(pairs, convs, cfg: ERConfig, idf_ref, checkpointer, base_fp,
         return attach_and_score(pairs)
 
     stage, P = "score", cfg.score_parts
-    fp = fingerprint("score", base_fp)
+    # "score-v2": the partition scheme (hl*golden ^ hr content mix) is part
+    # of the checkpoint identity — versioning the fingerprint makes partial
+    # checkpoints written under the OLD bucket_of(left|right) scheme miss
+    # cleanly instead of resuming against a different part mapping, which
+    # would silently drop/duplicate scored pairs (ADVICE r3 #1).
+    fp = fingerprint("score-v2", base_fp)
     done = checkpointer.completed_parts(stage, fp, P)
     missing = sorted(set(range(P)) - done)
     for p in done:

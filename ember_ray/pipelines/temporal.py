@@ -83,7 +83,13 @@ def asof_join(sf_dir: str):
 
     One hash exchange on ``user_id``; per bucket the view side is sorted
     once by the packed key and every purchase resolves with a single
-    ``searchsorted`` (last key < probe). Oracle: DuckDB ``ASOF JOIN``.
+    ``searchsorted`` (last key < probe). Ties between duplicate
+    (user_id, ts) views resolve to max(event_id) — the view side is
+    stable-sorted by event_id BEFORE the packed-key sort, so "last key
+    below the probe" is deterministic regardless of input block order
+    (ADVICE r3 #4; DuckDB's native ASOF JOIN picks an unspecified row
+    among equal-ts matches, so the oracle uses an explicit
+    row_number() window instead).
     """
     out_cols = {
         "event_id": "int64", "user_id": "int64", "ts": "datetime64[us]",
@@ -101,7 +107,10 @@ def asof_join(sf_dir: str):
         lts, rts = _ts_us(l["ts"]), _ts_us(r["ts"])
         uniq, shift, base = _key_layout(lu, ru, lts, rts)
         rk = _pack(ru, rts - base, uniq, shift)
-        order = np.argsort(rk, kind="stable")
+        # two stable sorts == lexsort((event_id, rk)): equal-key views end
+        # up event_id-ascending, so pos-1 picks max(event_id) among ties
+        sec = np.argsort(r["event_id"].to_numpy(np.int64), kind="stable")
+        order = sec[np.argsort(rk[sec], kind="stable")]
         rk = rk[order]
         # last view key strictly below the probe; a hit in the previous
         # user's rank band means "no prior view for this user" -> drop

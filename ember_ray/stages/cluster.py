@@ -323,6 +323,7 @@ def connected_components(
         lab_refs.append(l)
     changed_refs = list(lab_refs)  # round 1: every label is "new"
 
+    n_changed = -1
     for _ in range(max_rounds):
         m = [msg.remote(adj_refs[b], changed_refs[b], B, _HASH_SEED)
              for b in range(B)]
@@ -330,8 +331,20 @@ def connected_components(
                for t in range(B)]
         lab_refs = [n[0] for n in new]
         changed_refs = [n[1] for n in new]
-        if sum(ray.get([n[2] for n in new])) == 0:
+        n_changed = sum(ray.get([n[2] for n in new]))
+        if n_changed == 0:
             break
+    if n_changed != 0:
+        # min-label propagation needs ≤ graph-diameter rounds; exhausting
+        # max_rounds with labels still moving means the labeling is NOT a
+        # fixed point — downstream entity assignment would silently consume
+        # wrong components (ADVICE r3 #3). The final round's changed count
+        # is already gathered, so detection is free.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds "
+            f"({n_changed} labels still changing); raise max_rounds — the "
+            "component graph's diameter exceeds the round budget"
+        )
     return rd.from_arrow_refs(lab_refs)
 
 
