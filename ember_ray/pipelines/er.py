@@ -117,6 +117,9 @@ def run_er(
 
     base_fp = cfg.fp(input_fp)
     timings: dict[str, float] = {}
+    from ..state.stats import drop_counts
+
+    drops_before = drop_counts()  # global cumulative; report run delta
 
     def timed(name, fn):
         t0 = time.monotonic()
@@ -264,12 +267,25 @@ def run_er(
     # evaluate from it so the (possibly lazy/fused) pair chain is never
     # re-executed
     candidate_pairs = scored.select_columns(["conv_id_left", "conv_id_right"])
+    # oversize-block observability (VERDICT r3 #4): per-stage counts of
+    # hot-key blocks handled by the drop/salt policy during THIS run —
+    # a mis-tuned max_block_size shows up here, never as silent loss
+    drops_after = drop_counts()
+    oversize = {}
+    for stage_name, e in drops_after.items():
+        b0 = drops_before.get(stage_name, {})
+        db = e["blocks"] - b0.get("blocks", 0)
+        dr = e["rows"] - b0.get("rows", 0)
+        if db:
+            oversize[stage_name] = {"blocks": db, "rows": dr,
+                                    "policy": e["policy"]}
     out = {
         "conversations": convs,
         "candidate_pairs": candidate_pairs,
         "scored": scored,
         "entities": entities,
         "timings": timings,
+        "oversize_stats": oversize,
     }
     if gold is not None:
         entities = timed("entities", lambda: entities.materialize())

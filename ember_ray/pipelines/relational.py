@@ -122,45 +122,63 @@ def group_size_filter(sf_dir: str):
 
 
 # ------------------------------------------------------------------- J4/J3
-def semi_join(sf_dir: str):
-    """Broadcast-hash semi join (reference J4 `isin` semi joins):
-    customers having at least one order."""
+SEMI_BROADCAST_THRESHOLD = 4_000_000  # build-side ROWS (≥ distinct keys);
+# below: gather the distinct key set once and filter map-side (no shuffle);
+# above: bucketed semi/anti — only the key column shuffles and the driver
+# never materializes keys (VERDICT r3 #2 hybrid rule, same shape as
+# er.ATTACH_BROADCAST_THRESHOLD).
+
+
+def _semi_anti(left, right_keys, *, on: str, right_on: str, anti: bool,
+               broadcast_threshold: int = SEMI_BROADCAST_THRESHOLD):
+    """Hybrid semi/anti join: broadcast key set below the threshold,
+    bucketed exchange above (build-side row count is the cheap,
+    conservative proxy for distinct-key count)."""
     import ray
 
-    custkeys = set(_rp(sf_dir, "orders", columns=["o_custkey"]).unique("o_custkey"))
-    ref = ray.put(np.fromiter(custkeys, np.int64))
-    ds = _rp(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    from ..util import bucketed_semi_join
+
+    right_keys = right_keys.materialize()
+    if right_keys.count() > broadcast_threshold:
+        return bucketed_semi_join(left, right_keys, on=on, right_on=right_on,
+                                  anti=anti)
+    keys = set(right_keys.unique(right_on))
+    ref = ray.put(np.fromiter(keys, np.int64))
 
     def fn(t: pa.Table) -> pa.Table:
-        keys = ray.get(ref)
-        return t.filter(pc.is_in(t["c_custkey"], value_set=pa.array(keys)))
+        mask = pc.is_in(t[on], value_set=pa.array(ray.get(ref)))
+        return t.filter(pc.invert(mask) if anti else mask)
 
-    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    return left.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def anti_join(sf_dir: str):
-    """Broadcast anti join (reference J3 left-anti via merge indicator,
+def semi_join(sf_dir: str, broadcast_threshold: int = SEMI_BROADCAST_THRESHOLD):
+    """Hybrid semi join (reference J4 `isin` semi joins): customers having
+    at least one order."""
+    return _semi_anti(
+        _rp(sf_dir, "customer", columns=["c_custkey", "c_name"]),
+        _rp(sf_dir, "orders", columns=["o_custkey"]),
+        on="c_custkey", right_on="o_custkey", anti=False,
+        broadcast_threshold=broadcast_threshold,
+    )
+
+
+def anti_join(sf_dir: str, broadcast_threshold: int = SEMI_BROADCAST_THRESHOLD):
+    """Hybrid anti join (reference J3 left-anti via merge indicator,
     build_ali_dataset.py:88-97): customers with no 'F'-status orders
     (predicate chosen so the result is non-empty at every sf)."""
-    import ray
-
     orders = _rp(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
     f_orders = orders.map_batches(
         lambda t: t.filter(pc.equal(t["o_orderstatus"], "F")).select(["o_custkey"]),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    custkeys = set(f_orders.unique("o_custkey"))
-    ref = ray.put(np.fromiter(custkeys, np.int64))
-    ds = _rp(sf_dir, "customer", columns=["c_custkey", "c_name"])
-
-    def fn(t: pa.Table) -> pa.Table:
-        keys = ray.get(ref)
-        return t.filter(
-            pc.invert(pc.is_in(t["c_custkey"], value_set=pa.array(keys)))
-        )
-
-    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    return _semi_anti(
+        _rp(sf_dir, "customer", columns=["c_custkey", "c_name"]),
+        f_orders,
+        on="c_custkey", right_on="o_custkey", anti=True,
+        broadcast_threshold=broadcast_threshold,
+    )
 
 
 # -------------------------------------------------------------- large join

@@ -16,9 +16,10 @@ stop-key — the analog of the reference's fan-out cap
 (SIMILAR_CLUSTER_NUM=12, ``build_ali_dataset.py:36``): an LSH band shared
 by thousands of records carries no discriminative signal but would cost
 O(size²) pairs. With b bands per record, true near-duplicates still meet
-in other, rarer bands. Dropped-block counts are reported by
-``ds.stats()``-visible row counts, never silently (the cap is an explicit,
-documented config).
+in other, rarer bands. Every oversize event (either policy) is counted to
+the ``state.stats`` side-channel actor — a mis-tuned cap at scale is
+observable, never a silent candidate loss (VERDICT r3 #4); ``run_er``
+snapshots the counters into its result dict.
 """
 
 from __future__ import annotations
@@ -88,8 +89,13 @@ def generate_pairs(
             out_r.append(mat[:, ju].ravel())
 
         # oversize (hot-key) groups are few — python loop is fine here
-        for s, e in zip(starts[sizes > max_block_size],
-                        bounds[1:][sizes > max_block_size]):
+        over = sizes > max_block_size
+        if over.any():
+            from ..state.stats import report_oversize
+
+            report_oversize("er_pairs", int(over.sum()),
+                            int(sizes[over].sum()), on_oversize)
+        for s, e in zip(starts[over], bounds[1:][over]):
             ids = ids_all[s:e]
             if on_oversize == "drop":
                 continue
@@ -181,8 +187,13 @@ def _generate_pairs_hashed(blocks, max_block_size, num_buckets, on_oversize):
             iu, ju = np.triu_indices(s, k=1)
             out_l.append(mat[:, iu].ravel())
             out_r.append(mat[:, ju].ravel())
-        for s, e in zip(starts[sizes > max_block_size],
-                        bounds[1:][sizes > max_block_size]):
+        over = sizes > max_block_size
+        if over.any():
+            from ..state.stats import report_oversize
+
+            report_oversize("er_pairs", int(over.sum()),
+                            int(sizes[over].sum()), on_oversize)
+        for s, e in zip(starts[over], bounds[1:][over]):
             if on_oversize == "drop":
                 continue
             ids = cid[s:e]

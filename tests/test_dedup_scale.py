@@ -1,0 +1,145 @@
+"""Scale-safety tests for the dedup suite (VERDICT r3 #2/#4): oversize-
+block observability, salt-split candidate retention, and corpus-scaled
+embedding LSH with non-degenerate recall at 10x the gate corpus."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def rd(ray_session):
+    import ray.data as rd
+
+    return rd
+
+
+def _blocks_ds(rd, rows):
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+def test_oversize_drop_is_counted(rd):
+    """A planted hot key above the cap must fire the drop-stats counter —
+    never a silent candidate loss (VERDICT r3 #4)."""
+    from ember_ray.pipelines.dedup import _pairs_from_blocks
+    from ember_ray.state.stats import drop_counts, reset_drop_counts
+
+    reset_drop_counts()
+    rows = pd.DataFrame({
+        "block_key": np.array([1] * 10 + [2, 2], np.uint64),
+        "doc_id": np.arange(12, dtype=np.int64),
+    })
+    out = _pairs_from_blocks(
+        _blocks_ds(rd, rows), "doc_id", num_buckets=4, cap=4,
+        on_oversize="drop", stage="test_drop").to_pandas()
+    # hot block (10 members) dropped; the small block's single pair kept
+    assert len(out) == 1
+    c = drop_counts()["test_drop"]
+    assert c["blocks"] == 1 and c["rows"] == 10 and c["policy"] == "drop"
+
+
+def test_oversize_salt_keeps_candidates_and_counts(rd):
+    """salt policy: the hot block splits into ceil(n/cap) sub-blocks —
+    pairs survive (bounded at O(n*cap)), and the event is still counted."""
+    from ember_ray.pipelines.dedup import _pairs_from_blocks
+    from ember_ray.state.stats import drop_counts, reset_drop_counts
+
+    reset_drop_counts()
+    rows = pd.DataFrame({
+        "block_key": np.array([7] * 10, np.uint64),
+        "doc_id": np.arange(10, dtype=np.int64),
+    })
+    out = _pairs_from_blocks(
+        _blocks_ds(rd, rows), "doc_id", num_buckets=4, cap=4,
+        on_oversize="salt", stage="test_salt").to_pandas()
+    # ids 0..9, k=ceil(10/4)=3 salt groups by id%3 -> sizes 4,3,3 ->
+    # 6+3+3=12 pairs; full cross would be 45
+    assert len(out) == 12
+    got = {tuple(r) for r in out.itertuples(index=False)}
+    for left, right in got:
+        assert left < right and left % 3 == right % 3
+    c = drop_counts()["test_salt"]
+    assert c["blocks"] == 1 and c["rows"] == 10 and c["policy"] == "salt"
+
+
+def test_er_pairs_drop_counter_fires(rd):
+    """The ER pair generator reports oversize blocks to the same side
+    channel (planted hot key above max_block_size)."""
+    from ember_ray.stages.pairs import generate_pairs
+    from ember_ray.state.stats import drop_counts, reset_drop_counts
+
+    reset_drop_counts()
+    rows = [{"block_key": "hot", "conv_id": f"c{i}"} for i in range(9)]
+    rows += [{"block_key": "ok", "conv_id": c} for c in ("a", "b")]
+    pairs = generate_pairs(rd.from_items(rows), max_block_size=4,
+                           num_buckets=2).to_pandas()
+    assert {tuple(r) for r in pairs.itertuples(index=False)} == {("a", "b")}
+    c = drop_counts()["er_pairs"]
+    assert c["blocks"] == 1 and c["rows"] == 9
+
+
+def test_embedding_plane_count_scales_with_corpus():
+    """Fixed 8-plane LSH saturates at scale (256 buckets ever); the plane
+    count must grow ~log2(n) so expected bucket population stays bounded."""
+    from ember_ray.pipelines.dedup import _embedding_planes
+
+    n8 = _embedding_planes(500, 1, 64).shape[1]
+    n_mid = _embedding_planes(1_000_000, 1, 64).shape[1]
+    n_big = _embedding_planes(1_000_000_000, 1, 64).shape[1]
+    assert n8 == 8            # gate scale: unchanged behavior
+    assert n_mid == 14        # 1M rows / 64 target pop = 2^14 buckets
+    assert n_big == 24        # clamped: key stays in the uint64 budget
+    assert n8 < n_mid <= n_big
+
+
+def _write_embeddings(path: str, vecs: np.ndarray):
+    os.makedirs(path, exist_ok=True)
+    n, d = vecs.shape
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs.ravel().astype(np.float32)), d
+        ).cast(pa.list_(pa.float32())),
+    })
+    pq.write_table(tbl, os.path.join(path, "embeddings.parquet"))
+
+
+def test_dedup_embedding_recall_at_10x_gate(rd, tmp_path):
+    """At 10x the gate corpus (5000 vectors), planted near-dup pairs
+    (cosine ~0.95) must be recovered at non-degenerate recall — the
+    multi-table corpus-scaled LSH must not collapse as buckets fill
+    (VERDICT r3 #2 'done' criterion)."""
+    rng = np.random.default_rng(7)
+    n_base, dim = 2300, 64
+    base = rng.standard_normal((n_base, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # plant a near-dup twin for every even base vector: ids (2i, 2i+1);
+    # noise 0.05 -> cosine ~0.93, the operating regime for near-dup
+    # detection (expected 4-table sign-LSH union recall ~0.83)
+    vecs = np.empty((2 * n_base, dim))
+    vecs[0::2] = base
+    noise = rng.standard_normal((n_base, dim)) * 0.05
+    twin = base + noise
+    twin /= np.linalg.norm(twin, axis=1, keepdims=True)
+    vecs[1::2] = twin
+    # plus background singletons to 5000 rows
+    extra = rng.standard_normal((5000 - 2 * n_base, dim))
+    extra /= np.linalg.norm(extra, axis=1, keepdims=True)
+    vecs = np.vstack([vecs, extra])
+
+    sf_dir = str(tmp_path / "sf10x")
+    _write_embeddings(sf_dir, vecs)
+
+    from ember_ray.pipelines.dedup import dedup_embedding
+
+    cos = (vecs[0:2 * n_base:2] * vecs[1:2 * n_base:2]).sum(1)
+    planted = {(2 * i, 2 * i + 1) for i in range(n_base) if cos[i] >= 0.5}
+    out = dedup_embedding(sf_dir, threshold=0.5).to_pandas()
+    got = {tuple(sorted(p)) for p in
+           out[["vec_id_left", "vec_id_right"]].itertuples(index=False)}
+    recall = len(planted & got) / max(len(planted), 1)
+    assert recall >= 0.6, f"degenerate candidate recall {recall:.3f}"
