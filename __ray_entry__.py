@@ -483,6 +483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ==== past the driver's 50-key window: rows-only entries whose ====
         # ==== verify companions / exact twins are oracle-checked above ====
         "distinct_count_hll": sketches.distinct_count_hll,  # rows-only sketch
+        "group_quantiles_sketch": sketches.group_quantiles_sketch,  # rows-only
         "dedup_minhash": dedup.dedup_minhash,               # rows-only
         "dedup_simhash": dedup.dedup_simhash,               # rows-only
         "dedup_ngram": dedup.dedup_ngram,                   # rows-only

@@ -56,6 +56,10 @@ class ERConfig:
                                    # (≈130 MB of string edges on a 128 GB
                                    # node), above → distributed min-label
     tokenizer: str = "word"        # "word" | "cjk" (see stages.tokenize)
+    blocker: str = "minhash_lsh"   # registry name (registry.py §2.11);
+    scorer: str = "pair_features"  # non-default names run the generic
+                                   # attach+score path (no fused blocks /
+                                   # pre-warmed pool specializations)
     seed: int = 142
 
     def fp(self, *extra) -> str:
@@ -108,12 +112,26 @@ def run_er(
     # assemble stage; refs are shipped later via load_scorer_pool. The
     # actors are num_cpus=0 and idle until then. Only used on the
     # broadcast-attach path; killed unused on the giant-corpus join path.
+    from ..registry import DEFAULT_BLOCKER, DEFAULT_SCORER, resolve
     from ..stages.scoring import (load_scorer_pool, score_with_pool,
                                   start_scorer_pool)
 
-    n_actors = max(2, int(ray.cluster_resources().get("CPU", 4)))
-    pool = start_scorer_pool(n_actors, weights=cfg.weights,
-                             batch_size=cfg.scorer_batch_size)
+    # §2.11 pluggable stages: non-default registry names run the GENERIC
+    # path — custom blocker output pairs via the string pair-gen, custom
+    # scorer classes via attach_sides + score_pairs actor pools. The
+    # specialized fused-read / pre-warmed-pool machinery assumes the
+    # built-in stage contracts, so it only engages on the default names.
+    generic = (cfg.blocker != DEFAULT_BLOCKER or cfg.scorer != DEFAULT_SCORER)
+    scorer_cls = resolve("scorer", cfg.scorer) if generic else None
+    blocker_fn = (resolve("blocker", cfg.blocker)
+                  if cfg.blocker != DEFAULT_BLOCKER else None)
+
+    if generic:
+        pool = None
+    else:
+        n_actors = max(2, int(ray.cluster_resources().get("CPU", 4)))
+        pool = start_scorer_pool(n_actors, weights=cfg.weights,
+                                 batch_size=cfg.scorer_batch_size)
 
     base_fp = cfg.fp(input_fp)
     timings: dict[str, float] = {}
@@ -177,12 +195,14 @@ def run_er(
     from ..stages.pairs import sim_prefix_prepare
 
     conv_sch = convs.schema()
-    has_thash = conv_sch is not None and "thash" in conv_sch.names
+    has_thash = (not generic and conv_sch is not None
+                 and "thash" in conv_sch.names)
     side_cols = ("text", "thash", "ttf") if has_thash else ("text",)
     # prefix-truncate text ONLY when thash/ttf ride along (the scorer then
     # never tokenizes); on the text-only fallback (old-schema checkpoint
-    # resume) the scorer re-tokenizes the attached text, so it must stay
-    # full-length or jaccard/tfidf silently drift (ADVICE r3 #2).
+    # resume, or a REGISTRY scorer that reads raw text) the scorer
+    # re-tokenizes the attached text, so it must stay full-length or
+    # jaccard/tfidf silently drift (ADVICE r3 #2).
     side_index_ref = (
         build_side_index_async(convs, columns=side_cols,
                                prepare_fn=sim_prefix_prepare if has_thash
@@ -198,12 +218,14 @@ def run_er(
     #    prewarms (page-fault + gather-storm + kernel warm-up), all
     #    overlapped with blocking + pair-gen. On the giant-corpus
     #    bucketed-join path the pool is not loaded and killed below.
-    if side_index_ref is not None:
-        load_scorer_pool(pool, idf_ref=idf_ref, shard_refs=side_index_ref)
-    else:
-        for a in pool:
-            ray.kill(a)
-        pool = None
+    if pool is not None:
+        if side_index_ref is not None:
+            load_scorer_pool(pool, idf_ref=idf_ref,
+                             shard_refs=side_index_ref)
+        else:
+            for a in pool:
+                ray.kill(a)
+            pool = None
 
     # --- blocking + pair generation (checkpointed: "pairs") ----------------
     def compute_pairs():
@@ -217,6 +239,11 @@ def run_er(
         # note); fallback recomputes bands for old-schema checkpoints
         import ray.data as rd
 
+        if blocker_fn is not None:  # registry blocker → string pair path
+            return generate_pairs(
+                blocker_fn(convs, cfg), max_block_size=cfg.max_block_size,
+                num_buckets=cfg.num_buckets, on_oversize=cfg.on_oversize,
+            )
         conv_sch2 = convs.schema()
         if conv_sch2 is not None and "thash" in conv_sch2.names:
             from ..stages.blocking import make_blocks_task
@@ -246,7 +273,7 @@ def run_er(
         pairs = timed("pairs", lambda: compute_pairs().materialize())
     scored = timed("score", lambda: _score_stage(
         pairs, convs, cfg, idf_ref, checkpointer, base_fp,
-        side_index_ref=side_index_ref, pool=pool,
+        side_index_ref=side_index_ref, pool=pool, scorer_cls=scorer_cls,
     ).materialize())  # consumed by edges + metrics + callers
     if pool is not None:  # free the actor processes before downstream stages
         for a in pool:
@@ -260,6 +287,9 @@ def run_er(
         scored, cfg.threshold, num_buckets=cfg.num_buckets,
         num_partitions=cfg.num_partitions,
         driver_threshold=cfg.cc_driver_threshold,
+        # mid-closure resume (SURVEY §7.3): on the distributed path every
+        # min-label round checkpoints its per-bucket label tables
+        checkpointer=checkpointer, ckpt_fp=base_fp if checkpointer else None,
     ))
     entities = assign_entities(convs, comps, num_partitions=cfg.num_partitions)
 
@@ -304,7 +334,7 @@ ATTACH_BROADCAST_THRESHOLD = 4_000_000  # rows; above → bucketed join path.
 
 
 def _score_stage(pairs, convs, cfg: ERConfig, idf_ref, checkpointer, base_fp,
-                 side_index_ref=None, pool=None):
+                 side_index_ref=None, pool=None, scorer_cls=None):
     """Scoring with content-hash partition-level resume.
 
     The partition of a pair is ``stable_hash(conv_id_left|conv_id_right)
@@ -329,6 +359,7 @@ def _score_stage(pairs, convs, cfg: ERConfig, idf_ref, checkpointer, base_fp,
             weights=cfg.weights,
             concurrency=cfg.scorer_concurrency,
             batch_size=cfg.scorer_batch_size,
+            scorer_cls=scorer_cls,
         )
 
     if not checkpointer:

@@ -79,11 +79,12 @@ def groupby_count(sf_dir: str):
     ds = _rp(sf_dir, "events", columns=["event_type", "value"])
 
     def partial(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        g = df.groupby("event_type", sort=False).agg(
-            n=("value", "size"), sum_value=("value", "sum")).reset_index()
-        g["n"] = g["n"].astype("int64")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # pure-Arrow partial (VERDICT r3 #7): no pandas round-trip
+        g = t.group_by("event_type").aggregate(
+            [([], "count_all"), ("value", "sum")])
+        return pa.table({"event_type": g["event_type"],
+                         "n": g["count_all"],
+                         "sum_value": g["value_sum"]})
 
     parts = ds.map_batches(partial, batch_format="pyarrow",
                            zero_copy_batch=True)
@@ -208,13 +209,11 @@ def join_agg(sf_dir: str):
     # the (value-sorting) final Aggregate sees 5×n_blocks rows, not the
     # full joined table
     def partial(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        g = df.groupby("c_mktsegment", sort=False).agg(
-            n_orders=("o_totalprice", "size"),
-            sum_price=("o_totalprice", "sum"),
-        ).reset_index()
-        g["n_orders"] = g["n_orders"].astype("int64")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = t.group_by("c_mktsegment").aggregate(
+            [([], "count_all"), ("o_totalprice", "sum")])
+        return pa.table({"c_mktsegment": g["c_mktsegment"],
+                         "n_orders": g["count_all"],
+                         "sum_price": g["o_totalprice_sum"]})
 
     parts = joined.map_batches(partial, batch_format="pyarrow",
                                zero_copy_batch=True)
@@ -292,16 +291,21 @@ def pricing_summary(sf_dir: str):
     )
 
     def partial(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
-        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
-            sum_qty=("l_quantity", "sum"),
-            sum_base_price=("l_extendedprice", "sum"),
-            sum_disc_price=("disc_price", "sum"),
-            n=("l_quantity", "size"),
-        ).reset_index()
-        g["n"] = g["n"].astype("int64")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        disc = pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        g = t.append_column("disc_price", disc).group_by(
+            ["l_returnflag", "l_linestatus"]
+        ).aggregate([("l_quantity", "sum"), ("l_extendedprice", "sum"),
+                     ("disc_price", "sum"), ([], "count_all")])
+        return pa.table({
+            "l_returnflag": g["l_returnflag"],
+            "l_linestatus": g["l_linestatus"],
+            "sum_qty": g["l_quantity_sum"],
+            "sum_base_price": g["l_extendedprice_sum"],
+            "sum_disc_price": g["disc_price_sum"],
+            "n": g["count_all"],
+        })
 
     parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     agg = (
@@ -440,13 +444,18 @@ def window_agg(sf_dir: str):
     ds = _rp(sf_dir, "events", columns=["ts", "event_type", "value"])
 
     def partial(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        df["window_start"] = df["ts"].dt.floor("h")
-        g = df.groupby(["window_start", "event_type"], sort=False).agg(
-            n=("value", "size"), sum_value=("value", "sum")
-        ).reset_index()
-        g["n"] = g["n"].astype("int64")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        win = pc.floor_temporal(t["ts"], unit="hour")
+        g = pa.table({
+            "window_start": win, "event_type": t["event_type"],
+            "value": t["value"],
+        }).group_by(["window_start", "event_type"]).aggregate(
+            [([], "count_all"), ("value", "sum")])
+        return pa.table({
+            "window_start": g["window_start"],
+            "event_type": g["event_type"],
+            "n": g["count_all"],
+            "sum_value": g["value_sum"],
+        })
 
     parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     agg = parts.groupby(["window_start", "event_type"]).aggregate(
@@ -479,17 +488,26 @@ def pivot_counts(sf_dir: str):
     ds = _rp(sf_dir, "events", columns=["user_id", "event_type"])
 
     def partial(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        g = (
-            df.groupby(["user_id", "event_type"], sort=False)
-            .size()
-            .unstack("event_type", fill_value=0)
-            .reindex(columns=list(EVENT_TYPES), fill_value=0)
-            .astype("int64")
-            .reset_index()
-        )
-        g.columns.name = None
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # numpy pre-pivot (VERDICT r3 #7): pack (user, type-code) into one
+        # int64 key, count with one np.unique, scatter to the 5 columns
+        import numpy as np
+
+        types = pa.array(EVENT_TYPES, pa.string())
+        code = pc.index_in(t["event_type"], value_set=types)
+        codes = np.asarray(code.combine_chunks()
+                           if isinstance(code, pa.ChunkedArray) else code,
+                           np.int64)
+        users = np.asarray(t["user_id"], np.int64)
+        k = len(EVENT_TYPES)
+        keys, cnt = np.unique(users * k + codes, return_counts=True)
+        u, c = keys // k, keys % k
+        uu, inv = np.unique(u, return_inverse=True)
+        mat = np.zeros((len(uu), k), np.int64)
+        mat[inv, c] = cnt
+        out = {"user_id": pa.array(uu, pa.int64())}
+        for j, name in enumerate(EVENT_TYPES):
+            out[name] = pa.array(mat[:, j], pa.int64())
+        return pa.table(out)
 
     parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     # final combine via the raw-task hash exchange, NOT Dataset.groupby:

@@ -23,9 +23,11 @@ Three operators:
   the group key; interpolation mirrors DuckDB ``quantile_cont``
   (lower + (upper-lower)*frac at rank q*(n-1)) so the oracle matches
   bitwise after the shared rint-rounding recipe. Partitioning assumption:
-  one group's values fit a reduce task (event-type cardinality is tiny);
-  the documented scale path for huge groups is a mergeable quantile
-  sketch (t-digest/KLL) or sort-based rank selection.
+  one group's values fit a reduce task (event-type cardinality is tiny).
+* ``group_quantiles_sketch`` — the scale path for huge groups
+  (quantiles-by-user at 100 TB): mergeable KLL partials per input block,
+  so no task ever holds a group's full value vector (``KLLSketch``;
+  accuracy pytest-gated vs the exact path).
 """
 
 from __future__ import annotations
@@ -188,3 +190,182 @@ def group_quantiles(sf_dir: str, ndigits: int = 6):
 
     return hash_exchange(ds, key="event_type", num_buckets=8,
                          reduce_fn=_bucket, arrow=True)
+
+
+# ------------------------------------------------- mergeable quantile sketch
+class KLLSketch:
+    """Deterministic KLL-style mergeable quantile sketch (Karnin, Lang,
+    Liberty 2016): geometric level buffers; an over-capacity level sorts
+    and promotes every other element with doubled weight. The compaction
+    offset alternates deterministically instead of randomly — it trades
+    the formal unbiasedness proof for run-to-run reproducibility (the O6
+    determinism rule); empirical rank error stays ~O(1/k) (pytest-gated).
+
+    This is the VERDICT r3 #5 scale path for ``group_quantiles``: a group
+    never needs to fit one task — each block contributes an O(k·log(n/k))
+    sketch, sketches merge associatively in the group's reduce task, and
+    only sketch bytes (not values) move through the exchange.
+    """
+
+    __slots__ = ("k", "n", "levels", "_flip")
+
+    def __init__(self, k: int = 200):
+        self.k = k
+        self.n = 0
+        self.levels: list[np.ndarray] = [np.empty(0, np.float64)]
+        self._flip = 0
+
+    def update(self, vals: np.ndarray) -> "KLLSketch":
+        vals = np.asarray(vals, np.float64)
+        self.n += len(vals)
+        self.levels[0] = np.concatenate([self.levels[0], vals])
+        self._compress()
+        return self
+
+    def merge(self, other: "KLLSketch") -> "KLLSketch":
+        self.n += other.n
+        for h, buf in enumerate(other.levels):
+            if h == len(self.levels):
+                self.levels.append(np.empty(0, np.float64))
+            if len(buf):
+                self.levels[h] = np.concatenate([self.levels[h], buf])
+        self._compress()
+        return self
+
+    def _cap(self, h: int, height: int) -> int:
+        # top level gets k; each level below shrinks by 2/3 (KLL schedule)
+        return max(2, int(np.ceil(self.k * (2.0 / 3.0) ** (height - 1 - h))))
+
+    def _compress(self) -> None:
+        while True:
+            height = len(self.levels)
+            for h in range(height):
+                buf = self.levels[h]
+                if buf.size <= self._cap(h, height):
+                    continue
+                buf = np.sort(buf)
+                rem = buf[:1] if buf.size % 2 else buf[:0]
+                buf = buf[buf.size % 2:]
+                off = self._flip & 1
+                self._flip += 1
+                self.levels[h] = rem
+                if h + 1 == len(self.levels):
+                    self.levels.append(np.empty(0, np.float64))
+                self.levels[h + 1] = np.concatenate(
+                    [self.levels[h + 1], buf[off::2]])
+                break
+            else:
+                return
+
+    def quantile(self, q: float) -> float:
+        """Weighted rank selection: smallest value whose cumulative weight
+        reaches q·W (weight of level h is 2^h)."""
+        vals = np.concatenate(self.levels)
+        if not len(vals):
+            return float("nan")
+        wts = np.concatenate([
+            np.full(len(buf), 1 << h, np.int64)
+            for h, buf in enumerate(self.levels)
+        ])
+        order = np.argsort(vals, kind="stable")
+        cw = np.cumsum(wts[order])
+        target = q * cw[-1]
+        return float(vals[order][np.searchsorted(cw, target, side="left")])
+
+    def flatten(self) -> tuple[np.ndarray, np.ndarray]:
+        """(values, level_ids) — the wire format through an exchange."""
+        vals = np.concatenate(self.levels)
+        lvls = np.concatenate([
+            np.full(len(buf), h, np.int32)
+            for h, buf in enumerate(self.levels)
+        ]) if len(vals) else np.empty(0, np.int32)
+        return vals, lvls
+
+    @classmethod
+    def from_flat(cls, vals: np.ndarray, lvls: np.ndarray, n: int,
+                  k: int = 200) -> "KLLSketch":
+        s = cls(k)
+        s.n = int(n)
+        top = int(lvls.max()) + 1 if len(lvls) else 1
+        s.levels = [np.ascontiguousarray(vals[lvls == h], np.float64)
+                    for h in range(top)]
+        return s
+
+
+def group_quantiles_sketch(sf_dir: str, k: int = 200, ndigits: int = 6):
+    """Per-event_type APPROXIMATE p50/p95 via mergeable KLL partials —
+    the ``group_quantiles`` scale path: each input block emits one
+    (group, sketch) row; the group exchange moves only sketch bytes; the
+    reduce merges sketches, so no task ever holds a group's full value
+    vector. Accuracy is pytest-gated against the exact path (rows-only in
+    the driver: rank-selection estimates are not SQL-expressible)."""
+    from ..util import hash_exchange
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "value"])
+    scale = float(10 ** ndigits)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0:
+            return pa.table({
+                "event_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "vals": pa.array([], pa.list_(pa.float64())),
+                "lvls": pa.array([], pa.list_(pa.int32())),
+            })
+        d = pc.dictionary_encode(t["event_type"].combine_chunks())
+        codes = np.asarray(d.indices, np.int64)
+        vals = np.asarray(t["value"], np.float64)
+        order = np.argsort(codes, kind="stable")
+        cs, vs = codes[order], vals[order]
+        bounds = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1], True])
+        dict_vals = d.dictionary.to_pylist()
+        names, ns, fv, fl = [], [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            sk = KLLSketch(k).update(vs[s:e])
+            v, l = sk.flatten()
+            names.append(dict_vals[cs[s]])
+            ns.append(sk.n)
+            fv.append(v)
+            fl.append(l)
+        return pa.table({
+            "event_type": pa.array(names, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "vals": pa.array([v.tolist() for v in fv], pa.list_(pa.float64())),
+            "lvls": pa.array([l.tolist() for l in fl], pa.list_(pa.int32())),
+        })
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=8192)
+
+    def _reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "event_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "p50": pa.array([], pa.float64()),
+                "p95": pa.array([], pa.float64()),
+            })
+        names, ns, p50s, p95s = [], [], [], []
+        df = t.to_pandas()
+        for name, g in df.groupby("event_type", sort=False):
+            merged = KLLSketch(k)
+            for _, row in g.iterrows():
+                merged.merge(KLLSketch.from_flat(
+                    np.asarray(row["vals"], np.float64),
+                    np.asarray(row["lvls"], np.int32),
+                    row["n"], k))
+            names.append(name)
+            ns.append(merged.n)
+            p50s.append(np.rint(merged.quantile(0.5) * scale) / scale)
+            p95s.append(np.rint(merged.quantile(0.95) * scale) / scale)
+        return pa.table({
+            "event_type": pa.array(names, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "p50": pa.array(p50s, pa.float64()),
+            "p95": pa.array(p95s, pa.float64()),
+        })
+
+    return hash_exchange(parts, key="event_type", num_buckets=8,
+                         reduce_fn=_reduce, arrow=True)

@@ -79,14 +79,15 @@ def quality_by_lang(sf_dir: str):
     ds = _rp(sf_dir, "documents", columns=["lang", "n_chars"])
 
     def partial(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        g = df.groupby("lang", sort=False).agg(
-            n_docs=("n_chars", "size"),
-            sum_chars=("n_chars", "sum"),
-            max_chars=("n_chars", "max"),
-        ).reset_index()
-        g["n_docs"] = g["n_docs"].astype("int64")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # pure-Arrow partial (VERDICT r3 #7): no pandas round-trip
+        g = t.group_by("lang").aggregate(
+            [([], "count_all"), ("n_chars", "sum"), ("n_chars", "max")])
+        return pa.table({
+            "lang": g["lang"],
+            "n_docs": g["count_all"],
+            "sum_chars": g["n_chars_sum"],
+            "max_chars": g["n_chars_max"],
+        })
 
     parts = ds.map_batches(partial, batch_format="pyarrow",
                            zero_copy_batch=True)

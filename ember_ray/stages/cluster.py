@@ -120,7 +120,9 @@ def connected_components_from_scored(scored, threshold: float,
                                      num_buckets: int = 32,
                                      num_partitions: int = 32,
                                      max_rounds: int = 25,
-                                     driver_threshold: int = 2_000_000):
+                                     driver_threshold: int = 2_000_000,
+                                     checkpointer=None,
+                                     ckpt_fp: str | None = None):
     """``connected_components`` fused over the materialized SCORED blocks:
     thresholding + node hashing run inside one raw task per scored block,
     so the driver path needs no separate edges Data job or edge-table
@@ -152,6 +154,7 @@ def connected_components_from_scored(scored, threshold: float,
         edges_from_scores(scored, threshold=threshold),
         num_buckets=num_buckets, num_partitions=num_partitions,
         max_rounds=max_rounds, driver_threshold=0,
+        checkpointer=checkpointer, ckpt_fp=ckpt_fp,
     )
 
 
@@ -287,19 +290,106 @@ def _cc_combine(labels: pa.Table, *msg_slices):
     )
 
 
+def _cc_write_table(tbl: pa.Table, path: str) -> int:
+    import pyarrow.parquet as pq
+
+    pq.write_table(tbl, path)
+    return tbl.num_rows
+
+
+def _cc_read_table(path: str) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(path)
+
+
+def _cc_round_dir(checkpointer, fp: str, rnd: int) -> str:
+    import os
+
+    return os.path.join(checkpointer.stage_dir("cc_rounds", fp),
+                        f"round={rnd}")
+
+
+def _cc_save_round(checkpointer, fp: str, rnd: int, lab_refs, changed_refs,
+                   n_changed: int) -> None:
+    """Persist one closure round's per-bucket label + changed tables
+    atomically (tmp dir → manifest → rename), SURVEY §7.3 mid-closure
+    checkpoint (VERDICT r3 #6)."""
+    import json
+    import os
+    import shutil
+
+    import ray
+
+    from ..util import _cached_remote
+
+    d = _cc_round_dir(checkpointer, fp, rnd)
+    tmp = d + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    w = _cached_remote(_cc_write_table)
+    writes = [w.remote(r, os.path.join(tmp, f"labels_{b}.parquet"))
+              for b, r in enumerate(lab_refs)]
+    writes += [w.remote(r, os.path.join(tmp, f"changed_{b}.parquet"))
+               for b, r in enumerate(changed_refs)]
+    ray.get(writes)
+    with open(os.path.join(tmp, "manifest.json"), "w") as f:
+        json.dump({"round": rnd, "n_buckets": len(lab_refs),
+                   "n_changed": int(n_changed)}, f)
+    shutil.rmtree(d, ignore_errors=True)
+    os.replace(tmp, d)
+
+
+def _cc_load_latest_round(checkpointer, fp: str, B: int, max_rounds: int):
+    """→ (next_round, lab_refs, changed_refs, n_changed) from the newest
+    complete round checkpoint, or (0, None, None, -1)."""
+    import json
+    import os
+
+    from ..util import _cached_remote
+
+    for rnd in range(max_rounds - 1, -1, -1):
+        d = _cc_round_dir(checkpointer, fp, rnd)
+        mpath = os.path.join(d, "manifest.json")
+        if not os.path.exists(mpath):
+            continue
+        with open(mpath) as f:
+            m = json.load(f)
+        if m.get("n_buckets") != B:
+            continue  # stale layout (fp should prevent this; be safe)
+        r = _cached_remote(_cc_read_table)
+        lab = [r.remote(os.path.join(d, f"labels_{b}.parquet"))
+               for b in range(B)]
+        chg = [r.remote(os.path.join(d, f"changed_{b}.parquet"))
+               for b in range(B)]
+        return rnd + 1, lab, chg, int(m["n_changed"])
+    return 0, None, None, -1
+
+
 def connected_components(
     edges,
     num_buckets: int = 32,
     num_partitions: int = 32,
     max_rounds: int = 25,
     driver_threshold: int = 2_000_000,
+    checkpointer=None,
+    ckpt_fp: str | None = None,
+    _fail_after_round: int | None = None,
 ):
     """EDGES dataset → (node, label) Dataset; label = min conv_id of the
     component. Nodes appearing in no edge are absent (callers treat missing
-    nodes as singletons)."""
+    nodes as singletons).
+
+    With ``checkpointer`` + ``ckpt_fp``, every min-label round persists its
+    per-bucket label tables (SURVEY §7.3): a run killed mid-closure resumes
+    from the last completed round instead of restarting the propagation.
+    The adjacency is deterministic from the edges and cheap relative to the
+    round loop, so it is rebuilt, not checkpointed. ``_fail_after_round``
+    is a test-only fault injection (raise after checkpointing round k)."""
     import ray
     import ray.data as rd
 
+    from ..state.checkpoint import fingerprint
     from ..util import _HASH_SEED, _cached_remote
 
     edges = edges.materialize()
@@ -315,16 +405,30 @@ def connected_components(
     msg = _cached_remote(_cc_msg_gen, num_returns=B)
     comb = _cached_remote(_cc_combine, num_returns=3)
 
+    ckpt = checkpointer if (checkpointer is not None and ckpt_fp) else None
+    fp = fingerprint("cc-rounds-v1", ckpt_fp, B, _HASH_SEED) if ckpt else None
+    start_round, lab_refs, changed_refs, n_changed = (
+        _cc_load_latest_round(ckpt, fp, B, max_rounds) if ckpt
+        else (0, None, None, -1))
+    if lab_refs is not None and n_changed == 0:
+        return rd.from_arrow_refs(lab_refs)  # checkpointed AT convergence
+
     outs = [split.remote(b, B, _HASH_SEED) for b in edges.to_arrow_refs()]
-    adj_refs, lab_refs = [], []
+    adj_refs = []
+    init_lab = []
     for p in range(B):
         a, l = init.remote(*[o[p] for o in outs])
         adj_refs.append(a)
-        lab_refs.append(l)
-    changed_refs = list(lab_refs)  # round 1: every label is "new"
+        init_lab.append(l)
+    if lab_refs is None:
+        lab_refs = init_lab
+        changed_refs = list(init_lab)  # round 1: every label is "new"
+        if ckpt:
+            ckpt.misses["cc_rounds"] = ckpt.misses.get("cc_rounds", 0) + 1
+    else:
+        ckpt.hits["cc_rounds"] = ckpt.hits.get("cc_rounds", 0) + start_round
 
-    n_changed = -1
-    for _ in range(max_rounds):
+    for rnd in range(start_round, max_rounds):
         m = [msg.remote(adj_refs[b], changed_refs[b], B, _HASH_SEED)
              for b in range(B)]
         new = [comb.remote(lab_refs[t], *[m[b][t] for b in range(B)])
@@ -332,6 +436,10 @@ def connected_components(
         lab_refs = [n[0] for n in new]
         changed_refs = [n[1] for n in new]
         n_changed = sum(ray.get([n[2] for n in new]))
+        if ckpt:
+            _cc_save_round(ckpt, fp, rnd, lab_refs, changed_refs, n_changed)
+        if _fail_after_round is not None and rnd >= _fail_after_round:
+            raise RuntimeError(f"injected failure after round {rnd}")
         if n_changed == 0:
             break
     if n_changed != 0:

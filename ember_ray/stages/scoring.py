@@ -523,14 +523,18 @@ def score_pairs(
     concurrency=4,
     batch_size: int = 2048,
     num_cpus: float = 1,
+    scorer_cls=None,
 ):
     """pairs (with text/tokens sides attached) → SCORED_PAIRS dataset.
 
     Fixed-size pool (int concurrency): scoring starts after the pair
     barrier, so the pool is under immediate full load — an autoscaling
-    ``(2, n)`` pool measured ~40% slower (ramps too late)."""
+    ``(2, n)`` pool measured ~40% slower (ramps too late).
+
+    ``scorer_cls``: registry-resolved stage class (registry.py scorer
+    protocol); defaults to the built-in :class:`PairScorer`."""
     return pairs_with_sides.map_batches(
-        PairScorer,
+        scorer_cls or PairScorer,
         fn_constructor_kwargs={"idf_ref": idf_ref, "weights": weights},
         batch_format="pyarrow",
         zero_copy_batch=True,
