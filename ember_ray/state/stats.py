@@ -19,8 +19,14 @@ _NAME = "ember_ray_drop_stats"
 _NAMESPACE = "ember_ray"
 
 
+_CLS_CACHE = []
+
+
 def _actor_cls():
     import ray
+
+    if _CLS_CACHE:  # wrap with ray.remote once per process (export cost)
+        return _CLS_CACHE[0]
 
     @ray.remote(num_cpus=0)
     class DropStats:
@@ -42,6 +48,7 @@ def _actor_cls():
         def reset(self):
             self._c = {}
 
+    _CLS_CACHE.append(DropStats)
     return DropStats
 
 
