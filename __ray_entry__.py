@@ -278,6 +278,20 @@ def _q_dedup_minhash_verify(sf_dir: str):
     )
 
 
+def _q_dedup_minhash_clusters(sf_dir: str):
+    """Near-dup cluster canonicalization: candidates exported; the DuckDB
+    oracle re-verifies them (Jaccard ≥ τ) and re-derives the transitive
+    closure with a recursive-CTE min-label walk (the er_entities U3
+    pattern), so canonical assignment is checked end-to-end."""
+    import os
+
+    from ember_ray.pipelines import dedup
+
+    return dedup.dedup_minhash_clusters(
+        sf_dir,
+        export_candidates=os.path.join(_SIDE_DIR, "minhash_candidates_cl"))
+
+
 _BENCH_CACHE: dict[str, dict] = {}
 
 
@@ -448,6 +462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_pack": curation.shard_pack,
         # --- sketches / one-pass summaries (extension; see sketches.py) ---
         "distinct_count": sketches.distinct_count,
+        "group_distinct_count": sketches.group_distinct_count,
         "group_quantiles": sketches.group_quantiles,
         # --- text analysis ------------------------------------------------
         "token_count": textops.token_count,
@@ -460,6 +475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup suite (oracle-exact members) ----------------------------
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_verify": _q_dedup_minhash_verify,    # verify-stage oracle
+        "dedup_minhash_clusters": _q_dedup_minhash_clusters,  # closure oracle
         "dedup_simhash_verify": _q_dedup_simhash_verify,    # verify-stage oracle
         "dedup_embedding_verify": _q_dedup_embedding_verify,  # verify oracle
         # --- similarity search (oracle-exact members) ----------------------
@@ -477,11 +493,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_entities": _q_er_entities,
         "er_metrics": _q_er_metrics,
         "er_cluster_sizes": _q_er_cluster_sizes,
-        # --- slots 49-50: highest-value rows-only entries ------------------
+        # ==== past the driver's 50-key window (slots 1-50 above are ALL ====
+        # ==== oracle-exact): rows-only entries whose verify companions ====
+        # ==== / exact twins are oracle-checked above, plus ngram_counts ====
+        # ==== (oracle-exact in the full tools/check_oracles.py sweep)  ====
+        "ngram_counts": textops.ngram_counts,               # oracle-exact
         "er_scored_pairs": _q_er_scored,              # rows-only (tfidf/score)
         "mm_features": multimodal.mm_features,              # rows-only
-        # ==== past the driver's 50-key window: rows-only entries whose ====
-        # ==== verify companions / exact twins are oracle-checked above ====
         "distinct_count_hll": sketches.distinct_count_hll,  # rows-only sketch
         "group_quantiles_sketch": sketches.group_quantiles_sketch,  # rows-only
         "dedup_minhash": dedup.dedup_minhash,               # rows-only
@@ -549,6 +567,45 @@ def oracle_sql() -> dict[str, str]:
         ),
         "distinct_count": (
             "SELECT count(DISTINCT user_id) AS n_distinct FROM events"
+        ),
+        "group_distinct_count": (
+            "SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct "
+            "FROM events GROUP BY event_type"
+        ),
+        "dedup_minhash_clusters": (
+            # candidates re-verified (exact token Jaccard ≥ 0.8, the
+            # dedup_minhash_verify recipe) then closed transitively with
+            # the recursive min-label walk (the er_entities U3 pattern);
+            # singletons canonicalize to themselves via the seed rows
+            "WITH RECURSIVE cand AS (SELECT * FROM "
+            f"read_parquet('{_SIDE_DIR}/minhash_candidates_cl/*.parquet')), "
+            f"d AS (SELECT doc_id, {toks} AS tk FROM documents), "
+            "e AS (SELECT c.doc_id_left AS src, c.doc_id_right AS dst "
+            "FROM cand c JOIN d a ON a.doc_id = c.doc_id_left "
+            "JOIN d b ON b.doc_id = c.doc_id_right "
+            "WHERE len(list_intersect(a.tk, b.tk)) * 1.0 / "
+            "nullif(len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk)), 0)"
+            " >= 0.8), "
+            "sym AS (SELECT src AS a, dst AS b FROM e "
+            "UNION SELECT dst, src FROM e), "
+            "walk(node, label) AS ("
+            "SELECT doc_id, doc_id FROM documents UNION "
+            "SELECT s.b, w.label FROM walk w JOIN sym s ON s.a = w.node "
+            "WHERE w.label < s.b) "
+            "SELECT node AS doc_id, min(label) AS canonical_id "
+            "FROM walk GROUP BY node"
+        ),
+        "ngram_counts": (
+            # NON-distinct normalized token sequence (the tokenize_array
+            # recipe without list_distinct) → 3-gram strings → top-50 by
+            # (count DESC, ngram ASC) — deterministic tie-break both sides
+            "WITH d AS (SELECT list_filter(string_split(" + norm + ", ' '), "
+            "x -> x <> '') AS tk FROM documents), "
+            "ng AS (SELECT unnest(list_transform(range(1, len(tk) - 1), "
+            "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS ngram "
+            "FROM d WHERE len(tk) >= 3) "
+            "SELECT ngram, count(*) AS n FROM ng GROUP BY ngram "
+            "ORDER BY n DESC, ngram LIMIT 50"
         ),
         "pivot_counts": (
             "SELECT user_id, "

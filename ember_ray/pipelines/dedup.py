@@ -303,6 +303,61 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8, num_perm: int = 64,
                                  batch_size=4096)
 
 
+# ------------------------------------------------- near-dup clusters (U3)
+def _pad_ids(col) -> pa.Array:
+    """int64 ids → 20-char zero-padded strings: lexicographic order equals
+    numeric order, so the string-keyed connected-components machinery
+    (min-label = min doc_id) is reused unchanged."""
+    import pyarrow.compute as pc
+
+    return pc.utf8_lpad(pc.cast(col, pa.string()), 20, "0")
+
+
+def dedup_minhash_clusters(sf_dir: str, threshold: float = 0.8,
+                           num_perm: int = 64, num_bands: int = 8,
+                           num_buckets: int = 16,
+                           export_candidates: str | None = None):
+    """Near-dup CLUSTER canonicalization — what a real dedup pipeline
+    keys its keep/drop decision on (pairs alone under-merge: a~b, b~c
+    must collapse to ONE canonical even when a~c was never a candidate).
+
+    verified MinHash pairs → transitive closure (``stages.cluster``, the
+    U3 machinery) → every document gets ``canonical_id`` = min doc_id of
+    its duplicate cluster (singletons map to themselves). Oracle: DuckDB
+    recursive-CTE min-label closure over the re-verified candidate pairs.
+    """
+    import pyarrow.compute as pc
+
+    from ..stages.cluster import assign_entities, connected_components
+
+    verified = dedup_minhash(
+        sf_dir, threshold=threshold, num_perm=num_perm, num_bands=num_bands,
+        num_buckets=num_buckets, export_candidates=export_candidates)
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        return pa.table({"src": _pad_ids(t["doc_id_left"]),
+                         "dst": _pad_ids(t["doc_id_right"])})
+
+    edges = verified.map_batches(to_edges, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    comps = connected_components(edges, num_buckets=num_buckets,
+                                 num_partitions=num_buckets)
+
+    docs = _docs(sf_dir).map_batches(
+        lambda t: pa.table({"conv_id": _pad_ids(t["doc_id"])}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    ents = assign_entities(docs, comps, num_partitions=num_buckets)
+
+    def unpad(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(t["conv_id"], pa.int64()),
+            "canonical_id": pc.cast(t["entity_id"], pa.int64()),
+        })
+
+    return ents.map_batches(unpad, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------- simhash
 def dedup_simhash(sf_dir: str, max_hamming: int = 12, num_buckets: int = 16,
                   export: str | None = None):

@@ -74,6 +74,42 @@ def distinct_count(sf_dir: str, table: str = "events",
     return pa.table({"n_distinct": pa.array([total], pa.int64())})
 
 
+def group_distinct_count(sf_dir: str, table: str = "events",
+                         group: str = "event_type", column: str = "user_id",
+                         num_buckets: int = 32):
+    """Per-GROUP exact count-distinct (``count(DISTINCT user_id) GROUP BY
+    event_type``): per-batch (group, value) pair dedup (map-side volume
+    reduction) → one hash exchange on the VALUE (a value lives in exactly
+    one bucket, so per-bucket distinct pairs are globally distinct) →
+    per-bucket per-group counts → tiny final sum. No task ever holds a
+    group's full distinct set."""
+    from ray.data.aggregate import Sum
+
+    from ..util import hash_exchange
+
+    ds = _rp(sf_dir, table, columns=[group, column])
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        g = t.group_by([group, column]).aggregate([([], "count_all")])
+        return g.select([group, column])
+
+    parts = ds.map_batches(_pairs, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({group: pa.array([], pa.string()),
+                             "n_distinct": pa.array([], pa.int64())})
+        d = t.group_by([group, column]).aggregate([([], "count_all")])
+        g = d.group_by(group).aggregate([([], "count_all")])
+        return pa.table({group: g[group], "n_distinct": g["count_all"]})
+
+    out = hash_exchange(parts, key=column, num_buckets=num_buckets,
+                        reduce_fn=_bucket, arrow=True)
+    return out.groupby(group).aggregate(Sum("n_distinct",
+                                            alias_name="n_distinct"))
+
+
 # ---------------------------------------------------------------- HLL sketch
 def _hll_partial(values: pa.ChunkedArray | pa.Array, p: int) -> np.ndarray:
     """Fold a value array into a 2^p uint8 register array (vectorized)."""

@@ -207,3 +207,63 @@ def fingerprints(sf_dir: str):
         return pa.table({"doc_id": t["doc_id"], "fp": fp})
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ngram_counts(sf_dir: str, n: int = 3, k: int = 50, num_buckets: int = 32):
+    """Global top-k token n-grams (the corpus-statistics pass an LLM-data
+    pipeline runs for contamination/boilerplate screens).
+
+    Per batch: tokenize (normalized, NON-distinct token sequence), form
+    n-gram strings zero-copy from the flat token values (shifted
+    ``Array.slice`` views joined element-wise — n-grams crossing a
+    document boundary are masked out via the list offsets), pre-count
+    with an Arrow group_by. One hash exchange on the n-gram co-locates
+    each n-gram in exactly one bucket; per-bucket totals take a LOCAL
+    top-k, so the driver-side final sort sees ≤ k·num_buckets rows.
+    Deterministic tie-break: (count DESC, ngram ASC) on both sides.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..functions.text import tokenize_array
+    from ..util import hash_exchange
+
+    ds = _rp(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = tokenize_array(t["text"])
+        offsets = np.asarray(toks.offsets, np.int64)
+        total = int(offsets[-1])
+        L = total - (n - 1)
+        if L <= 0:
+            return pa.table({"ngram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        vals = toks.values
+        grams = pc.binary_join_element_wise(
+            *[vals.slice(j, L) for j in range(n)], " ")
+        # mask n-grams that straddle a document boundary
+        valid = np.ones(L, bool)
+        for j in range(1, n):
+            b = offsets[1:-1] - j
+            b = b[(b >= 0) & (b < L)]
+            valid[b] = False
+        g = pa.table({"ngram": grams.filter(pa.array(valid))}).group_by(
+            "ngram").aggregate([([], "count_all")])
+        return pa.table({"ngram": g["ngram"], "n": g["count_all"]})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=4096)
+
+    def bucket_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"ngram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        g = t.group_by("ngram").aggregate([("n", "sum")])
+        g = pa.table({"ngram": g["ngram"], "n": g["n_sum"]})
+        order = pc.sort_indices(
+            g, sort_keys=[("n", "descending"), ("ngram", "ascending")])
+        return g.take(order[:k])
+
+    out = hash_exchange(parts, key="ngram", num_buckets=num_buckets,
+                        reduce_fn=bucket_topk, arrow=True)
+    return out.sort(["n", "ngram"], descending=[True, False]).limit(k)

@@ -1,0 +1,84 @@
+"""Round-4 operators: per-group exact distinct counts, near-dup cluster
+canonicalization (minhash pairs → transitive closure), and global top-k
+token n-grams — each compared against a direct driver-side recomputation
+on the sf0.001 corpus (independent of the DuckDB oracle path)."""
+
+import collections
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_group_distinct_count_matches_pandas(ray_session):
+    from ember_ray.pipelines.sketches import group_distinct_count
+
+    got = (group_distinct_count(SF_DIR).to_pandas()
+           .set_index("event_type")["n_distinct"].sort_index())
+    ev = pq.read_table(f"{SF_DIR}/events.parquet",
+                       columns=["event_type", "user_id"]).to_pandas()
+    want = ev.groupby("event_type")["user_id"].nunique().sort_index()
+    assert got.index.tolist() == want.index.tolist()
+    assert (got.values == want.values).all()
+
+
+def test_dedup_minhash_clusters_is_min_label_closure(ray_session):
+    """canonical_id must equal the min doc_id of the connected component
+    induced by the VERIFIED pair set — checked against a driver-side
+    union-find; singletons must canonicalize to themselves."""
+    from ember_ray.pipelines.dedup import dedup_minhash, dedup_minhash_clusters
+
+    pairs = dedup_minhash(SF_DIR).to_pandas()
+    got = dedup_minhash_clusters(SF_DIR).to_pandas()
+
+    all_ids = pq.read_table(f"{SF_DIR}/documents.parquet",
+                            columns=["doc_id"])["doc_id"].to_numpy()
+    # every document exactly once
+    assert sorted(got["doc_id"]) == sorted(all_ids.tolist())
+
+    parent = {int(i): int(i) for i in all_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_id_left"], pairs["doc_id_right"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    roots = collections.defaultdict(list)
+    for i in all_ids:
+        roots[find(int(i))].append(int(i))
+    for members in roots.values():
+        m = min(members)
+        for i in members:
+            want[i] = m
+
+    got_map = dict(zip(got["doc_id"].astype(int), got["canonical_id"].astype(int)))
+    assert got_map == want
+    # non-degenerate: the corpus has planted near-dups → some real merges
+    assert any(v != k for k, v in got_map.items())
+
+
+def test_ngram_counts_matches_python_recompute(ray_session):
+    """Top-50 trigrams vs a per-document Python recompute over the SAME
+    tokenizer output — catches both count errors and document-boundary
+    leakage (a cross-doc gram would inflate some count)."""
+    from ember_ray.functions.text import tokenize_array
+    from ember_ray.pipelines.textops import ngram_counts
+
+    got = ngram_counts(SF_DIR).to_pandas()
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text"])
+    toks = tokenize_array(docs["text"].combine_chunks())
+    counts = collections.Counter()
+    for row in toks.to_pylist():
+        for j in range(len(row) - 2):
+            counts[" ".join(row[j:j + 3])] += 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    assert list(zip(got["ngram"], got["n"])) == [(g, np.int64(n))
+                                                 for g, n in want]
