@@ -424,7 +424,8 @@ def _q_bench_pairs_imbalanced(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from ember_ray.pipelines import (ann, curation, dedup, multimodal,
-                                     relational, sketches, temporal, textops)
+                                     relational, search, sketches, temporal,
+                                     textops)
 
     # ORDERING CONTRACT (VERDICT r3 #1): the driver checks exactly the
     # FIRST 50 keys. Slots 1-48 are every oracle-exact query; 49-50 are
@@ -498,6 +499,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ==== / exact twins are oracle-checked above, plus ngram_counts ====
         # ==== (oracle-exact in the full tools/check_oracles.py sweep)  ====
         "ngram_counts": textops.ngram_counts,               # oracle-exact
+        "rolling_agg": temporal.rolling_agg,                # oracle-exact
+        "event_rank": temporal.event_rank,                  # oracle-exact
+        "heavy_hitters": sketches.heavy_hitters,            # oracle-exact
+        "bm25_topk": search.bm25_topk,                      # oracle-exact
         "er_scored_pairs": _q_er_scored,              # rows-only (tfidf/score)
         "mm_features": multimodal.mm_features,              # rows-only
         "distinct_count_hll": sketches.distinct_count_hll,  # rows-only sketch
@@ -595,6 +600,45 @@ def oracle_sql() -> dict[str, str]:
             "SELECT node AS doc_id, min(label) AS canonical_id "
             "FROM walk GROUP BY node"
         ),
+        "heavy_hitters": (
+            # exact top-k tokens (the MG two-pass output IS exact when the
+            # bound holds; the pipeline raises otherwise) — NON-distinct
+            # token stream, (count DESC, token ASC) tie-break both sides
+            "WITH d AS (SELECT list_filter(string_split(" + norm + ", ' '), "
+            "x -> x <> '') AS tk FROM documents), "
+            "t AS (SELECT unnest(tk) AS token FROM d) "
+            "SELECT token, count(*) AS n FROM t GROUP BY token "
+            "ORDER BY n DESC, token LIMIT 20"
+        ),
+        "bm25_topk": (
+            # BM25 over the NON-distinct normalized token stream. Float
+            # parity: every per-term double op is written in the same
+            # order the kernel computes it (idf*(tf*(k1+1))/(tf+norm),
+            # terms summed left-to-right in query order), then the shared
+            # rint recipe at 1e6; ordering is on the ROUNDED score
+            "WITH d AS (SELECT doc_id, list_filter(string_split("
+            + norm + ", ' '), x -> x <> '') AS tk FROM documents), "
+            "e AS (SELECT doc_id, len(tk)::DOUBLE AS dl, "
+            "len(list_filter(tk, x -> x = 'hash'))::DOUBLE AS tf0, "
+            "len(list_filter(tk, x -> x = 'join'))::DOUBLE AS tf1, "
+            "len(list_filter(tk, x -> x = 'order'))::DOUBLE AS tf2 "
+            "FROM d), "
+            "s AS (SELECT sum(dl) / count(*)::DOUBLE AS avgdl, "
+            "count(*)::DOUBLE AS n, "
+            "ln((count(*)::DOUBLE - sum((tf0 > 0)::INT)::DOUBLE + 0.5) / "
+            "(sum((tf0 > 0)::INT)::DOUBLE + 0.5) + 1.0) AS idf0, "
+            "ln((count(*)::DOUBLE - sum((tf1 > 0)::INT)::DOUBLE + 0.5) / "
+            "(sum((tf1 > 0)::INT)::DOUBLE + 0.5) + 1.0) AS idf1, "
+            "ln((count(*)::DOUBLE - sum((tf2 > 0)::INT)::DOUBLE + 0.5) / "
+            "(sum((tf2 > 0)::INT)::DOUBLE + 0.5) + 1.0) AS idf2 FROM e), "
+            "r AS (SELECT doc_id, "
+            "idf0 * (tf0 * 2.2) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) "
+            "+ idf1 * (tf1 * 2.2) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) "
+            "+ idf2 * (tf2 * 2.2) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) "
+            "AS raw FROM e, s WHERE raw > 0.0) "
+            "SELECT doc_id, round(raw * 1000000) / 1000000 AS score FROM r "
+            "ORDER BY score DESC, doc_id LIMIT 10"
+        ),
         "ngram_counts": (
             # NON-distinct normalized token sequence (the tokenize_array
             # recipe without list_distinct) → 3-gram strings → top-50 by
@@ -606,6 +650,27 @@ def oracle_sql() -> dict[str, str]:
             "FROM d WHERE len(tk) >= 3) "
             "SELECT ngram, count(*) AS n FROM ng GROUP BY ngram "
             "ORDER BY n DESC, ngram LIMIT 50"
+        ),
+        "rolling_agg": (
+            # ROWS window, ordered (ts, event_id) — the same total order
+            # the packed-key kernel sorts by. Half-UP floor rounding, not
+            # the usual round() recipe: 2-decimal inputs put mean-of-2
+            # EXACTLY on .005 boundaries where numpy rint (half-even) and
+            # round (half-away) disagree; floor(x*100+0.5) is bit-identical
+            "SELECT event_id, user_id, ts, "
+            "count(*) OVER w::BIGINT AS roll_n, "
+            "floor(sum(value) OVER w * 100 + 0.5)/100 AS roll_sum, "
+            "floor(avg(value) OVER w * 100 + 0.5)/100 AS roll_mean "
+            "FROM events WINDOW w AS (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"
+        ),
+        "event_rank": (
+            # pure comparisons, no float arithmetic — no rounding needed
+            "SELECT event_id, user_id, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY value DESC, event_id)::BIGINT AS value_row_number, "
+            "dense_rank() OVER (PARTITION BY user_id "
+            "ORDER BY value DESC)::BIGINT AS value_dense_rank FROM events"
         ),
         "pivot_counts": (
             "SELECT user_id, "

@@ -405,3 +405,135 @@ def group_quantiles_sketch(sf_dir: str, k: int = 200, ndigits: int = 6):
 
     return hash_exchange(parts, key="event_type", num_buckets=8,
                          reduce_fn=_reduce, arrow=True)
+
+
+# --------------------------------------------------------- heavy hitters
+def heavy_hitters(sf_dir: str, k: int = 20, capacity: int = 4096,
+                  num_buckets: int = 8):
+    """EXACT top-k frequent tokens at sketch cost — the Misra-Gries →
+    exact-recount two-pass pattern (Misra & Gries 1982; the standard
+    scale shape when the vocabulary is too large to shuffle whole).
+
+    Pass 1 (candidates): per block, exact token counts (one Arrow
+    ``group_by``) compressed to a Misra-Gries summary of ``capacity``
+    counters — subtract the (capacity+1)-th largest count, keep the
+    positive ones. Pigeonhole: a token with global frequency > N/capacity
+    must have per-block frequency > N_b/capacity in at least one block,
+    where it survives that block's compression — so the candidate union
+    provably contains every token that could be in the true top-k
+    whenever the k-th count > N/capacity (checked at the end; raises
+    rather than silently returning a wrong top-k). Each block also emits
+    one null-token row carrying its total token count so N needs no
+    extra pass.
+
+    Pass 2 (exact): the candidate union (small — the working set of
+    heavy tokens, NOT the vocabulary) is broadcast once via ``ray.put``;
+    each block re-tokenizes and counts ONLY candidate tokens; one tiny
+    hash exchange sums per-token partials; the driver sorts
+    ≤ |candidates| rows with the deterministic (count DESC, token ASC)
+    tie-break. No stage ever shuffles the full token stream.
+    """
+    import os
+
+    import pyarrow.compute as pc
+    import ray
+
+    from ..functions.text import tokenize_array
+    from ..util import hash_exchange
+
+    path = os.path.join(sf_dir, "documents.parquet")
+
+    def _mg_summary(t: pa.Table) -> pa.Table:
+        toks = tokenize_array(t["text"])
+        vals = toks.values
+        total = len(vals)
+        if total == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "dropped": pa.array([], pa.int64())})
+        g = pa.table({"token": vals}).group_by("token").aggregate(
+            [([], "count_all")])
+        cnt = g["count_all"].to_numpy()
+        dropped = 0
+        if len(cnt) > capacity:
+            thr = np.partition(cnt, len(cnt) - capacity - 1)[
+                len(cnt) - capacity - 1]
+            keep = cnt > thr
+            dropped = int(len(cnt) - keep.sum())
+            g = g.filter(pa.array(keep))
+        return pa.table({
+            "token": pa.concat_arrays(
+                [g["token"].combine_chunks(),
+                 pa.array([None], pa.string())]),
+            "n": pa.concat_arrays(
+                [pa.array(np.zeros(g.num_rows, np.int64)),
+                 pa.array([total], pa.int64())]),
+            # counters discarded by this block's compression; 0 everywhere
+            # means candidates == full vocabulary → result exact as-is
+            "dropped": pa.concat_arrays(
+                [pa.array(np.zeros(g.num_rows, np.int64)),
+                 pa.array([dropped], pa.int64())]),
+        })
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(path, columns=["text"])
+    summaries = ds.map_batches(_mg_summary, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=4096)
+    parts = [pa.Table.from_batches([b] if isinstance(b, pa.RecordBatch)
+                                   else b.to_batches())
+             for b in ray.get(summaries.to_arrow_refs())]
+    merged = pa.concat_tables([p for p in parts if p.num_rows],
+                              promote_options="default")
+    null_rows = merged.filter(pc.is_null(merged["token"]))
+    total_n = int(pc.sum(null_rows["n"]).as_py() or 0)
+    total_dropped = int(pc.sum(null_rows["dropped"]).as_py() or 0)
+    cand = pc.unique(merged.filter(pc.is_valid(merged["token"]))["token"]
+                     .combine_chunks())
+    cand_ref = ray.put(cand)
+
+    def _exact_partial(t: pa.Table) -> pa.Table:
+        cset = ray.get(cand_ref)
+        toks = tokenize_array(t["text"])
+        vals = toks.values.filter(pc.is_in(toks.values, value_set=cset))
+        if len(vals) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        g = pa.table({"token": vals}).group_by("token").aggregate(
+            [([], "count_all")])
+        return pa.table({"token": g["token"], "n": g["count_all"]})
+
+    def _bucket_sum(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        g = t.group_by("token").aggregate([("n", "sum")])
+        return pa.table({"token": g["token"], "n": g["n_sum"]})
+
+    partials = ds.map_batches(_exact_partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=4096)
+    out = hash_exchange(partials, key="token", num_buckets=num_buckets,
+                        reduce_fn=_bucket_sum, arrow=True)
+    empty = pa.table({"token": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+    blocks = []
+    for b in ray.get(out.to_arrow_refs()):
+        t = (pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch)
+             else b)
+        if t.num_rows:
+            blocks.append(t)
+    final = (pa.concat_tables(blocks, promote_options="default")
+             if blocks else empty)
+    order = pc.sort_indices(final, sort_keys=[("n", "descending"),
+                                              ("token", "ascending")])
+    top = final.take(order[:k])
+    if total_dropped and total_n:
+        # some block compressed away counters → top-k is exact ONLY if the
+        # k-th count clears the pigeonhole bound; otherwise refuse
+        kth = top["n"][k - 1].as_py() if top.num_rows >= k else 0
+        if top.num_rows < k or kth <= total_n / capacity:
+            raise ValueError(
+                f"heavy_hitters exactness bound violated: k-th count "
+                f"{kth} <= N/capacity = {total_n / capacity:.1f} — "
+                f"raise capacity")
+    return top

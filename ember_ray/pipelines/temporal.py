@@ -194,6 +194,127 @@ def range_join(sf_dir: str):
     )
 
 
+# -------------------------------------------------- rolling window aggregate
+ROLL_PRECEDING = 3  # ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+
+
+def rolling_agg(sf_dir: str):
+    """Per-user rolling ROWS-window aggregate (the analytic window class
+    the tumbling `window_agg` doesn't cover): for every event, the count /
+    sum / mean of ``value`` over the user's last 4 events (3 preceding +
+    current) ordered by ``(ts, event_id)``.
+
+    Same partitioning contract as the other temporal ops: one hash
+    exchange on ``user_id``; per bucket a single packed-key sort with an
+    event_id secondary (two stable argsorts — equal-(user,ts) rows end
+    up event_id-ascending, matching the oracle's ``ORDER BY ts,
+    event_id``). The window sum is built oldest-lag-first from shifted
+    views masked at user boundaries — a fixed number of vectorized adds,
+    no prefix-sum float drift and no per-row loop; a 100 TB events table
+    only ever moves through the user-keyed exchange once.
+    """
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out_cols = {
+            "event_id": "int64", "user_id": "int64", "ts": "datetime64[us]",
+            "roll_n": "int64", "roll_sum": "float64", "roll_mean": "float64",
+        }
+        if not len(df):
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in out_cols.items()})
+        u = df["user_id"].to_numpy(np.int64)
+        ts = _ts_us(df["ts"])
+        eid = df["event_id"].to_numpy(np.int64)
+        v = df["value"].to_numpy(np.float64)
+        uniq, shift, base = _key_layout(u, u[:0], ts)
+        pk = _pack(u, ts - base, uniq, shift)
+        sec = np.argsort(eid, kind="stable")
+        order = sec[np.argsort(pk[sec], kind="stable")]
+        u, ts, eid, v = u[order], ts[order], eid[order], v[order]
+        n = len(u)
+        # rows since the user's first row (0-based position within user)
+        new_user = np.empty(n, bool)
+        new_user[0] = True
+        np.not_equal(u[1:], u[:-1], out=new_user[1:])
+        idx = np.arange(n, dtype=np.int64)
+        user_start = np.maximum.accumulate(np.where(new_user, idx, 0))
+        pos = idx - user_start
+        # oldest lag first: matches left-to-right accumulation order of
+        # the oracle's window sum (3-element float error << rint scale)
+        s = np.zeros(n, np.float64)
+        cnt = np.ones(n, np.int64)
+        for lag in range(ROLL_PRECEDING, 0, -1):
+            take = pos >= lag  # lagged row exists and is the same user
+            np.add(s, np.where(take, np.concatenate(
+                [np.zeros(lag), v[:-lag]]), 0.0), out=s)
+            cnt += take
+        s += v
+        # half-UP rounding (floor(x*100+0.5)), NOT the usual rint recipe:
+        # 2-decimal inputs make mean-of-2 land EXACTLY on .005 boundaries
+        # where rint (half-to-even) and DuckDB round (half-away) disagree;
+        # floor(x*100+0.5) is bit-identical across both engines
+        scale = 100.0
+        return pd.DataFrame({
+            "event_id": eid, "user_id": u, "ts": _us_series(ts),
+            "roll_n": cnt,
+            "roll_sum": np.floor(s * scale + 0.5) / scale,
+            "roll_mean": np.floor(s / cnt * scale + 0.5) / scale,
+        })
+
+    return bucketed_group_map(
+        _read_events(sf_dir), key="user_id", fn=per_bucket, num_buckets=None
+    )
+
+
+# ------------------------------------------------------- per-user value rank
+def event_rank(sf_dir: str):
+    """Analytic ranking window (row_number + dense_rank): each event's
+    rank of ``value`` (descending) within its user's history.
+
+    row_number breaks value ties by event_id ascending (fully
+    deterministic on both sides); dense_rank depends only on exact float
+    comparisons — no float arithmetic, so no rounding recipe is needed.
+    Kernel: three stable argsorts (event_id, then value descending, then
+    user) give (user asc, value desc, event_id asc) order; ranks are
+    boundary cumsums — no per-group Python.
+    """
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out_cols = {
+            "event_id": "int64", "user_id": "int64",
+            "value_row_number": "int64", "value_dense_rank": "int64",
+        }
+        if not len(df):
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in out_cols.items()})
+        u = df["user_id"].to_numpy(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        v = df["value"].to_numpy(np.float64)
+        order = np.argsort(eid, kind="stable")
+        order = order[np.argsort(-v[order], kind="stable")]
+        order = order[np.argsort(u[order], kind="stable")]
+        u, eid, v = u[order], eid[order], v[order]
+        n = len(u)
+        new_user = np.empty(n, bool)
+        new_user[0] = True
+        np.not_equal(u[1:], u[:-1], out=new_user[1:])
+        idx = np.arange(n, dtype=np.int64)
+        user_start = np.maximum.accumulate(np.where(new_user, idx, 0))
+        rownum = idx - user_start + 1
+        new_val = new_user.copy()
+        new_val[1:] |= v[1:] != v[:-1]
+        gid = np.cumsum(new_val)  # bucket-global dense group label
+        gid_at_start = np.maximum.accumulate(np.where(new_user, gid, 0))
+        dense = gid - gid_at_start + 1
+        return pd.DataFrame({
+            "event_id": eid, "user_id": u,
+            "value_row_number": rownum.astype(np.int64),
+            "value_dense_rank": dense.astype(np.int64),
+        })
+
+    return bucketed_group_map(
+        _read_events(sf_dir), key="user_id", fn=per_bucket, num_buckets=None
+    )
+
+
 # -------------------------------------------------------- session windows
 def sessionize(sf_dir: str):
     """Session-window aggregate (the streaming window op; beyond the

@@ -131,3 +131,32 @@ def test_group_quantiles_sketch_close_to_exact(ray_session):
             spread = max(hi - lo, 1e-9)
             err = abs(approx.loc[et, col] - exact.loc[et, col])
             assert err <= 0.15 * spread, (et, col, err, spread)
+
+
+def test_heavy_hitters_matches_counter(ray_session):
+    """Top-20 tokens vs a driver-side exact Counter over the SAME
+    tokenizer output, with the (count DESC, token ASC) tie-break."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from ember_ray.functions.text import tokenize_array
+    from ember_ray.pipelines.sketches import heavy_hitters
+
+    got = heavy_hitters(SF_DIR).to_pandas()
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text"])
+    counts = collections.Counter(
+        tokenize_array(docs["text"].combine_chunks()).values.to_pylist())
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert list(zip(got["token"], got["n"])) == want
+
+
+def test_heavy_hitters_raises_when_bound_violated(ray_session):
+    """A capacity far below the vocabulary working set must raise, not
+    silently return a possibly-wrong top-k."""
+    import pytest
+
+    from ember_ray.pipelines.sketches import heavy_hitters
+
+    with pytest.raises(ValueError, match="bound violated"):
+        heavy_hitters(SF_DIR, k=20, capacity=2)

@@ -104,3 +104,42 @@ def test_packed_key_overflow_guard():
     ts = np.array([0, (1 << 44) - 1], dtype=np.int64)  # 44-bit range
     with pytest.raises(ValueError, match="overflow"):
         _key_layout(users, users[:0], ts)
+
+
+def test_rolling_agg_matches_python_recompute(ray_session):
+    """Per-row window values recomputed with the same left-to-right float
+    accumulation and half-up rounding the kernel (and oracle) use."""
+    from ember_ray.pipelines.temporal import ROLL_PRECEDING, rolling_agg
+
+    ev = _events().sort_values(["user_id", "ts", "event_id"])
+    rows = []
+    for _, g in ev.groupby("user_id", sort=False):
+        vals = g["value"].to_numpy(np.float64)
+        for i in range(len(g)):
+            lo = max(0, i - ROLL_PRECEDING)
+            s = 0.0
+            for x in vals[lo:i + 1]:  # oldest-first, same as the kernel
+                s += x
+            n = i + 1 - lo
+            rows.append((g["event_id"].iloc[i], g["user_id"].iloc[i],
+                         g["ts"].iloc[i], n,
+                         np.floor(s * 100 + 0.5) / 100,
+                         np.floor(s / n * 100 + 0.5) / 100))
+    ref = pd.DataFrame(rows, columns=[
+        "event_id", "user_id", "ts", "roll_n", "roll_sum", "roll_mean"])
+    _assert_matches(rolling_agg(SF_DIR), ref)
+
+
+def test_event_rank_matches_pandas(ray_session):
+    from ember_ray.pipelines.temporal import event_rank
+
+    ev = _events().sort_values(
+        ["user_id", "value", "event_id"], ascending=[True, False, True])
+    ref = pd.DataFrame({
+        "event_id": ev["event_id"].to_numpy(),
+        "user_id": ev["user_id"].to_numpy(),
+        "value_row_number": ev.groupby("user_id").cumcount().to_numpy() + 1,
+        "value_dense_rank": ev.groupby("user_id")["value"]
+        .rank(method="dense", ascending=False).to_numpy(np.int64),
+    })
+    _assert_matches(event_rank(SF_DIR), ref)
