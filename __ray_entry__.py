@@ -503,6 +503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_rank": temporal.event_rank,                  # oracle-exact
         "heavy_hitters": sketches.heavy_hitters,            # oracle-exact
         "bm25_topk": search.bm25_topk,                      # oracle-exact
+        "decontaminate": curation.decontaminate,            # oracle-exact
         "er_scored_pairs": _q_er_scored,              # rows-only (tfidf/score)
         "mm_features": multimodal.mm_features,              # rows-only
         "distinct_count_hll": sketches.distinct_count_hll,  # rows-only sketch
@@ -638,6 +639,14 @@ def oracle_sql() -> dict[str, str]:
             "AS raw FROM e, s WHERE raw > 0.0) "
             "SELECT doc_id, round(raw * 1000000) / 1000000 AS score FROM r "
             "ORDER BY score DESC, doc_id LIMIT 10"
+        ),
+        "decontaminate": (
+            # exact-match leakage screen: drop every doc whose NORMALIZED
+            # md5 fingerprint appears in the held-out doc_id%97==0 subset
+            "WITH ev AS (SELECT DISTINCT md5(" + norm + ") AS fp "
+            "FROM documents WHERE doc_id % 97 = 0) "
+            "SELECT doc_id, lang FROM documents "
+            "WHERE md5(" + norm + ") NOT IN (SELECT fp FROM ev)"
         ),
         "ngram_counts": (
             # NON-distinct normalized token sequence (the tokenize_array

@@ -83,23 +83,36 @@ def _init_ray(num_cpus: int):
     DataContext.get_current().enable_progress_bars = False
 
 
-def _prefault_plasma(total_bytes: int = 6 << 30, chunk: int = 256 << 20):
-    """Pre-fault the object store and spawn the worker pool BEFORE any
+def _prefault_plasma(total_bytes: int = 6 << 30, chunk: int = 256 << 20,
+                     num_workers: int | None = None):
+    """Pre-fault the object store and spawn a WARM worker pool BEFORE any
     timed region. On a long-running cluster plasma pages and worker
-    processes exist before a job is submitted; a fresh local process
-    otherwise charges the kernel page-fault + process-spawn tax to the
-    FIRST materializing stage (measured: assemble 20.8 s cold vs 12.4 s
-    in a back-to-back identical leg). 6 GB ≈ the assembly exchange's
-    plasma footprint at the 240k scaling corpus."""
+    processes exist (with modules imported) before a job is submitted; a
+    fresh local process otherwise charges the kernel page-fault +
+    process-spawn + import tax to the FIRST materializing stage
+    (measured: assemble 20.8 s cold vs 12.4 s in a back-to-back
+    identical leg). 6 GB ≈ the assembly exchange's plasma footprint at
+    the 240k scaling corpus. At least num_cpus tasks run so every pooled
+    task worker exists and has the hot modules imported."""
     import ray
+
+    if num_workers is None:
+        num_workers = int(ray.cluster_resources().get("CPU", 8))
 
     @ray.remote
     def _prefault(nbytes: int):
         import numpy as np
 
+        # warm the imports every ER/dedup stage needs, so reused task
+        # workers skip the ~1-2 s module-import tax inside timed stages
+        import ember_ray.pipelines.er  # noqa: F401
+        import ember_ray.stages.scoring  # noqa: F401
+
         return np.ones(nbytes, np.uint8)
 
-    warm = [_prefault.remote(chunk) for _ in range(total_bytes // chunk)]
+    n_tasks = max(num_workers, total_bytes // chunk)
+    per = max(1 << 20, total_bytes // n_tasks)
+    warm = [_prefault.remote(per) for _ in range(n_tasks)]
     ray.get(warm)
 
 

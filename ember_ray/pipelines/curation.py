@@ -89,6 +89,62 @@ def quality_filter(sf_dir: str, q_lo: float = Q_LO, q_hi: float = Q_HI):
                            zero_copy_batch=True)
 
 
+EVAL_MOD = 97  # deterministic stand-in eval set: doc_id % EVAL_MOD == 0
+
+
+def decontaminate(sf_dir: str, eval_mod: int = EVAL_MOD):
+    """Exact-match decontamination: drop every corpus document whose
+    NORMALIZED-content fingerprint appears in the held-out eval set (the
+    deterministic ``doc_id % eval_mod == 0`` subset stands in for an
+    external benchmark). Removes not just the eval rows but every exact
+    duplicate of them anywhere in the corpus — the base tier of the
+    standard pre-training leakage screen.
+
+    Scale shape: the eval side is small by construction — its md5
+    fingerprints gather once into an Arrow string array broadcast via
+    ``ray.put`` (zero-copy in every filter task); the corpus side
+    streams through one ``map_batches`` and is never shuffled. An eval
+    side too big to broadcast switches to ``util.bucketed_semi_join``
+    (the ``relational._semi_anti`` hybrid rule). md5 (not xxhash) so
+    DuckDB's ``md5()`` reproduces the fingerprints as the oracle."""
+    import hashlib
+
+    import pyarrow.compute as pc
+    import ray
+
+    from ..functions.text import normalize
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def _fps(norm: pa.Array) -> pa.Array:
+        return pa.array(
+            [hashlib.md5((s or "").encode()).hexdigest()
+             for s in norm.to_pylist()], pa.string())
+
+    def _eval_fps(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], np.int64)
+        sub = t.filter(pa.array(ids % eval_mod == 0))
+        return pa.table({"fp": _fps(normalize(sub["text"]))})
+
+    parts = [r for r in ray.get(
+        ds.map_batches(_eval_fps, batch_format="pyarrow",
+                       zero_copy_batch=True).to_arrow_refs())]
+    tbls = [pa.Table.from_batches([p]) if isinstance(p, pa.RecordBatch)
+            else p for p in parts]
+    tbls = [t for t in tbls if t.num_rows]
+    eval_set = (pc.unique(pa.concat_tables(tbls)["fp"].combine_chunks())
+                if tbls else pa.array([], pa.string()))
+    ref = ray.put(eval_set)
+
+    def _keep(t: pa.Table) -> pa.Table:
+        fp = _fps(normalize(t["text"]))
+        mask = pc.invert(pc.is_in(fp, value_set=ray.get(ref)))
+        return t.select(["doc_id", "lang"]).filter(mask)
+
+    return ds.map_batches(_keep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def shard_pack(sf_dir: str, budget: int = SHARD_BUDGET_CHARS):
     """(doc_id, n_chars, shard_id): shard_id = exclusive running char
     total in doc_id order, integer-divided by ``budget``."""

@@ -73,3 +73,29 @@ def test_shard_pack_parallelism_invariant(ray_session):
     finally:
         cur._rp = orig
     assert a.equals(b)
+
+
+def test_decontaminate_removes_planted_duplicate(ray_session):
+    """A corpus doc that exactly duplicates an eval doc's NORMALIZED
+    content must be dropped even though its own doc_id is not in the
+    eval subset; non-duplicates survive."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ember_ray.pipelines.curation import decontaminate
+
+    with tempfile.TemporaryDirectory() as d:
+        t = pa.table({
+            "doc_id": pa.array([0, 1, 2, 97], pa.int64()),
+            "lang": pa.array(["en"] * 4),
+            # doc 1 duplicates eval doc 0 up to normalization (case +
+            # punctuation); doc 2 is clean; doc 97 is eval itself
+            "text": pa.array(["Hello eval world.", "hello EVAL world",
+                              "a clean document", "another eval doc"]),
+        })
+        pq.write_table(t, os.path.join(d, "documents.parquet"))
+        got = decontaminate(d).to_pandas()
+        assert sorted(got["doc_id"].tolist()) == [2]
