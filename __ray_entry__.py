@@ -428,11 +428,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                      textops)
 
     # ORDERING CONTRACT (VERDICT r3 #1): the driver checks exactly the
-    # FIRST 50 keys. Slots 1-48 are every oracle-exact query; 49-50 are
-    # the two highest-value rows-only entries (flagship scored pairs +
-    # multimodal features); the remaining rows-only entries (sketch /
-    # candidate-generation outputs whose verify companions ARE in the
-    # window) sit past the window, still runnable by name.
+    # FIRST 50 keys — all 50 in-window entries are oracle-exact, ending
+    # with the five flagship er_* queries. Oracle-exact round-4 additions
+    # (ngram_counts .. stratified_sample) sit just past the window —
+    # covered by the full tools/check_oracles.py sweep — followed by the
+    # rows-only entries (sketch / candidate-generation outputs whose
+    # verify companions ARE in the window).
     return {
         # --- relational operators (SURVEY §2; oracle-checked) -------------
         "filter_project": relational.filter_project,        # M2/M4/M10
@@ -504,6 +505,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": sketches.heavy_hitters,            # oracle-exact
         "bm25_topk": search.bm25_topk,                      # oracle-exact
         "decontaminate": curation.decontaminate,            # oracle-exact
+        "curation_pipeline": curation.curation_pipeline,    # oracle-exact
+        "stratified_sample": curation.stratified_sample,    # oracle-exact
         "er_scored_pairs": _q_er_scored,              # rows-only (tfidf/score)
         "mm_features": multimodal.mm_features,              # rows-only
         "distinct_count_hll": sketches.distinct_count_hll,  # rows-only sketch
@@ -518,6 +521,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bench_pairs_train": _q_bench_pairs_train,
         "bench_pairs_imbalanced": _q_bench_pairs_imbalanced,
     }
+
+
+def _stratified_sample_sql(norm: str) -> str:
+    # per-lang thresholds from the SAME python constants the Ray op uses;
+    # 8-hex-char prefixes compare identically as strings in both engines
+    from ember_ray.pipelines.curation import (SAMPLE_FRACS, _DEFAULT_FRAC,
+                                              frac_threshold_hex)
+
+    case = ("CASE lang " + " ".join(
+        f"WHEN '{k}' THEN '{frac_threshold_hex(v)}'"
+        for k, v in SAMPLE_FRACS.items())
+        + f" ELSE '{frac_threshold_hex(_DEFAULT_FRAC)}' END")
+    return ("SELECT doc_id, lang FROM documents "
+            "WHERE substring(md5(" + norm + "), 1, 8) < " + case)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -647,6 +664,27 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents WHERE doc_id % 97 = 0) "
             "SELECT doc_id, lang FROM documents "
             "WHERE md5(" + norm + ") NOT IN (SELECT fp FROM ev)"
+        ),
+        "stratified_sample": _stratified_sample_sql(norm),
+        "curation_pipeline": (
+            # the composed flow: quality band -> decontaminate -> exact
+            # dedup (min doc_id per fp) -> shard pack, same recipes as the
+            # individual ops' oracles
+            "WITH b AS (SELECT lang,"
+            " round(quantile_cont(n_chars, 0.05)*1000000)/1000000 AS lo,"
+            " round(quantile_cont(n_chars, 0.95)*1000000)/1000000 AS hi"
+            " FROM documents GROUP BY lang), "
+            "ev AS (SELECT DISTINCT md5(" + norm + ") AS fp "
+            "FROM documents WHERE doc_id % 97 = 0), "
+            "q AS (SELECT d.doc_id, d.lang, d.n_chars, md5(" + norm + ") AS fp"
+            " FROM documents d JOIN b USING (lang)"
+            " WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi"
+            " AND md5(" + norm + ") NOT IN (SELECT fp FROM ev)), "
+            "dd AS (SELECT doc_id, lang, n_chars FROM q "
+            "QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1) "
+            "SELECT doc_id, lang, n_chars, CAST(floor(coalesce(sum(n_chars)"
+            " OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND"
+            " 1 PRECEDING), 0) / 100000) AS BIGINT) AS shard_id FROM dd"
         ),
         "ngram_counts": (
             # NON-distinct normalized token sequence (the tokenize_array

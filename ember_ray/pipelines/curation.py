@@ -37,10 +37,34 @@ _QSCALE = float(10**6)  # shared rint recipe digits for quantile bounds
 def quality_filter(sf_dir: str, q_lo: float = Q_LO, q_hi: float = Q_HI):
     """Docs with ``q_lo <= rank(n_chars | lang) <= q_hi``; columns
     (doc_id, lang, n_chars)."""
-    from ..util import hash_exchange
-
     ds = _rp(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
     mat = ds.materialize()
+    lo_of, hi_of = _lang_bounds(mat, q_lo, q_hi)
+
+    def _keep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        return t.filter(_quality_mask(t, lo_of, hi_of))
+
+    return mat.map_batches(_keep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def _quality_mask(t: pa.Table, lo_of: dict, hi_of: dict) -> pa.Array:
+    d = t["lang"].combine_chunks().dictionary_encode()
+    codes = np.asarray(d.indices, np.int64)
+    dict_vals = d.dictionary.to_pylist()
+    lo = np.asarray([lo_of[v] for v in dict_vals])[codes]
+    hi = np.asarray([hi_of[v] for v in dict_vals])[codes]
+    n = np.asarray(t["n_chars"], np.float64)
+    return pa.array((n >= lo) & (n <= hi))
+
+
+def _lang_bounds(mat, q_lo: float, q_hi: float):
+    """Per-language [lo, hi] n_chars quantile bounds: one (lang, n_chars)
+    exchange; the tiny result gathers to two dicts (lang cardinality is
+    a handful — <1 KiB closed over per task)."""
+    from ..util import hash_exchange
 
     def _bounds(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -66,27 +90,11 @@ def quality_filter(sf_dir: str, q_lo: float = Q_LO, q_hi: float = Q_HI):
                          "lo": pa.array(los, pa.float64()),
                          "hi": pa.array(his, pa.float64())})
 
-    # lang cardinality is tiny — the bounds table is a handful of rows,
-    # safe to gather and close over (re-shipped per task, <1 KiB)
     bt = hash_exchange(mat.select_columns(["lang", "n_chars"]), "lang",
                        num_buckets=4, reduce_fn=_bounds, arrow=True)
     bdf = bt.to_pandas()
-    lo_of = dict(zip(bdf["lang"], bdf["lo"]))
-    hi_of = dict(zip(bdf["lang"], bdf["hi"]))
-
-    def _keep(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return t
-        d = t["lang"].combine_chunks().dictionary_encode()
-        codes = np.asarray(d.indices, np.int64)
-        dict_vals = d.dictionary.to_pylist()
-        lo = np.asarray([lo_of[v] for v in dict_vals])[codes]
-        hi = np.asarray([hi_of[v] for v in dict_vals])[codes]
-        n = np.asarray(t["n_chars"], np.float64)
-        return t.filter(pa.array((n >= lo) & (n <= hi)))
-
-    return mat.map_batches(_keep, batch_format="pyarrow",
-                           zero_copy_batch=True)
+    return (dict(zip(bdf["lang"], bdf["lo"])),
+            dict(zip(bdf["lang"], bdf["hi"])))
 
 
 EVAL_MOD = 97  # deterministic stand-in eval set: doc_id % EVAL_MOD == 0
@@ -107,37 +115,16 @@ def decontaminate(sf_dir: str, eval_mod: int = EVAL_MOD):
     side too big to broadcast switches to ``util.bucketed_semi_join``
     (the ``relational._semi_anti`` hybrid rule). md5 (not xxhash) so
     DuckDB's ``md5()`` reproduces the fingerprints as the oracle."""
-    import hashlib
-
     import pyarrow.compute as pc
     import ray
 
     from ..functions.text import normalize
 
     ds = _rp(sf_dir, "documents", columns=["doc_id", "lang", "text"])
-
-    def _fps(norm: pa.Array) -> pa.Array:
-        return pa.array(
-            [hashlib.md5((s or "").encode()).hexdigest()
-             for s in norm.to_pylist()], pa.string())
-
-    def _eval_fps(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t["doc_id"], np.int64)
-        sub = t.filter(pa.array(ids % eval_mod == 0))
-        return pa.table({"fp": _fps(normalize(sub["text"]))})
-
-    parts = [r for r in ray.get(
-        ds.map_batches(_eval_fps, batch_format="pyarrow",
-                       zero_copy_batch=True).to_arrow_refs())]
-    tbls = [pa.Table.from_batches([p]) if isinstance(p, pa.RecordBatch)
-            else p for p in parts]
-    tbls = [t for t in tbls if t.num_rows]
-    eval_set = (pc.unique(pa.concat_tables(tbls)["fp"].combine_chunks())
-                if tbls else pa.array([], pa.string()))
-    ref = ray.put(eval_set)
+    ref = _eval_fp_ref(ds, eval_mod)
 
     def _keep(t: pa.Table) -> pa.Table:
-        fp = _fps(normalize(t["text"]))
+        fp = _md5_fps(normalize(t["text"]))
         mask = pc.invert(pc.is_in(fp, value_set=ray.get(ref)))
         return t.select(["doc_id", "lang"]).filter(mask)
 
@@ -145,13 +132,52 @@ def decontaminate(sf_dir: str, eval_mod: int = EVAL_MOD):
                           zero_copy_batch=True)
 
 
+def _md5_fps(norm: pa.Array) -> pa.Array:
+    import hashlib
+
+    return pa.array(
+        [hashlib.md5((s or "").encode()).hexdigest()
+         for s in norm.to_pylist()], pa.string())
+
+
+def _eval_fp_ref(ds, eval_mod: int):
+    """Gather the eval subset's normalized-content fingerprints once and
+    broadcast them (small by construction — one ObjectRef, zero-copy in
+    every reader task)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from ..functions.text import normalize
+
+    def _eval_fps(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], np.int64)
+        sub = t.filter(pa.array(ids % eval_mod == 0))
+        return pa.table({"fp": _md5_fps(normalize(sub["text"]))})
+
+    parts = ray.get(
+        ds.map_batches(_eval_fps, batch_format="pyarrow",
+                       zero_copy_batch=True).to_arrow_refs())
+    tbls = [pa.Table.from_batches([p]) if isinstance(p, pa.RecordBatch)
+            else p for p in parts]
+    tbls = [t for t in tbls if t.num_rows]
+    eval_set = (pc.unique(pa.concat_tables(tbls)["fp"].combine_chunks())
+                if tbls else pa.array([], pa.string()))
+    return ray.put(eval_set)
+
+
 def shard_pack(sf_dir: str, budget: int = SHARD_BUDGET_CHARS):
     """(doc_id, n_chars, shard_id): shard_id = exclusive running char
     total in doc_id order, integer-divided by ``budget``."""
+    return _shard_pack_ds(
+        _rp(sf_dir, "documents", columns=["doc_id", "n_chars"]), budget)
+
+
+def _shard_pack_ds(ds, budget: int = SHARD_BUDGET_CHARS):
+    """Two-phase distributed prefix sum over an arbitrary dataset with
+    (doc_id, n_chars [, carried columns])."""
     import ray
     import ray.data as rd
 
-    ds = _rp(sf_dir, "documents", columns=["doc_id", "n_chars"])
     mat = ds.sort("doc_id").materialize()
     refs = list(mat.to_arrow_refs())
     if not refs:
@@ -174,3 +200,111 @@ def shard_pack(sf_dir: str, budget: int = SHARD_BUDGET_CHARS):
     offsets = np.concatenate(([0], np.cumsum(sums[:-1]))).astype(np.int64)
     out = [_assign.remote(r, int(o), budget) for r, o in zip(refs, offsets)]
     return rd.from_arrow_refs(out)
+
+
+def curation_pipeline(sf_dir: str, q_lo: float = Q_LO, q_hi: float = Q_HI,
+                      eval_mod: int = EVAL_MOD,
+                      budget: int = SHARD_BUDGET_CHARS,
+                      num_buckets: int = 16):
+    """The composed post-dedup curation flow as ONE streaming pipeline:
+    per-language quality band -> exact-match decontamination -> exact
+    dedup (min doc_id per normalized fingerprint) -> shard packing.
+
+    Composition shape (what this op demonstrates beyond its parts): the
+    two small side-inputs (per-lang bounds dict, eval fingerprint set)
+    come from column-pruned passes that never read ``text`` twice more
+    than needed; the corpus then streams through ONE fused map_batches
+    (quality mask + fingerprint + contamination filter in a single
+    batch visit — the text column is read once and never shuffled),
+    ONE fp-keyed hash exchange for the dedup group-min, and the
+    two-phase prefix-sum shard assignment. No full-corpus
+    materialization besides the sort/exchange boundaries the semantics
+    require."""
+    import pyarrow.compute as pc
+    import ray
+
+    from ..functions.text import normalize
+    from ..util import hash_exchange
+
+    # side input 1: per-lang quantile bounds ((lang, n_chars) only)
+    lo_of, hi_of = _lang_bounds(
+        _rp(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+        .materialize(), q_lo, q_hi)
+    # side input 2: eval fingerprint set ((doc_id, text) only)
+    ref = _eval_fp_ref(
+        _rp(sf_dir, "documents", columns=["doc_id", "text"]), eval_mod)
+
+    ds = _rp(sf_dir, "documents",
+             columns=["doc_id", "lang", "n_chars", "text"])
+
+    def _fused(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "lang": pa.array([], pa.string()),
+                             "n_chars": pa.array([], pa.int64()),
+                             "fp": pa.array([], pa.string())})
+        t = t.filter(_quality_mask(t, lo_of, hi_of))
+        fp = _md5_fps(normalize(t["text"]))
+        keep = pc.invert(pc.is_in(fp, value_set=ray.get(ref)))
+        return (t.select(["doc_id", "lang", "n_chars"])
+                .append_column("fp", fp).filter(keep))
+
+    survivors = ds.map_batches(_fused, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    def _min_per_fp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.drop_columns(["fp"])
+        g = t.group_by("fp").aggregate([("doc_id", "min")])
+        keep = pc.is_in(t["doc_id"],
+                        value_set=g["doc_id_min"].combine_chunks())
+        return t.filter(keep).drop_columns(["fp"])
+
+    deduped = hash_exchange(survivors, key="fp", num_buckets=num_buckets,
+                            reduce_fn=_min_per_fp, arrow=True)
+    return _shard_pack_ds(deduped, budget)
+
+
+# per-language sampling fractions (corpus mixing weights); the threshold
+# compare happens on the first 8 hex chars of the md5 fingerprint, where
+# numeric order == lexicographic order, so BOTH engines compare strings
+SAMPLE_FRACS = {"en": 0.5, "de": 0.4, "fr": 0.3, "es": 0.2, "zh": 0.1}
+_DEFAULT_FRAC = 0.1
+
+
+def frac_threshold_hex(frac: float) -> str:
+    return format(min(int(frac * 16**8), 16**8 - 1), "08x")
+
+
+def stratified_sample(sf_dir: str, fracs: dict | None = None):
+    """Deterministic content-hash stratified sampling: keep a document
+    iff the first 8 hex chars of its normalized-content md5 fall below
+    its language's threshold. Reproducible across runs, engines and
+    partitionings (no RNG state), and a superset/subset relation holds
+    between any two fractions — the property corpus-mixing ablations
+    need. Pure streaming map_batches; nothing shuffles, nothing
+    gathers."""
+    import pyarrow.compute as pc
+
+    from ..functions.text import normalize
+
+    fr = SAMPLE_FRACS if fracs is None else fracs
+    thr_of = {k: frac_threshold_hex(v) for k, v in fr.items()}
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def _keep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "lang": pa.array([], pa.string())})
+        pre = pc.utf8_slice_codeunits(
+            _md5_fps(normalize(t["text"])), 0, 8)
+        d = t["lang"].combine_chunks().dictionary_encode()
+        codes = np.asarray(d.indices, np.int64)
+        thr = np.asarray([thr_of.get(v, frac_threshold_hex(_DEFAULT_FRAC))
+                          for v in d.dictionary.to_pylist()], object)[codes]
+        mask = pa.array(np.asarray(pre, object) < thr)
+        return t.select(["doc_id", "lang"]).filter(mask)
+
+    return ds.map_batches(_keep, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -408,6 +408,35 @@ def group_quantiles_sketch(sf_dir: str, k: int = 200, ndigits: int = 6):
 
 
 # --------------------------------------------------------- heavy hitters
+def _mg_compress(g: "pa.Table", total: int, dropped: int,
+                 capacity: int) -> "pa.Table":
+    """Compress a (token, n) count table to a Misra-Gries summary of at
+    most ``capacity`` RESIDUAL counters: subtract the (capacity+1)-th
+    largest count from everything, keep the positive ones. Appends one
+    null-token row carrying (total token count, cumulative counters
+    dropped) so merges need no side channel. dropped == 0 end-to-end
+    means no compression ever happened → the summary is exact."""
+    import pyarrow.compute as pc
+
+    cnt = g["n"].to_numpy()
+    if len(cnt) > capacity:
+        thr = int(np.partition(cnt, len(cnt) - capacity - 1)[
+            len(cnt) - capacity - 1])
+        keep = cnt > thr
+        dropped += int(len(cnt) - keep.sum())
+        g = pa.table({"token": g["token"].filter(pa.array(keep)),
+                      "n": pa.array(cnt[keep] - thr)})
+    return pa.table({
+        "token": pa.concat_arrays(
+            [g["token"].combine_chunks(), pa.array([None], pa.string())]),
+        "n": pa.concat_arrays(
+            [g["n"].combine_chunks(), pa.array([total], pa.int64())]),
+        "dropped": pa.concat_arrays(
+            [pa.array(np.zeros(g.num_rows, np.int64)),
+             pa.array([dropped], pa.int64())]),
+    })
+
+
 def heavy_hitters(sf_dir: str, k: int = 20, capacity: int = 4096,
                   num_buckets: int = 8):
     """EXACT top-k frequent tokens at sketch cost — the Misra-Gries →
@@ -417,21 +446,25 @@ def heavy_hitters(sf_dir: str, k: int = 20, capacity: int = 4096,
     Pass 1 (candidates): per block, exact token counts (one Arrow
     ``group_by``) compressed to a Misra-Gries summary of ``capacity``
     counters — subtract the (capacity+1)-th largest count, keep the
-    positive ones. Pigeonhole: a token with global frequency > N/capacity
-    must have per-block frequency > N_b/capacity in at least one block,
-    where it survives that block's compression — so the candidate union
-    provably contains every token that could be in the true top-k
+    positive RESIDUAL counts. Summaries are MERGEABLE (Agarwal et al.,
+    "Mergeable Summaries", PODS'12): concat + group-sum + re-compress
+    preserves the total undercount bound ≤ N/capacity, so the per-block
+    summaries tree-reduce through Ray tasks to ONE capacity-bounded
+    summary — the driver never holds more than ``capacity`` candidate
+    rows no matter how many blocks the corpus has (at 1e6 blocks a
+    naive union gather would be 4e9 rows). A token with true count
+    > N/capacity keeps a positive merged residual, so the final
+    summary's key set provably contains every possible top-k member
     whenever the k-th count > N/capacity (checked at the end; raises
-    rather than silently returning a wrong top-k). Each block also emits
-    one null-token row carrying its total token count so N needs no
-    extra pass.
+    rather than silently returning a wrong top-k). Each block also
+    emits one null-token row carrying its total token count and
+    dropped-counter tally so N needs no extra pass.
 
-    Pass 2 (exact): the candidate union (small — the working set of
-    heavy tokens, NOT the vocabulary) is broadcast once via ``ray.put``;
-    each block re-tokenizes and counts ONLY candidate tokens; one tiny
-    hash exchange sums per-token partials; the driver sorts
-    ≤ |candidates| rows with the deterministic (count DESC, token ASC)
-    tie-break. No stage ever shuffles the full token stream.
+    Pass 2 (exact): the ≤ capacity candidates broadcast once via
+    ``ray.put``; each block re-tokenizes and counts ONLY candidate
+    tokens; one tiny hash exchange sums per-token partials; the driver
+    sorts ≤ capacity rows with the deterministic (count DESC, token
+    ASC) tie-break. No stage ever shuffles the full token stream.
     """
     import os
 
@@ -453,43 +486,49 @@ def heavy_hitters(sf_dir: str, k: int = 20, capacity: int = 4096,
                              "dropped": pa.array([], pa.int64())})
         g = pa.table({"token": vals}).group_by("token").aggregate(
             [([], "count_all")])
-        cnt = g["count_all"].to_numpy()
-        dropped = 0
-        if len(cnt) > capacity:
-            thr = np.partition(cnt, len(cnt) - capacity - 1)[
-                len(cnt) - capacity - 1]
-            keep = cnt > thr
-            dropped = int(len(cnt) - keep.sum())
-            g = g.filter(pa.array(keep))
-        return pa.table({
-            "token": pa.concat_arrays(
-                [g["token"].combine_chunks(),
-                 pa.array([None], pa.string())]),
-            "n": pa.concat_arrays(
-                [pa.array(np.zeros(g.num_rows, np.int64)),
-                 pa.array([total], pa.int64())]),
-            # counters discarded by this block's compression; 0 everywhere
-            # means candidates == full vocabulary → result exact as-is
-            "dropped": pa.concat_arrays(
-                [pa.array(np.zeros(g.num_rows, np.int64)),
-                 pa.array([dropped], pa.int64())]),
-        })
+        g = pa.table({"token": g["token"],
+                      "n": pc.cast(g["count_all"], pa.int64())})
+        return _mg_compress(g, total, 0, capacity)
 
     import ray.data as rd
+
+    @ray.remote
+    def _merge_mg(*tbls: pa.Table) -> pa.Table:
+        tbls = [t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+                for t in tbls]
+        tbls = [t for t in tbls if t.num_rows]
+        if not tbls:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "dropped": pa.array([], pa.int64())})
+        cat = pa.concat_tables(tbls, promote_options="default")
+        nulls = cat.filter(pc.is_null(cat["token"]))
+        total = int(pc.sum(nulls["n"]).as_py() or 0)
+        dropped = int(pc.sum(nulls["dropped"]).as_py() or 0)
+        toks = cat.filter(pc.is_valid(cat["token"]))
+        g = toks.group_by("token").aggregate([("n", "sum")])
+        g = pa.table({"token": g["token"], "n": g["n_sum"]})
+        return _mg_compress(g, total, dropped, capacity)
 
     ds = rd.read_parquet(path, columns=["text"])
     summaries = ds.map_batches(_mg_summary, batch_format="pyarrow",
                                zero_copy_batch=True, batch_size=4096)
-    parts = [pa.Table.from_batches([b] if isinstance(b, pa.RecordBatch)
-                                   else b.to_batches())
-             for b in ray.get(summaries.to_arrow_refs())]
-    merged = pa.concat_tables([p for p in parts if p.num_rows],
-                              promote_options="default")
+    # tree-reduce the mergeable summaries: the driver only ever handles
+    # ObjectRefs + ONE final capacity-bounded table
+    refs = list(summaries.to_arrow_refs())
+    fan_in = 16
+    while len(refs) > 1:
+        refs = [_merge_mg.remote(*refs[i:i + fan_in])
+                for i in range(0, len(refs), fan_in)]
+    merged = ray.get(refs[0]) if refs else pa.table(
+        {"token": pa.array([], pa.string()),
+         "n": pa.array([], pa.int64()),
+         "dropped": pa.array([], pa.int64())})
     null_rows = merged.filter(pc.is_null(merged["token"]))
     total_n = int(pc.sum(null_rows["n"]).as_py() or 0)
     total_dropped = int(pc.sum(null_rows["dropped"]).as_py() or 0)
-    cand = pc.unique(merged.filter(pc.is_valid(merged["token"]))["token"]
-                     .combine_chunks())
+    cand = merged.filter(pc.is_valid(merged["token"]))["token"]\
+        .combine_chunks()
     cand_ref = ray.put(cand)
 
     def _exact_partial(t: pa.Table) -> pa.Table:

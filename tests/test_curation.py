@@ -99,3 +99,46 @@ def test_decontaminate_removes_planted_duplicate(ray_session):
         pq.write_table(t, os.path.join(d, "documents.parquet"))
         got = decontaminate(d).to_pandas()
         assert sorted(got["doc_id"].tolist()) == [2]
+
+
+def test_curation_pipeline_bucket_invariance(ray_session):
+    """The composed pipeline's output must not depend on the dedup
+    exchange fan-out; shard ids must be nondecreasing in doc_id order
+    and every output doc unique."""
+    import pandas as pd
+
+    from ember_ray.pipelines.curation import curation_pipeline
+
+    a = (curation_pipeline(SF_DIR).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (curation_pipeline(SF_DIR, num_buckets=3).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert a["doc_id"].is_unique and len(a) > 0
+    assert (a["shard_id"].diff().dropna() >= 0).all()
+
+
+def test_stratified_sample_subset_and_rates(ray_session):
+    """Content-hash sampling: smaller fractions select SUBSETS of larger
+    ones (the ablation property), per-lang rates track the requested
+    fractions, and resampling is byte-identical (no RNG state)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ember_ray.pipelines.curation import stratified_sample
+
+    half = stratified_sample(
+        SF_DIR, fracs={"en": 0.5, "de": 0.5, "fr": 0.5, "es": 0.5,
+                       "zh": 0.5}).to_pandas()
+    fifth = stratified_sample(
+        SF_DIR, fracs={"en": 0.2, "de": 0.2, "fr": 0.2, "es": 0.2,
+                       "zh": 0.2}).to_pandas()
+    again = stratified_sample(
+        SF_DIR, fracs={"en": 0.5, "de": 0.5, "fr": 0.5, "es": 0.5,
+                       "zh": 0.5}).to_pandas()
+    assert set(fifth["doc_id"]) <= set(half["doc_id"])
+    assert sorted(again["doc_id"]) == sorted(half["doc_id"])
+    n_docs = pq.read_table(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id"]).num_rows
+    rate = len(half) / n_docs
+    assert 0.35 < rate < 0.65  # md5 uniformity at corpus size
