@@ -505,6 +505,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": sketches.heavy_hitters,            # oracle-exact
         "bm25_topk": search.bm25_topk,                      # oracle-exact
         "decontaminate": curation.decontaminate,            # oracle-exact
+        "decontaminate_ngram": curation.decontaminate_ngram,  # oracle-exact
+        "repetition_scores": textops.repetition_scores,     # oracle-exact
+        "shuffle_order": curation.shuffle_order,            # oracle-exact
         "curation_pipeline": curation.curation_pipeline,    # oracle-exact
         "stratified_sample": curation.stratified_sample,    # oracle-exact
         "er_scored_pairs": _q_er_scored,              # rows-only (tfidf/score)
@@ -666,6 +669,43 @@ def oracle_sql() -> dict[str, str]:
             "WHERE md5(" + norm + ") NOT IN (SELECT fp FROM ev)"
         ),
         "stratified_sample": _stratified_sample_sql(norm),
+        "decontaminate_ngram": (
+            # 5-gram-collision fuzzy leakage screen: same token recipe as
+            # ngram_counts (NON-distinct sequence); docs with < 5 tokens
+            # have no grams and are kept
+            "WITH d AS (SELECT doc_id, lang, "
+            "list_filter(string_split(" + norm + ", ' '), x -> x <> '') "
+            "AS tk FROM documents), "
+            "g AS (SELECT doc_id, unnest(list_transform("
+            "range(1, len(tk) - 3), i -> tk[i] || ' ' || tk[i+1] || ' ' || "
+            "tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])) AS g "
+            "FROM d WHERE len(tk) >= 5), "
+            "ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0), "
+            "bad AS (SELECT DISTINCT doc_id FROM g "
+            "WHERE g IN (SELECT g FROM ev)) "
+            "SELECT doc_id, lang FROM documents "
+            "WHERE doc_id NOT IN (SELECT doc_id FROM bad)"
+        ),
+        "repetition_scores": (
+            # Gopher duplicate-3-gram counters; integer columns so the
+            # comparison is exact — the dup fraction is derived downstream
+            "WITH d AS (SELECT doc_id, "
+            "list_filter(string_split(" + norm + ", ' '), x -> x <> '') "
+            "AS tk FROM documents), "
+            "g AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN "
+            "list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || "
+            "tk[i+1] || ' ' || tk[i+2]) ELSE CAST([] AS VARCHAR[]) END "
+            "AS gs FROM d) "
+            "SELECT doc_id, len(gs)::BIGINT AS n_grams, "
+            "len(list_distinct(gs))::BIGINT AS n_distinct FROM g"
+        ),
+        "shuffle_order": (
+            # deterministic content-hash training order; doc_id breaks
+            # exact-duplicate ties identically on both sides
+            "SELECT doc_id, CAST(row_number() OVER (ORDER BY "
+            "md5(" + norm + "), doc_id) - 1 AS BIGINT) AS pos "
+            "FROM documents"
+        ),
         "curation_pipeline": (
             # the composed flow: quality band -> decontaminate -> exact
             # dedup (min doc_id per fp) -> shard pack, same recipes as the

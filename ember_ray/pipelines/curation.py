@@ -308,3 +308,149 @@ def stratified_sample(sf_dir: str, fracs: dict | None = None):
 
     return ds.map_batches(_keep, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+NGRAM_DECON_N = 5  # gram width for the fuzzy contamination screen
+
+
+def _doc_ngrams(texts, n: int):
+    """All token n-grams in a batch of documents plus each gram's row
+    index: ``(grams: pa.StringArray, doc_idx: np.int64[len(grams)])``.
+
+    Same zero-copy construction as ``textops.ngram_counts`` (shifted
+    ``Array.slice`` views over the flat token values joined element-wise;
+    grams straddling a document boundary masked out via the list
+    offsets). The kept grams are, per document, its first
+    ``max(len_d - n + 1, 0)`` flat positions in order, so the row index
+    is a plain ``np.repeat`` over those counts — no searchsorted."""
+    import pyarrow.compute as pc
+
+    from ..functions.text import tokenize_array
+
+    toks = tokenize_array(texts)
+    offsets = np.asarray(toks.offsets, np.int64)
+    lens = np.diff(offsets)
+    total = int(offsets[-1])
+    L = total - (n - 1)
+    if L <= 0:
+        return pa.array([], pa.string()), np.empty(0, np.int64)
+    vals = toks.values
+    grams = pc.binary_join_element_wise(
+        *[vals.slice(j, L) for j in range(n)], " ")
+    valid = np.ones(L, bool)
+    for j in range(1, n):
+        b = offsets[1:-1] - j
+        b = b[(b >= 0) & (b < L)]
+        valid[b] = False
+    counts = np.maximum(lens - (n - 1), 0)
+    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), counts)
+    kept = grams.filter(pa.array(valid))
+    assert len(kept) == len(doc_idx)
+    return kept, doc_idx
+
+
+def decontaminate_ngram(sf_dir: str, n: int = NGRAM_DECON_N,
+                        eval_mod: int = EVAL_MOD):
+    """Fuzzy decontamination: drop every corpus document that shares ANY
+    normalized token ``n``-gram with the held-out eval set (the
+    ``doc_id % eval_mod == 0`` stand-in) — the n-gram-collision leakage
+    screen of the GPT-3 appendix-C / PaLM flavor, one tier stricter than
+    the exact-match ``decontaminate``. Documents with fewer than ``n``
+    tokens carry no grams and are always kept.
+
+    Scale shape: a real eval side is a FIXED benchmark suite — its
+    distinct n-gram set is bounded (millions of short strings) no matter
+    how big the corpus grows, so it gathers once and broadcasts via
+    ``ray.put`` (zero-copy Arrow in every filter task). The corpus side
+    streams through one ``map_batches`` — per batch one tokenize, one
+    vectorized gram build, one ``pc.is_in`` against the broadcast set,
+    and a fancy-indexed any-hit reduction to row level; the text column
+    is never shuffled and nothing corpus-sized ever lands on the
+    driver."""
+    import pyarrow.compute as pc
+    import ray
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def _eval_grams(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], np.int64)
+        sub = t.filter(pa.array(ids % eval_mod == 0))
+        g, _ = _doc_ngrams(sub["text"], n)
+        return pa.table({"g": pc.unique(g)})
+
+    parts = ray.get(
+        ds.map_batches(_eval_grams, batch_format="pyarrow",
+                       zero_copy_batch=True).to_arrow_refs())
+    tbls = [pa.Table.from_batches([p]) if isinstance(p, pa.RecordBatch)
+            else p for p in parts]
+    tbls = [t for t in tbls if t.num_rows]
+    ev = (pc.unique(pa.concat_tables(tbls)["g"].combine_chunks())
+          if tbls else pa.array([], pa.string()))
+    ref = ray.put(ev)
+
+    def _keep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "lang": pa.array([], pa.string())})
+        g, di = _doc_ngrams(t["text"], n)
+        bad = np.zeros(t.num_rows, bool)
+        if len(di):
+            hit = pc.is_in(g, value_set=ray.get(ref)).to_numpy(
+                zero_copy_only=False)
+            bad[di[hit]] = True
+        return t.select(["doc_id", "lang"]).filter(pa.array(~bad))
+
+    return ds.map_batches(_keep, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=4096)
+
+
+def shuffle_order(sf_dir: str):
+    """Deterministic global shuffle for training: assign every document
+    a position in the content-hash order ``(md5(normalized text),
+    doc_id)`` — the corpus-order randomization step before shard
+    packing, reproducible across runs/engines/partitionings with no RNG
+    state (same family as ``stratified_sample``; an epoch seed would
+    concat into the hashed string).
+
+    Scale shape: ONE distributed sort on the 40-byte (fp, doc_id)
+    projection (text never moves — the fingerprint pass is streaming),
+    then the same two-phase rank assignment as ``shard_pack``: per-block
+    row counts -> exclusive driver cumsum of one int64 per block ->
+    per-block vectorized ``offset + arange``. Ray's sort emits
+    range-partitioned blocks in global order, which is what makes the
+    prefix trick exact."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from ..functions.text import normalize
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _fp(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "fp": _md5_fps(normalize(t["text"]))})
+
+    mat = (ds.map_batches(_fp, batch_format="pyarrow", zero_copy_batch=True)
+           .sort(["fp", "doc_id"]).materialize())
+    refs = list(mat.to_arrow_refs())
+    if not refs:
+        return rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                       "pos": pa.array([], pa.int64())}))
+
+    @ray.remote
+    def _nrows(t) -> int:
+        return t.num_rows
+
+    @ray.remote
+    def _rank(t, off: int) -> pa.Table:
+        t = pa.Table.from_batches([t]) if isinstance(t, pa.RecordBatch) else t
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "pos": pa.array(off + np.arange(t.num_rows, dtype=np.int64)),
+        })
+
+    counts = np.asarray(ray.get([_nrows.remote(r) for r in refs]), np.int64)
+    offsets = np.concatenate(([0], np.cumsum(counts[:-1]))).astype(np.int64)
+    return rd.from_arrow_refs(
+        [_rank.remote(r, int(o)) for r, o in zip(refs, offsets)])

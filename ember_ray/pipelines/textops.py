@@ -267,3 +267,38 @@ def ngram_counts(sf_dir: str, n: int = 3, k: int = 50, num_buckets: int = 32):
     out = hash_exchange(parts, key="ngram", num_buckets=num_buckets,
                         reduce_fn=bucket_topk, arrow=True)
     return out.sort(["n", "ngram"], descending=[True, False]).limit(k)
+
+
+def repetition_scores(sf_dir: str, n: int = 3):
+    """Per-doc repetition counters for the Gopher-style "fraction of
+    duplicate n-grams" quality rule: ``(doc_id, n_grams, n_distinct)``
+    over normalized token 3-grams. Integer columns — exact vs the DuckDB
+    ``len`` / ``len(list_distinct(...))`` oracle; the caller derives the
+    duplicate fraction ``1 - n_distinct/n_grams`` downstream so no float
+    crosses the comparison.
+
+    Kernel: one tokenize + the shared zero-copy gram build
+    (``curation._doc_ngrams``), then ONE Arrow ``group_by(doc
+    row).count_distinct`` per batch — no per-document Python. Stateless
+    streaming map_batches; nothing shuffles."""
+    from .curation import _doc_ngrams
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.int64())
+        out_total = np.zeros(t.num_rows, np.int64)
+        out_dist = np.zeros(t.num_rows, np.int64)
+        grams, di = _doc_ngrams(t["text"], n)
+        if len(di):
+            row, cnt = np.unique(di, return_counts=True)
+            out_total[row] = cnt
+            g = pa.table({"d": pa.array(di), "g": grams}).group_by(
+                "d").aggregate([("g", "count_distinct")])
+            out_dist[g["d"].to_numpy()] = g["g_count_distinct"].to_numpy()
+        return pa.table({"doc_id": ids,
+                         "n_grams": pa.array(out_total),
+                         "n_distinct": pa.array(out_dist)})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=4096)

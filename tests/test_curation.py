@@ -101,6 +101,57 @@ def test_decontaminate_removes_planted_duplicate(ray_session):
         assert sorted(got["doc_id"].tolist()) == [2]
 
 
+def test_decontaminate_ngram_planted_overlap(ray_session):
+    """A corpus doc sharing one 5-gram with an eval doc is dropped even
+    when the rest of its text differs entirely; docs with no shared gram
+    survive, and docs shorter than 5 tokens are always kept."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ember_ray.pipelines.curation import decontaminate_ngram
+
+    with tempfile.TemporaryDirectory() as d:
+        t = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "lang": pa.array(["en"] * 4),
+            # doc 0 is eval (0 % 97 == 0); doc 1 embeds one of its
+            # 5-grams mid-sentence; doc 2 shares words but never 5 in a
+            # row; doc 3 has only 4 tokens (no grams -> kept)
+            "text": pa.array([
+                "alpha beta gamma delta epsilon zeta",
+                "totally different start alpha beta gamma delta epsilon"
+                " and more",
+                "alpha beta gamma window never delta epsilon zeta runs",
+                "alpha beta gamma delta",
+            ]),
+        })
+        pq.write_table(t, os.path.join(d, "documents.parquet"))
+        got = decontaminate_ngram(d).to_pandas()
+        assert sorted(got["doc_id"].tolist()) == [2, 3]
+
+
+def test_doc_ngrams_boundary_and_rowindex():
+    """_doc_ngrams: no gram straddles a document boundary; the row index
+    maps each gram to its source document; short/empty docs yield none."""
+    import pyarrow as pa
+
+    from ember_ray.pipelines.curation import _doc_ngrams
+
+    texts = pa.chunked_array([pa.array([
+        "a b c d",      # 2 trigrams
+        "",             # none
+        "e f",          # none (< 3 tokens)
+        "g h i j k",    # 3 trigrams
+    ])])
+    grams, di = _doc_ngrams(texts, 3)
+    assert grams.to_pylist() == ["a b c", "b c d",
+                                 "g h i", "h i j", "i j k"]
+    assert di.tolist() == [0, 0, 3, 3, 3]
+
+
 def test_curation_pipeline_bucket_invariance(ray_session):
     """The composed pipeline's output must not depend on the dedup
     exchange fan-out; shard ids must be nondecreasing in doc_id order
@@ -142,3 +193,27 @@ def test_stratified_sample_subset_and_rates(ray_session):
                            columns=["doc_id"]).num_rows
     rate = len(half) / n_docs
     assert 0.35 < rate < 0.65  # md5 uniformity at corpus size
+
+
+def test_shuffle_order_partition_invariance(ray_session):
+    """The content-hash training order is a permutation (every pos
+    exactly once) and must not depend on the input block layout."""
+    import ember_ray.pipelines.curation as cur
+    from ember_ray.pipelines.curation import shuffle_order
+
+    a = (shuffle_order(SF_DIR).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    assert sorted(a["pos"].tolist()) == list(range(len(a)))
+
+    orig = cur._rp
+
+    def shredded(sf_dir, table, columns=None):
+        return orig(sf_dir, table, columns=columns).repartition(17)
+
+    cur._rp = shredded
+    try:
+        b = (shuffle_order(SF_DIR).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    finally:
+        cur._rp = orig
+    assert a.equals(b)

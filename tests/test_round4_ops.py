@@ -82,3 +82,31 @@ def test_ngram_counts_matches_python_recompute(ray_session):
     want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
     assert list(zip(got["ngram"], got["n"])) == [(g, np.int64(n))
                                                  for g, n in want]
+
+
+def test_repetition_scores_planted_repeat(ray_session):
+    """A doc made of one repeated phrase must show n_distinct << n_grams;
+    a no-repeat doc shows n_distinct == n_grams; < 3 tokens -> zeros."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ember_ray.pipelines.textops import repetition_scores
+
+    with tempfile.TemporaryDirectory() as d:
+        t = pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array([
+                "spam ham spam ham spam ham spam ham",  # 6 grams, 2 kinds
+                "all tokens here are unique words",     # 4 grams, 4 kinds
+                "too short",                            # no grams
+            ]),
+        })
+        pq.write_table(t, os.path.join(d, "documents.parquet"))
+        got = (repetition_scores(d).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        assert got.loc[0, "n_grams"] == 6 and got.loc[0, "n_distinct"] == 2
+        assert got.loc[1, "n_grams"] == 4 and got.loc[1, "n_distinct"] == 4
+        assert got.loc[2, "n_grams"] == 0 and got.loc[2, "n_distinct"] == 0

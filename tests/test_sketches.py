@@ -160,3 +160,50 @@ def test_heavy_hitters_raises_when_bound_violated(ray_session):
 
     with pytest.raises(ValueError, match="bound violated"):
         heavy_hitters(SF_DIR, k=20, capacity=2)
+
+
+def test_mg_compress_merge_preserves_bound():
+    """Misra-Gries summaries must stay capacity-bounded through a merge
+    (concat + group-sum + re-compress) with the undercount bound
+    N/capacity intact: every surviving residual underestimates the true
+    count by at most (dropped rounds x threshold), and the null row
+    carries exact totals."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ember_ray.pipelines.sketches import _mg_compress
+
+    cap = 4
+    # two "blocks" with overlapping heavy keys and disjoint light tails
+    a = pa.table({"token": pa.array(["hh1", "hh2", "a", "b", "c", "d"]),
+                  "n": pa.array([50, 40, 1, 1, 1, 1], pa.int64())})
+    b = pa.table({"token": pa.array(["hh1", "hh2", "e", "f", "g"]),
+                  "n": pa.array([30, 35, 2, 1, 1], pa.int64())})
+    sa = _mg_compress(a, total=94, dropped=0, capacity=cap)
+    sb = _mg_compress(b, total=69, dropped=0, capacity=cap)
+
+    cat = pa.concat_tables([sa, sb])
+    nulls = cat.filter(pc.is_null(cat["token"]))
+    toks = cat.filter(pc.is_valid(cat["token"]))
+    g = toks.group_by("token").aggregate([("n", "sum")])
+    merged = _mg_compress(
+        pa.table({"token": g["token"], "n": g["n_sum"]}),
+        total=int(pc.sum(nulls["n"]).as_py()),
+        dropped=int(pc.sum(nulls["dropped"]).as_py()), capacity=cap)
+
+    # capacity bound: <= cap residual counters + exactly one null row
+    m_nulls = merged.filter(pc.is_null(merged["token"]))
+    m_toks = merged.filter(pc.is_valid(merged["token"]))
+    assert m_toks.num_rows <= cap and m_nulls.num_rows == 1
+    assert int(m_nulls["n"][0].as_py()) == 94 + 69  # exact N
+    # the true heavies survive with positive residuals <= true count
+    kept = dict(zip(m_toks["token"].to_pylist(),
+                    m_toks["n"].to_pylist()))
+    true = {"hh1": 80, "hh2": 75}
+    for k, v in true.items():
+        assert k in kept and 0 < kept[k] <= v
+        # undercount bounded by N/capacity
+        assert v - kept[k] <= (94 + 69) / cap
+    # residuals are all strictly positive (compression removed zeros)
+    assert all(x > 0 for x in kept.values())
