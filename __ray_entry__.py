@@ -510,6 +510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_order": curation.shuffle_order,            # oracle-exact
         "curation_pipeline": curation.curation_pipeline,    # oracle-exact
         "stratified_sample": curation.stratified_sample,    # oracle-exact
+        "pii_scrub": curation.pii_scrub,                    # oracle-exact
         "er_scored_pairs": _q_er_scored,              # rows-only (tfidf/score)
         "mm_features": multimodal.mm_features,              # rows-only
         "distinct_count_hll": sketches.distinct_count_hll,  # rows-only sketch
@@ -538,6 +539,27 @@ def _stratified_sample_sql(norm: str) -> str:
         + f" ELSE '{frac_threshold_hex(_DEFAULT_FRAC)}' END")
     return ("SELECT doc_id, lang FROM documents "
             "WHERE substring(md5(" + norm + "), 1, 8) < " + case)
+
+
+def _pii_scrub_sql() -> str:
+    # staged scrub composed from the SAME PII_PATTERNS constants the Ray
+    # kernel applies (both engines are RE2 — bitwise-identical matches);
+    # counts are taken per pattern on the progressively scrubbed text,
+    # exactly like functions.text.scrub_pii
+    from ember_ray.functions.text import PII_PATTERNS
+
+    contact = ("c_name || ' <' || lower(c_mktsegment) || '.' || c_custkey"
+               " || '@example.com> ext 555-'"
+               " || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')")
+    expr = "contact"
+    counts = []
+    for pat, repl in PII_PATTERNS:
+        counts.append(f"(len(regexp_split_to_array({expr}, '{pat}')) - 1)")
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return (f"WITH c AS (SELECT c_custkey, {contact} AS contact "
+            "FROM customer) "
+            f"SELECT c_custkey, {expr} AS contact, "
+            f"CAST({' + '.join(counts)} AS BIGINT) AS n_pii FROM c")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -726,6 +748,7 @@ def oracle_sql() -> dict[str, str]:
             " OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND"
             " 1 PRECEDING), 0) / 100000) AS BIGINT) AS shard_id FROM dd"
         ),
+        "pii_scrub": _pii_scrub_sql(),
         "ngram_counts": (
             # NON-distinct normalized token sequence (the tokenize_array
             # recipe without list_distinct) → 3-gram strings → top-50 by

@@ -129,3 +129,29 @@ def concat_coalesce(arrays, sep: str = " ") -> pa.ChunkedArray:
     ``sep.join(str(x or "") for x in cols)``."""
     filled = [pc.fill_null(a, "") for a in arrays]
     return pc.binary_join_element_wise(*filled, sep)
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (curation extension): ordered RE2 patterns, applied most-
+# specific first so the generic digit-run pass only sees what the earlier
+# passes left behind. pyarrow's replace_substring_regex and DuckDB's
+# regexp_replace are BOTH RE2, so the oracle reproduces these bitwise.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b555-[0-9]{4}\b", "[PHONE]"),
+    (r"[0-9]+", "[NUM]"),
+)
+
+
+def scrub_pii(arr) -> tuple[pa.ChunkedArray, np.ndarray]:
+    """Redact PII-shaped substrings; returns (scrubbed, n_redactions).
+
+    Counts are taken per pattern on the progressively scrubbed text (a
+    digit run inside an already-redacted email is not double-counted),
+    mirroring the oracle's staged CTE exactly."""
+    total = np.zeros(len(arr), np.int64)
+    for pat, repl in PII_PATTERNS:
+        cnt = pc.fill_null(pc.count_substring_regex(arr, pat), 0)
+        total += np.asarray(cnt, dtype=np.int64)
+        arr = pc.replace_substring_regex(arr, pat, repl)
+    return arr, total

@@ -454,3 +454,47 @@ def shuffle_order(sf_dir: str):
     offsets = np.concatenate(([0], np.cumsum(counts[:-1]))).astype(np.int64)
     return rd.from_arrow_refs(
         [_rank.remote(r, int(o)) for r, o in zip(refs, offsets)])
+
+
+def pii_scrub(sf_dir: str):
+    """PII redaction (curation extension): emails / phone extensions /
+    residual digit runs → typed placeholders, plus a per-row redaction
+    count — the scrub pass an LLM-training corpus runs before packing.
+
+    The driver tables carry no live PII, so the query synthesizes a
+    deterministic contact line per customer FROM INTEGER/STRING COLUMNS
+    ONLY (float formatting differs between engines) with the exact same
+    formula in the DuckDB oracle; the scrub itself is the generic
+    :func:`ember_ray.functions.text.scrub_pii` RE2 chain, exercised on
+    real email/phone shapes. Scale shape: stateless vectorized
+    map_batches — no shuffle, no state; pytest plants free-text PII.
+    """
+    from ..functions.text import scrub_pii
+
+    ds = _rp(sf_dir, "customer",
+             columns=["c_custkey", "c_name", "c_mktsegment"])
+
+    def _scrub(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0:
+            return pa.table({
+                "c_custkey": pa.array([], pa.int64()),
+                "contact": pa.array([], pa.string()),
+                "n_pii": pa.array([], pa.int64()),
+            })
+        key = pc.cast(t["c_custkey"], pa.string())
+        ext_num = pa.array(np.asarray(t["c_custkey"], np.int64) % 10_000)
+        ext = pc.utf8_lpad(pc.cast(ext_num, pa.string()), 4, "0")
+        contact = pc.binary_join_element_wise(
+            t["c_name"], " <", pc.utf8_lower(t["c_mktsegment"]), ".", key,
+            "@example.com> ext 555-", ext, "")
+        scrubbed, n = scrub_pii(contact)
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "contact": scrubbed,
+            "n_pii": pa.array(n, pa.int64()),
+        })
+
+    return ds.map_batches(_scrub, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -217,3 +217,52 @@ def test_shuffle_order_partition_invariance(ray_session):
     finally:
         cur._rp = orig
     assert a.equals(b)
+
+
+def test_scrub_pii_planted_free_text():
+    """The kernel on adversarial free text: staged redaction (a digit run
+    inside an already-redacted email must not double-count), nulls, and
+    empty strings."""
+    import pyarrow as pa
+
+    from ember_ray.functions.text import scrub_pii
+
+    arr = pa.chunked_array([pa.array([
+        "mail a.b+c@ex-1.example.co.uk now",     # email w/ digits inside
+        "call 555-1234 then 555-12345",          # ext, then too-long ext
+        "ids 7, 42 and 1999",                    # bare digit runs
+        None,
+        "",
+        "no pii at all",
+    ], pa.string())])
+    scrubbed, n = scrub_pii(arr)
+    assert scrubbed.to_pylist() == [
+        "mail [EMAIL] now",
+        "call [PHONE] then [NUM]-[NUM]",
+        "ids [NUM], [NUM] and [NUM]",
+        None,
+        "",
+        "no pii at all",
+    ]
+    assert n.tolist() == [1, 3, 3, 0, 0, 0]
+
+
+def test_pii_scrub_matches_oracle(ray_session):
+    """Pipeline vs the DuckDB staged-regexp oracle on the real customer
+    table (both engines are RE2 — exact string parity expected)."""
+    import __ray_entry__ as entry
+    from ember_ray.pipelines.curation import pii_scrub
+
+    got = (pii_scrub(SF_DIR).to_pandas()
+           .sort_values("c_custkey").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute("SET threads=2")
+    con.execute(
+        "CREATE VIEW customer AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/customer.parquet')")
+    want = (con.execute(entry._pii_scrub_sql()).df()
+            .sort_values("c_custkey").reset_index(drop=True))
+    con.close()
+    assert got["contact"].tolist() == want["contact"].tolist()
+    assert got["n_pii"].tolist() == want["n_pii"].tolist()
+    assert (got["n_pii"] > 0).all()
