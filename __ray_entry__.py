@@ -239,6 +239,22 @@ def _q_dedup_embedding_verify(sf_dir: str):
         sf_dir, export_candidates=os.path.join(_SIDE_DIR, "emb_candidates"))
 
 
+def _q_semdedup(sf_dir: str):
+    """semdedup with the k-means cell assignment exported so DuckDB
+    re-derives the ENTIRE prune decision independently: intra-cell
+    self-join on the embeddings table, ``list_cosine_similarity`` with
+    ``::DOUBLE[]`` casts, the shared round-at-1e6 recipe, and the same
+    keep-lowest-vec_id rule. Only the k-means assignment itself is
+    non-SQL (deterministic — covered by the partition-invariance
+    pytest)."""
+    import os
+
+    from ember_ray.pipelines import dedup
+
+    return dedup.semdedup(
+        sf_dir, export_assign=os.path.join(_SIDE_DIR, "semdedup_assign"))
+
+
 def _q_ann_lsh_verify(sf_dir: str):
     """ann_topk_lsh with the merged candidate ids exported so DuckDB
     independently recomputes the cosines (::DOUBLE[] casts + the shared
@@ -511,6 +527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline": curation.curation_pipeline,    # oracle-exact
         "stratified_sample": curation.stratified_sample,    # oracle-exact
         "pii_scrub": curation.pii_scrub,                    # oracle-exact
+        "semdedup": _q_semdedup,                            # oracle-exact
         "er_scored_pairs": _q_er_scored,              # rows-only (tfidf/score)
         "mm_features": multimodal.mm_features,              # rows-only
         "distinct_count_hll": sketches.distinct_count_hll,  # rows-only sketch
@@ -948,6 +965,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id_left, vec_id_right, "
             "round(cos * 1000000) / 1000000 AS cosine "
             "FROM j WHERE cos >= 0.35"
+        ),
+        "semdedup": (
+            # full prune re-derivation over the exported k-means cells:
+            # intra-cell self-join, lower-vec_id priors only, rounded max
+            # prior cosine, keep = rounded msim < tau — the exact rule the
+            # reduce kernel applies (compare on the ROUNDED value both
+            # sides so the grain is shared)
+            "WITH a AS (SELECT vec_id, cluster_id FROM "
+            f"read_parquet('{_SIDE_DIR}/semdedup_assign/*.parquet')), "
+            "e AS (SELECT a.vec_id, a.cluster_id, b.embedding "
+            "FROM a JOIN embeddings b USING (vec_id)), "
+            "p AS (SELECT i.vec_id, "
+            "max(round(list_cosine_similarity(i.embedding::DOUBLE[], "
+            "j.embedding::DOUBLE[]) * 1000000) / 1000000) AS msim "
+            "FROM e i JOIN e j ON i.cluster_id = j.cluster_id "
+            "AND j.vec_id < i.vec_id GROUP BY i.vec_id) "
+            "SELECT e.vec_id, e.cluster_id, "
+            "CAST(CASE WHEN coalesce(p.msim, -1.0) >= 0.35 THEN 0 ELSE 1 "
+            "END AS BIGINT) AS keep, "
+            "coalesce(p.msim, -1.0) AS max_prior_sim "
+            "FROM e LEFT JOIN p USING (vec_id)"
         ),
         "ann_topk_lsh_verify": (
             "WITH cand AS (SELECT query_id, vec_id FROM "

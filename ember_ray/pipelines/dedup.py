@@ -578,3 +578,115 @@ def dedup_embedding(sf_dir: str, threshold: float = 0.35, num_buckets: int = 16,
 
     return joined.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True,
                                  batch_size=4096)
+
+
+# ------------------------------------------------------------- semdedup
+def semdedup(sf_dir: str, n_clusters: int = 16, tau: float = 0.35,
+             num_buckets: int | None = 8, export_assign: str | None = None):
+    """SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540,
+    public): a deterministic spherical k-means partitions the embedding
+    space into ``n_clusters`` cells; WITHIN each cell every document is
+    compared only to its cell-mates, and a document is pruned (keep=0)
+    when its cosine to a lower-``vec_id`` cell-mate is >= ``tau`` —
+    the deterministic keep-first variant of the paper's one-per-dup-group
+    rule. Complements ``dedup_embedding`` (LSH candidates): here recall
+    inside a cell is exact, and the cross-cell misses are the documented
+    approximation. ``tau`` defaults to the same corpus-calibrated 0.35 as
+    ``dedup_embedding`` — the synthetic embeddings top out near cosine
+    0.6; real encoder embeddings would use the paper's 0.95+.
+
+    Scale shape: centroids broadcast once via ``ray.put``; assignment is a
+    stateless vectorized map_batches; the per-cell compare runs through
+    the raw-task hash exchange on ``cluster_id`` (one reduce per bucket,
+    vectorized per-cell matmul in row chunks, never rows×rows over the
+    whole corpus). At 100 TB the paper's own scaling rule applies — grow
+    ``n_clusters`` ∝ corpus size so cells stay bounded; the exchange's
+    256 MB bucket memory rule (util._auto_buckets) already forces bucket
+    counts up with input bytes.
+
+    ``export_assign``: persist the (vec_id, cluster_id) assignment so the
+    DuckDB oracle re-derives the ENTIRE prune decision independently
+    (intra-cell self-join + list_cosine_similarity::DOUBLE[] + the shared
+    round-at-1e6 recipe) — the k-means itself is the only non-SQL part.
+    """
+    import ray
+
+    from ..util import hash_exchange
+    from .ann import _emb, _spherical_kmeans, _vecs
+
+    emb = _emb(sf_dir)
+    n = emb.count()  # parquet metadata only
+    stride = max(1, n // 2048)
+
+    def strided(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["vec_id"])
+        return t.filter(pa.array(ids % stride == 0))
+
+    sample_df = (emb.map_batches(strided, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+                 .to_pandas().sort_values("vec_id"))  # block-layout-invariant
+    S = np.stack(sample_df["embedding"].to_numpy()).astype(np.float64)
+    S /= np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-12)
+    C = _spherical_kmeans(S, min(n_clusters, len(S)))
+    cref = ray.put(C)
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("cluster_id", pa.array([], pa.int64()))
+        C_ = ray.get(cref)
+        V = _vecs(t)
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        cl = np.argmax(Vn @ C_.T, axis=1).astype(np.int64)
+        return t.append_column("cluster_id", pa.array(cl, pa.int64()))
+
+    assigned = emb.map_batches(assign, batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+    if export_assign is not None:
+        import shutil
+
+        shutil.rmtree(export_assign, ignore_errors=True)
+        assigned.select_columns(["vec_id", "cluster_id"]) \
+                .write_parquet(export_assign)
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "vec_id": pa.array([], pa.int64()),
+            "cluster_id": pa.array([], pa.int64()),
+            "keep": pa.array([], pa.int64()),
+            "max_prior_sim": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        ids = np.asarray(t["vec_id"], np.int64)
+        cl = np.asarray(t["cluster_id"], np.int64)
+        V = _vecs(t)
+        order = np.lexsort((ids, cl))
+        ids, cl, V = ids[order], cl[order], V[order]
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        msim = np.full(len(ids), -1.0)
+        bounds = np.flatnonzero(
+            np.r_[True, cl[1:] != cl[:-1], True])
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            m = e - s
+            if m < 2:
+                continue
+            sub = Vn[s:e]
+            # row-chunked so peak memory is chunk×m, not m×m
+            for cs in range(1, m, 1024):
+                ce = min(cs + 1024, m)
+                G = _round6(sub[cs:ce] @ sub[:ce].T)
+                # strict lower triangle: priors are cell-mates with a
+                # smaller vec_id (rows are vec_id-sorted within the cell)
+                ji = np.arange(cs, ce)[:, None] > np.arange(ce)[None, :]
+                G[~ji] = -1.0
+                msim[s + cs:s + ce] = G.max(axis=1)
+        keep = (msim < tau).astype(np.int64)
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "cluster_id": pa.array(cl, pa.int64()),
+            "keep": pa.array(keep, pa.int64()),
+            "max_prior_sim": pa.array(msim, pa.float64()),
+        })
+
+    return hash_exchange(assigned, "cluster_id", num_buckets, reduce_fn,
+                         arrow=True)

@@ -110,3 +110,53 @@ def test_repetition_scores_planted_repeat(ray_session):
         assert got.loc[0, "n_grams"] == 6 and got.loc[0, "n_distinct"] == 2
         assert got.loc[1, "n_grams"] == 4 and got.loc[1, "n_distinct"] == 4
         assert got.loc[2, "n_grams"] == 0 and got.loc[2, "n_distinct"] == 0
+
+
+def test_semdedup_planted_duplicate(ray_session, tmp_path):
+    """A planted exact-duplicate vector pair must land in the same k-means
+    cell (cosine 1.0 to each other) and the HIGHER vec_id must be pruned,
+    keeping the lower — the deterministic keep-first rule."""
+    import ember_ray.pipelines.ann as annmod
+    from ember_ray.pipelines.dedup import semdedup
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(60, 8)).astype(np.float32)
+    base[37] = base[11]  # exact duplicate of an earlier vector
+    d = tmp_path / "embeddings.parquet"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"vec_id": pa.array(range(60), pa.int64()),
+                  "embedding": pa.array(list(base),
+                                        pa.list_(pa.float32()))}),
+        str(d / "part-0.parquet"))
+    out = (semdedup(str(tmp_path), n_clusters=4, tau=0.99)
+           .to_pandas().set_index("vec_id"))
+    assert out.loc[11, "keep"] == 1
+    assert out.loc[37, "keep"] == 0
+    assert out.loc[37, "max_prior_sim"] == 1.0
+    assert out.loc[37, "cluster_id"] == out.loc[11, "cluster_id"]
+    # nothing else reaches tau=0.99 on random gaussians
+    assert int((out["keep"] == 0).sum()) == 1
+
+
+def test_semdedup_partition_invariance(ray_session):
+    """Cell assignment, prune flags and similarities must not depend on
+    the input block layout (the k-means sample is vec_id-sorted) nor on
+    the exchange bucket count."""
+    import ember_ray.pipelines.ann as annmod
+    from ember_ray.pipelines.dedup import semdedup
+
+    a = (semdedup(SF_DIR).to_pandas()
+         .sort_values("vec_id").reset_index(drop=True))
+    orig = annmod._emb
+
+    def shredded(sf_dir):
+        return orig(sf_dir).repartition(13)
+
+    annmod._emb = shredded
+    try:
+        b = (semdedup(SF_DIR, num_buckets=3).to_pandas()
+             .sort_values("vec_id").reset_index(drop=True))
+    finally:
+        annmod._emb = orig
+    assert a.equals(b)
