@@ -528,6 +528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": curation.stratified_sample,    # oracle-exact
         "pii_scrub": curation.pii_scrub,                    # oracle-exact
         "semdedup": _q_semdedup,                            # oracle-exact
+        "dedup_substring": dedup.dedup_substring,           # oracle-exact
         "er_scored_pairs": _q_er_scored,              # rows-only (tfidf/score)
         "mm_features": multimodal.mm_features,              # rows-only
         "distinct_count_hll": sketches.distinct_count_hll,  # rows-only sketch
@@ -965,6 +966,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id_left, vec_id_right, "
             "round(cos * 1000000) / 1000000 AS cosine "
             "FROM j WHERE cos >= 0.35"
+        ),
+        "dedup_substring": (
+            # exact-substring pair detection is FULLY SQL-expressible (the
+            # rolling hash is just an implementation of "group by window
+            # string"; the byte-compare verify removes its collisions):
+            # all 32-char windows per doc, distinct per doc, self-join on
+            # the window STRING, count distinct shared windows per pair —
+            # char-based substring == the kernel's byte windows (ASCII)
+            "WITH w AS (SELECT DISTINCT doc_id, "
+            "substring(text, CAST(i AS INT), 32) AS win FROM documents, "
+            "unnest(range(1, len(text) - 32 + 2)) AS t(i)), "
+            "p AS (SELECT a.doc_id AS doc_id_left, b.doc_id AS "
+            "doc_id_right, count(*) AS n FROM w a JOIN w b "
+            "ON a.win = b.win AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT doc_id_left, doc_id_right, CAST(n AS BIGINT) "
+            "AS n_shared FROM p"
         ),
         "semdedup": (
             # full prune re-derivation over the exported k-means cells:

@@ -290,3 +290,46 @@ def char_shingle_hashes(texts: pa.Array, k: int = 5):
         p = _ROLL_BASE ** np.arange(len(b), dtype=np.uint64)
         out[out_offsets[i]] = np.uint64(((b + np.uint64(1)) * p).sum(dtype=np.uint64))
     return out, out_offsets
+
+
+def window_hash_positions(texts: pa.Array, L: int):
+    """string column → (flat uint64 L-byte window rolling hashes, flat
+    int64 within-row byte positions, int64 offsets per row).
+
+    The exact-substring-dedup variant of :func:`char_shingle_hashes`
+    (same single-pass polynomial hash over the column's concatenated
+    utf-8 buffer, same ragged-range gather) with two deliberate
+    differences: rows shorter than ``L`` contribute NO windows (an exact
+    match must span a full L-window — a short row can never carry one),
+    and each window's byte position inside its row is returned so a
+    verify stage can re-extract and byte-compare the actual text.
+    Positions are byte offsets == character offsets for ASCII corpora
+    (the verify consumer asserts nothing about multi-byte text; the
+    oracle's char-based ``substring`` only coincides for ASCII)."""
+    arr = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+    if len(arr) == 0 or arr.buffers()[2] is None:
+        return (np.empty(0, np.uint64), np.empty(0, np.int64),
+                np.zeros(len(arr) + 1, np.int64))
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offs_all = np.frombuffer(arr.buffers()[1], off_dtype)
+    offs = offs_all[arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], np.uint8, count=offs[-1])
+    lens = offs[1:] - offs[:-1]
+
+    N = len(data)
+    H = np.zeros(max(0, N - L + 1), np.uint64)
+    if len(H):
+        powers = _ROLL_BASE ** np.arange(L, dtype=np.uint64)
+        d64 = data.astype(np.uint64)
+        for j in range(L):
+            H += (d64[j: N - L + 1 + j] + np.uint64(1)) * powers[j]
+
+    counts = np.maximum(lens - L + 1, 0).astype(np.int64)
+    out_offsets = np.concatenate([[0], np.cumsum(counts)])
+    total = int(out_offsets[-1])
+    if total == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64), out_offsets
+    starts = np.repeat(offs[:-1], counts)
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(counts) - counts, counts)
+    return H[starts + within], within, out_offsets

@@ -690,3 +690,166 @@ def semdedup(sf_dir: str, n_clusters: int = 16, tau: float = 0.35,
 
     return hash_exchange(assigned, "cluster_id", num_buckets, reduce_fn,
                          arrow=True)
+
+
+# ------------------------------------------------------- exact substring
+def _string_buffers(col):
+    """(byte data, row offsets) of a string column — zero-copy views."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offs_all = np.frombuffer(arr.buffers()[1], off_dtype)
+    offs = offs_all[arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], np.uint8, count=offs[-1])
+    return data, offs
+
+
+def dedup_substring(sf_dir: str, L: int = 32, num_buckets: int = 16,
+                    cap: int = 256, export_candidates: str | None = None):
+    """Exact-substring duplicate detection (Lee et al. 2022,
+    arXiv:2107.06499 — "Deduplicating Training Data Makes Language
+    Models Better"): every pair of documents sharing ANY exact
+    ``L``-character substring, with the count of distinct shared
+    windows. The suffix-array of the paper is replaced by the
+    shuffle-native equivalent: one rolling-hash pass emits every
+    L-window, a hash exchange groups identical windows, pairs form
+    within a group, and a byte-compare verify removes hash collisions —
+    the same find-exact-overlaps semantics with no global index.
+
+    Scale shape: windows are 16 B/row (uint64 hash + ids) through the
+    one exchange — text itself never shuffles; per-doc window dedup is
+    map-side; singleton windows (the overwhelming mass) are discarded
+    vectorized inside each reduce before any per-group work; windows
+    shared by > ``cap`` docs are boilerplate stop-keys — dropped AND
+    counted to the ``state.stats`` side channel (never silent). The
+    byte-compare verify re-extracts both sides' windows from the hybrid
+    broadcast/bucketed text attach, so a 64-bit collision can only
+    REMOVE a false candidate, never fabricate a pair.
+
+    Corpus is ASCII (byte positions == ``substring`` char positions —
+    asserted by the oracle match); the documented caveat is the 2^-64
+    in-row representative collision, which could only drop a pair."""
+    from ..functions.minhash import window_hash_positions
+    from ..util import hash_exchange
+
+    docs = _docs(sf_dir)
+
+    def windows(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "win_hash": pa.array([], pa.uint64()),
+            "doc_id": pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        h, pos, offs = window_hash_positions(t["text"], L)
+        if len(h) == 0:
+            return empty
+        counts = np.diff(offs)
+        rows = np.repeat(np.arange(t.num_rows, dtype=np.int64), counts)
+        # per-doc unique hash, smallest position as the representative
+        order = np.lexsort((pos, h, rows))
+        rows, h, pos = rows[order], h[order], pos[order]
+        first = np.r_[True, (rows[1:] != rows[:-1]) | (h[1:] != h[:-1])]
+        ids = np.asarray(t["doc_id"], np.int64)[rows[first]]
+        return pa.table({
+            "win_hash": pa.array(h[first], pa.uint64()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "pos": pa.array(pos[first], pa.int64()),
+        })
+
+    wins = docs.map_batches(windows, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=4096)
+
+    def pairgen(t: pa.Table) -> pa.Table:
+        from ..state.stats import report_oversize
+
+        empty = pa.table({
+            "doc_id_left": pa.array([], pa.int64()),
+            "doc_id_right": pa.array([], pa.int64()),
+            "pos_left": pa.array([], pa.int64()),
+            "pos_right": pa.array([], pa.int64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        h = np.asarray(t["win_hash"], np.uint64)
+        ids = np.asarray(t["doc_id"], np.int64)
+        pos = np.asarray(t["pos"], np.int64)
+        order = np.lexsort((ids, h))
+        h, ids, pos = h[order], ids[order], pos[order]
+        bounds = np.flatnonzero(np.r_[True, h[1:] != h[:-1], True])
+        sizes = np.diff(bounds)
+        shared = np.flatnonzero(sizes >= 2)  # singleton mass skipped here
+        l, r, pl, pr = [], [], [], []
+        over_blocks = over_rows = 0
+        for gi in shared:
+            s, e = bounds[gi], bounds[gi + 1]
+            if e - s > cap:  # boilerplate stop-key
+                over_blocks += 1
+                over_rows += int(e - s)
+                continue
+            i, j = np.triu_indices(e - s, k=1)
+            l.append(ids[s:e][i]); r.append(ids[s:e][j])
+            pl.append(pos[s:e][i]); pr.append(pos[s:e][j])
+        report_oversize("dedup_substring", over_blocks, over_rows, "drop")
+        if not l:
+            return empty
+        return pa.table({
+            "doc_id_left": pa.array(np.concatenate(l), pa.int64()),
+            "doc_id_right": pa.array(np.concatenate(r), pa.int64()),
+            "pos_left": pa.array(np.concatenate(pl), pa.int64()),
+            "pos_right": pa.array(np.concatenate(pr), pa.int64()),
+        })
+
+    cands = hash_exchange(wins, "win_hash", num_buckets, pairgen, arrow=True)
+    if export_candidates is not None:
+        import shutil
+
+        cands = cands.materialize()
+        shutil.rmtree(export_candidates, ignore_errors=True)
+        cands.write_parquet(export_candidates)
+
+    joined = _attach_pair_sides(cands, docs, "doc_id", ["text"], num_buckets)
+
+    def verify(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "doc_id_left": pa.array([], pa.int64()),
+            "doc_id_right": pa.array([], pa.int64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        win = np.arange(L, dtype=np.int64)[None, :]
+        dl, ol = _string_buffers(t["text_left"])
+        dr, orr = _string_buffers(t["text_right"])
+        wl = dl[(ol[:-1] + np.asarray(t["pos_left"], np.int64))[:, None] + win]
+        wr = dr[(orr[:-1] + np.asarray(t["pos_right"], np.int64))[:, None] + win]
+        keep = (wl == wr).all(axis=1)
+        return pa.table({
+            "doc_id_left": pa.array(np.asarray(t["doc_id_left"])[keep], pa.int64()),
+            "doc_id_right": pa.array(np.asarray(t["doc_id_right"])[keep], pa.int64()),
+        })
+
+    verified = joined.map_batches(verify, batch_format="pyarrow",
+                                  zero_copy_batch=True, batch_size=4096)
+
+    def count_shared(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "doc_id_left": pa.array([], pa.int64()),
+                "doc_id_right": pa.array([], pa.int64()),
+                "n_shared": pa.array([], pa.int64()),
+            })
+        l = np.asarray(t["doc_id_left"], np.int64)
+        r = np.asarray(t["doc_id_right"], np.int64)
+        order = np.lexsort((r, l))
+        l, r = l[order], r[order]
+        first = np.r_[True, (l[1:] != l[:-1]) | (r[1:] != r[:-1])]
+        n = np.diff(np.r_[np.flatnonzero(first), len(l)])
+        return pa.table({
+            "doc_id_left": pa.array(l[first], pa.int64()),
+            "doc_id_right": pa.array(r[first], pa.int64()),
+            "n_shared": pa.array(n, pa.int64()),
+        })
+
+    # same (left,right) pair always routes to one bucket via doc_id_left
+    return hash_exchange(verified, "doc_id_left", num_buckets, count_shared,
+                         arrow=True)

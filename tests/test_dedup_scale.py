@@ -181,3 +181,82 @@ def test_cc_mid_closure_resume(rd, tmp_path):
     again = connected_components(edges, checkpointer=ck3, ckpt_fp="t1",
                                  **kw).to_pandas()
     assert again.sort_values("node").reset_index(drop=True).equals(f)
+
+
+def _write_docs(tmp_path, texts):
+    d = tmp_path / "documents.parquet"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        str(d / "part-0.parquet"))
+    return str(tmp_path)
+
+
+def test_dedup_substring_planted_overlap(ray_session, tmp_path):
+    """Two docs sharing one exact 32-char run must pair with the right
+    distinct-window count; unrelated docs must not pair."""
+    from ember_ray.pipelines.dedup import dedup_substring
+
+    shared = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"  # 36 chars
+    rng = np.random.default_rng(3)
+
+    def noise(n):
+        return "".join(chr(c) for c in rng.integers(97, 123, size=n))
+
+    texts = [
+        noise(40) + shared + noise(40),          # doc 0
+        noise(52) + shared + noise(29),          # doc 1: same 36-char run
+        noise(120),                               # doc 2: unrelated
+        noise(90),                                # doc 3: unrelated
+    ]
+    out = dedup_substring(_write_docs(tmp_path, texts), L=32).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    # a shared 36-char run contains 36-32+1 = 5 distinct 32-char windows
+    assert (row["doc_id_left"], row["doc_id_right"]) == (0, 1)
+    assert row["n_shared"] == 5
+
+
+def test_dedup_substring_hot_window_counted(ray_session, tmp_path):
+    """A boilerplate window shared by more docs than the cap is dropped
+    AND counted to the stats side channel — never silent."""
+    from ember_ray.pipelines.dedup import dedup_substring
+    from ember_ray.state.stats import drop_counts, reset_drop_counts
+
+    reset_drop_counts()
+    boiler = "x" * 32  # one identical window in every doc
+    rng = np.random.default_rng(5)
+
+    def noise(n):
+        return "".join(chr(c) for c in rng.integers(97, 123, size=n))
+
+    texts = [noise(33 + i) + boiler for i in range(6)]
+    out = dedup_substring(_write_docs(tmp_path, texts), L=32,
+                          cap=4).to_pandas()
+    assert len(out) == 0
+    c = drop_counts()["dedup_substring"]
+    assert c["blocks"] >= 1 and c["policy"] == "drop"
+
+
+def test_dedup_substring_partition_invariance(ray_session):
+    """Output must not depend on input block layout or bucket count."""
+    import ember_ray.pipelines.dedup as dmod
+    from ember_ray.pipelines.dedup import dedup_substring
+
+    key = ["doc_id_left", "doc_id_right"]
+    a = (dedup_substring("/root/testdata/sf0.001").to_pandas()
+         .sort_values(key).reset_index(drop=True))
+    assert len(a) > 0
+    orig = dmod._docs
+
+    def shredded(sf_dir):
+        return orig(sf_dir).repartition(11)
+
+    dmod._docs = shredded
+    try:
+        b = (dedup_substring("/root/testdata/sf0.001", num_buckets=5)
+             .to_pandas().sort_values(key).reset_index(drop=True))
+    finally:
+        dmod._docs = orig
+    assert a.equals(b)
