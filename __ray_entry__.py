@@ -529,6 +529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": curation.pii_scrub,                    # oracle-exact
         "semdedup": _q_semdedup,                            # oracle-exact
         "dedup_substring": dedup.dedup_substring,           # oracle-exact
+        "ann_topk_filtered": ann.ann_topk_filtered,         # oracle-exact
         "er_scored_pairs": _q_er_scored,              # rows-only (tfidf/score)
         "mm_features": multimodal.mm_features,              # rows-only
         "distinct_count_hll": sketches.distinct_count_hll,  # rows-only sketch
@@ -966,6 +967,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id_left, vec_id_right, "
             "round(cos * 1000000) / 1000000 AS cosine "
             "FROM j WHERE cos >= 0.35"
+        ),
+        "ann_topk_filtered": (
+            # pre-filtered exact search: candidate set is the lang='en'
+            # documents (vec_id == doc_id), queries UNFILTERED; same
+            # ::DOUBLE[] + round-at-1e6 + (cosine DESC, vec_id) recipe as
+            # the other ANN oracles
+            "WITH q AS (SELECT vec_id AS query_id, embedding FROM "
+            "embeddings WHERE vec_id < 8), "
+            "v AS (SELECT e.vec_id, e.embedding FROM embeddings e "
+            "JOIN documents d ON e.vec_id = d.doc_id WHERE d.lang = 'en'), "
+            "j AS (SELECT q.query_id, v.vec_id, "
+            "round(list_cosine_similarity(q.embedding::DOUBLE[], "
+            "v.embedding::DOUBLE[]) * 1000000) / 1000000 AS cosine "
+            "FROM q, v), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+            "ORDER BY cosine DESC, vec_id) AS rn FROM j) "
+            "SELECT query_id, vec_id, cosine FROM r WHERE rn <= 10"
         ),
         "dedup_substring": (
             # exact-substring pair detection is FULLY SQL-expressible (the

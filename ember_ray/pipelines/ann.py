@@ -311,3 +311,85 @@ def ann_topk_ivf(sf_dir: str, n_queries: int = 8, k: int = 10,
 
     parts = emb.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     return _final_merge(parts, k, export_candidates)
+
+
+def ann_topk_filtered(sf_dir: str, lang: str = "en", n_queries: int = 8,
+                      k: int = 10, broadcast_threshold: int = 4_000_000):
+    """Attribute-filtered exact vector search: top-k cosine per query over
+    only the vectors whose document row satisfies a metadata predicate
+    (``documents.lang = lang``) — the filtered-search shape every vector
+    store exposes, here as PRE-filtering (the top-k is computed over the
+    allowed set, so a query always returns k results when k survivors
+    exist — post-filtering a plain top-k can return fewer).
+
+    Scale shape: the predicate side is a column-pruned (doc_id, lang)
+    read; below ``broadcast_threshold`` allowed ids broadcast once as a
+    SORTED id array (vectorized ``searchsorted`` membership per batch —
+    no shuffle of the big embedding table), above it the embedding table
+    flows through ``util.bucketed_semi_join`` instead (only the key
+    column of the predicate side moves). Queries come from the
+    UNFILTERED table — a query doc need not satisfy the predicate."""
+    import ray
+    import ray.data as rd
+
+    from ..util import bucketed_semi_join, dataset_to_arrow
+
+    emb = _emb(sf_dir)
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "lang"])
+    keys = docs.filter(expr=f"lang == '{lang}'").materialize()
+
+    qt = (emb.filter(expr=f"vec_id < {n_queries}")
+          .to_pandas().sort_values("vec_id"))
+    qids = qt["vec_id"].to_numpy()
+    Q = np.stack(qt["embedding"].to_numpy()).astype(np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+
+    allowed_ref = None
+    if keys.count() <= broadcast_threshold:
+        ids = np.sort(np.asarray(
+            dataset_to_arrow(keys.select_columns(["doc_id"]))["doc_id"],
+            np.int64))
+        allowed_ref = ray.put(ids)
+    else:  # the big-side path: never gather keys driver-side
+        emb = bucketed_semi_join(emb, keys.select_columns(["doc_id"]),
+                                 on="vec_id", right_on="doc_id")
+    qref = ray.put((qids, Qn))
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"query_id": pa.array([], pa.int64()),
+             "vec_id": pa.array([], pa.int64()),
+             "cosine": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        ids = np.asarray(t["vec_id"], np.int64)
+        if allowed_ref is not None:
+            allow = ray.get(allowed_ref)
+            pos = np.searchsorted(allow, ids)
+            pos[pos >= len(allow)] = 0
+            m = len(allow) > 0
+            mask = (allow[pos] == ids) if m else np.zeros(len(ids), bool)
+            if not mask.any():
+                return empty
+            t = t.filter(pa.array(mask))
+            ids = ids[mask]
+        qids_, Qn_ = ray.get(qref)
+        V = _vecs(t)
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        sims = _round6(Qn_ @ Vn.T)
+        kk = min(k, sims.shape[1])
+        out_q, out_v, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            idx = np.lexsort((ids, -sims[qi]))[:kk]
+            out_q.append(np.full(kk, qids_[qi], np.int64))
+            out_v.append(ids[idx])
+            out_s.append(sims[qi][idx])
+        return pa.table(
+            {"query_id": pa.array(np.concatenate(out_q), pa.int64()),
+             "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+             "cosine": pa.array(np.concatenate(out_s), pa.float64())})
+
+    parts = emb.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return _final_merge(parts, k)

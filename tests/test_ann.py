@@ -55,3 +55,25 @@ def test_ivf_full_probe_equals_exact(ray_session):
     full = ann_topk_ivf(SF_DIR, k=K, n_lists=8, n_probe=8).to_pandas()
     pd.testing.assert_frame_equal(
         exact.reset_index(drop=True), full.reset_index(drop=True))
+
+
+def test_ann_topk_filtered_paths_agree(ray_session):
+    """Every hit must satisfy the predicate, and the broadcast-membership
+    path must agree exactly with the bucketed semi-join path
+    (broadcast_threshold=0 forces the big-side branch)."""
+    import pyarrow.parquet as pq
+
+    from ember_ray.pipelines.ann import ann_topk_filtered
+
+    sf = "/root/testdata/sf0.001"
+    a = (ann_topk_filtered(sf).to_pandas()
+         .sort_values(["query_id", "vec_id"]).reset_index(drop=True))
+    langs = pq.read_table(f"{sf}/documents.parquet",
+                          columns=["doc_id", "lang"]).to_pandas()
+    en = set(langs.loc[langs["lang"] == "en", "doc_id"])
+    assert set(a["vec_id"]) <= en
+    assert a.groupby("query_id").size().max() <= 10
+
+    b = (ann_topk_filtered(sf, broadcast_threshold=0).to_pandas()
+         .sort_values(["query_id", "vec_id"]).reset_index(drop=True))
+    assert a.equals(b)
