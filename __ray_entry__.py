@@ -530,6 +530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": _q_semdedup,                            # oracle-exact
         "dedup_substring": dedup.dedup_substring,           # oracle-exact
         "ann_topk_filtered": ann.ann_topk_filtered,         # oracle-exact
+        "tfidf_keywords": textops.tfidf_keywords,           # oracle-exact
         "er_scored_pairs": _q_er_scored,              # rows-only (tfidf/score)
         "mm_features": multimodal.mm_features,              # rows-only
         "distinct_count_hll": sketches.distinct_count_hll,  # rows-only sketch
@@ -779,6 +780,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM d WHERE len(tk) >= 3) "
             "SELECT ngram, count(*) AS n FROM ng GROUP BY ngram "
             "ORDER BY n DESC, ngram LIMIT 50"
+        ),
+        "tfidf_keywords": (
+            # per-doc top-3 TF-IDF: tf over the NON-distinct normalized
+            # token sequence, df over distinct doc sets, score =
+            # tf·ln(N/df) with the shared round-at-1e6 recipe, tie-break
+            # (score DESC, token ASC) — byte-lex both engines (ASCII)
+            "WITH tk AS (SELECT doc_id, unnest(list_filter(string_split("
+            + norm + ", ' '), x -> x <> '')) AS token FROM documents), "
+            "n AS (SELECT count(*) AS n FROM documents), "
+            "df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tk "
+            "GROUP BY token), "
+            "tf AS (SELECT doc_id, token, count(*) AS tf FROM tk "
+            "GROUP BY doc_id, token), "
+            "s AS (SELECT tf.doc_id, tf.token, round(tf.tf * "
+            "ln(CAST(n.n AS DOUBLE) / df.df) * 1000000) / 1000000 AS score "
+            "FROM tf JOIN df USING (token), n), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY score DESC, token) AS rn FROM s) "
+            "SELECT doc_id, token, score FROM r WHERE rn <= 3"
         ),
         "rolling_agg": (
             # ROWS window, ordered (ts, event_id) — the same total order

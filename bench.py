@@ -202,8 +202,12 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     # --- training-data ops --------------------------------------------------
     timed("dedup_exact", lambda: dedup.dedup_exact(sf_dir).count())
     timed("dedup_minhash", lambda: dedup.dedup_minhash(sf_dir).count())
+    timed("dedup_substring", lambda: dedup.dedup_substring(sf_dir).count())
+    timed("semdedup", lambda: dedup.semdedup(sf_dir).count())
+    timed("pii_scrub", lambda: curation.pii_scrub(sf_dir).count())
     timed("ann_topk", lambda: ann.ann_topk(sf_dir).count())
     timed("ann_topk_ivf", lambda: ann.ann_topk_ivf(sf_dir).count())
+    timed("ann_topk_filtered", lambda: ann.ann_topk_filtered(sf_dir).count())
 
     ray.shutdown()
 

@@ -302,3 +302,99 @@ def repetition_scores(sf_dir: str, n: int = 3):
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=4096)
+
+
+def tfidf_keywords(sf_dir: str, k: int = 3, num_buckets: int = 32,
+                   broadcast_threshold: int = 4_000_000):
+    """Per-document top-k TF-IDF keywords: ``score = tf · ln(N/df)`` over
+    normalized tokens, the classic corpus-keyword pass (salient-term
+    indexing / boilerplate screens).
+
+    Two passes, one shuffle: (1) per-batch per-doc DISTINCT tokens →
+    Arrow pre-count → one hash exchange on the token summing document
+    frequencies (the only all-to-all; 8-40 B/row, text never moves);
+    (2) the df table broadcasts once as a zero-copy Arrow index (vocab
+    grows sublinearly — Heaps' law; above ``broadcast_threshold`` the
+    honest fallback is a bucketed token join, same hybrid rule as the ER
+    IDF at ``er.py``) and a stateless map_batches computes per-doc tf
+    (one Arrow group_by per batch), scores, and batch-local top-k — a
+    doc's tokens never span batches, so the top-k never shuffles.
+    Deterministic tie-break (score DESC, token ASC) and the shared
+    round-at-1e6 recipe on both engines."""
+    from ..functions.text import tokenize_array
+    from ..util import (broadcast_lookup, build_broadcast_index,
+                        dataset_to_arrow, hash_exchange)
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = ds.count()  # parquet metadata only
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        toks = tokenize_array(t["text"])
+        offsets = np.asarray(toks.offsets, np.int64)
+        if int(offsets[-1]) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        d = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                      np.diff(offsets))
+        g = (pa.table({"d": pa.array(d), "token": toks.values})
+             .group_by(["d", "token"]).aggregate([])  # distinct per doc
+             .group_by("token").aggregate([([], "count_all")]))
+        return pa.table({"token": g["token"], "df": g["count_all"]})
+
+    parts = ds.map_batches(df_partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=4096)
+
+    def df_sum(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        g = t.group_by("token").aggregate([("df", "sum")])
+        return pa.table({"token": g["token"],
+                         "df": pc.cast(g["df_sum"], pa.int64())})
+
+    df_tbl = dataset_to_arrow(
+        hash_exchange(parts, key="token", num_buckets=num_buckets,
+                      reduce_fn=df_sum, arrow=True))
+    if df_tbl.num_rows > broadcast_threshold:  # pragma: no cover - scale path
+        raise NotImplementedError(
+            "vocab exceeds broadcast threshold: route through a bucketed "
+            "token join (util.bucketed_join), the er.py IDF hybrid rule")
+    import ray
+
+    dref = ray.put(build_broadcast_index(df_tbl, "token", ["df"]))
+
+    def score(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "token": pa.array([], pa.string()),
+                          "score": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        toks = tokenize_array(t["text"])
+        offsets = np.asarray(toks.offsets, np.int64)
+        if int(offsets[-1]) == 0:
+            return empty
+        d = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                      np.diff(offsets))
+        tf = (pa.table({"d": pa.array(d), "token": toks.values})
+              .group_by(["d", "token"]).aggregate([([], "count_all")]))
+        dfv = broadcast_lookup(ray.get(dref), tf["token"], "df")
+        s = (tf["count_all"].to_numpy().astype(np.float64)
+             * np.log(n_docs / dfv.to_numpy().astype(np.float64)))
+        s = np.rint(s * 1e6) / 1e6
+        ids = pc.cast(t["doc_id"], pa.int64()).take(tf["d"])
+        out = pa.table({"doc_id": ids, "token": tf["token"],
+                        "score": pa.array(s, pa.float64())})
+        order = pc.sort_indices(out, sort_keys=[
+            ("doc_id", "ascending"), ("score", "descending"),
+            ("token", "ascending")])
+        out = out.take(order)
+        # batch-local per-doc head(k): rank = position - first position
+        did = out["doc_id"].to_numpy()
+        firsts = np.r_[True, did[1:] != did[:-1]]
+        starts = np.flatnonzero(firsts)
+        rank = np.arange(len(did)) - np.repeat(starts, np.diff(
+            np.r_[starts, len(did)]))
+        return out.filter(pa.array(rank < k))
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=4096)

@@ -160,3 +160,32 @@ def test_semdedup_partition_invariance(ray_session):
     finally:
         annmod._emb = orig
     assert a.equals(b)
+
+
+def test_tfidf_keywords_planted_frequencies(ray_session, tmp_path):
+    """A token present in EVERY doc scores ln(1)=0 and can never be a
+    keyword ahead of rarer terms; a doc-unique token scores tf·ln(N)."""
+    from ember_ray.pipelines.textops import tfidf_keywords
+
+    d = tmp_path / "documents.parquet"
+    d.mkdir()
+    texts = [  # every doc carries >= 2 distinct non-ubiquitous tokens
+        "common rare rare unique0",
+        "common rare filler1 filler1",
+        "common filler2 filler2 extra2",
+        "common filler3 other3 other3",
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        str(d / "part-0.parquet"))
+    out = (tfidf_keywords(str(tmp_path), k=2).to_pandas()
+           .sort_values(["doc_id", "score"], ascending=[True, False])
+           .reset_index(drop=True))
+    d0 = out[out["doc_id"] == 0]
+    # doc 0: rare (tf=2, df=2 -> 2*ln(2)) beats unique0 (1*ln(4)=2ln2... tie!)
+    # 2*ln(4/2) == 1*ln(4/1) exactly -> tie broken by token ASC: 'rare' < 'unique0'
+    assert d0["token"].tolist() == ["rare", "unique0"]
+    assert abs(d0["score"].iloc[0] - d0["score"].iloc[1]) < 1e-9
+    # 'common' (df=4 -> score 0) is never selected anywhere
+    assert "common" not in set(out["token"])
