@@ -531,6 +531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_substring": dedup.dedup_substring,           # oracle-exact
         "ann_topk_filtered": ann.ann_topk_filtered,         # oracle-exact
         "tfidf_keywords": textops.tfidf_keywords,           # oracle-exact
+        "sliding_window_agg": relational.sliding_window_agg,  # oracle-exact
         "er_scored_pairs": _q_er_scored,              # rows-only (tfidf/score)
         "mm_features": multimodal.mm_features,              # rows-only
         "distinct_count_hll": sketches.distinct_count_hll,  # rows-only sketch
@@ -1136,6 +1137,16 @@ def oracle_sql() -> dict[str, str]:
             "count(DISTINCT CASE WHEN user_id IN "
             "(SELECT c_custkey FROM customer) THEN user_id END) AS n_overlap "
             "FROM events"
+        ),
+        "sliding_window_agg": (
+            # hopping windows via the time_bucket - j*slide unnest CTE;
+            # each event contributes to 60/15 = 4 overlapping windows
+            "WITH e AS (SELECT time_bucket(INTERVAL '15 minutes', ts) "
+            "- j * INTERVAL '15 minutes' AS window_start, event_type, "
+            "value FROM events, unnest(range(0, 4)) AS t(j)) "
+            "SELECT window_start, event_type, count(*) AS n, "
+            "round(sum(value) * 100) / 100 AS sum_value "
+            "FROM e GROUP BY 1, 2"
         ),
         "window_agg": (
             "SELECT date_trunc('hour', ts) AS window_start, event_type, "

@@ -472,6 +472,69 @@ def window_agg(sf_dir: str):
     return _round_cols(agg, ("sum_value",))
 
 
+def sliding_window_agg(sf_dir: str, window_min: int = 60,
+                       slide_min: int = 15):
+    """Sliding (hopping) event-time window aggregate — the overlapping-
+    window companion to :func:`window_agg` (tumbling): 1-hour windows
+    every 15 minutes, count + sum per (window_start, event_type); each
+    event lands in ``window_min/slide_min`` = 4 overlapping windows.
+
+    Scale shape: stateless vectorized window EXPLOSION per batch (the hop
+    count is a small constant — one integer-microsecond broadcast
+    subtraction, one ``take`` per payload column) followed by per-batch
+    pre-aggregation, so the single shuffle carries only (window, type)
+    partials — the explosion factor never reaches the exchange. Oracle:
+    the ``time_bucket - j·slide`` unnest CTE; window starts computed in
+    integer microseconds on both engines."""
+    from ray.data.aggregate import Sum
+
+    assert window_min % slide_min == 0
+    hops = window_min // slide_min
+    slide_us = slide_min * 60_000_000
+    ds = _rp(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "window_start": pa.array([], pa.timestamp("us")),
+                "event_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "sum_value": pa.array([], pa.float64()),
+            })
+        us = np.asarray(pc.cast(t["ts"], pa.int64()), np.int64)
+        base = (us // slide_us) * slide_us
+        j = np.arange(hops, dtype=np.int64) * slide_us
+        starts = (base[:, None] - j[None, :]).ravel()  # row-major
+        idx = pa.array(np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                                 hops))
+        g = pa.table({
+            "window_start": pa.array(starts).cast(pa.timestamp("us")),
+            "event_type": t["event_type"].take(idx),
+            "value": t["value"].take(idx),
+        }).group_by(["window_start", "event_type"]).aggregate(
+            [([], "count_all"), ("value", "sum")])
+        return pa.table({
+            "window_start": g["window_start"],
+            "event_type": g["event_type"],
+            "n": g["count_all"],
+            "sum_value": g["value_sum"],
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=4096)
+    agg = parts.groupby(["window_start", "event_type"]).aggregate(
+        Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
+
+    def cast_us(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("window_start")
+        return t.set_column(
+            i, "window_start", pc.cast(t["window_start"], pa.timestamp("us")))
+
+    agg = agg.map_batches(cast_us, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return _round_cols(agg, ("sum_value",))
+
+
 # ---------------------------------------------------------------- J5 variant
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 

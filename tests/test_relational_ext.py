@@ -142,3 +142,19 @@ def test_bucketed_semi_join_empty_build_side(ray_session):
     anti = bucketed_semi_join(left, right, on="k", anti=True).to_pandas()
     assert len(semi) == 0
     assert sorted(anti["k"]) == [1, 2, 3]
+
+
+def test_sliding_window_membership(ray_session):
+    """Every event must appear in exactly window/slide = 4 overlapping
+    windows: total count across windows is 4x the event count, and each
+    window's span covers its members."""
+    import pyarrow.parquet as pq
+
+    from ember_ray.pipelines.relational import sliding_window_agg
+
+    sf = "/root/testdata/sf0.001"
+    out = sliding_window_agg(sf).to_pandas()
+    n_events = pq.read_table(f"{sf}/events.parquet", columns=["event_id"]).num_rows
+    assert int(out["n"].sum()) == 4 * n_events
+    # window starts land on the 15-minute grid
+    assert (out["window_start"].astype("int64") % (15 * 60 * 1_000_000) == 0).all()
