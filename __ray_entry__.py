@@ -532,6 +532,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_filtered": ann.ann_topk_filtered,         # oracle-exact
         "tfidf_keywords": textops.tfidf_keywords,           # oracle-exact
         "sliding_window_agg": relational.sliding_window_agg,  # oracle-exact
+        "group_sample": curation.group_sample,              # oracle-exact
+        "contamination_report": curation.contamination_report,  # oracle-exact
         "er_scored_pairs": _q_er_scored,              # rows-only (tfidf/score)
         "mm_features": multimodal.mm_features,              # rows-only
         "distinct_count_hll": sketches.distinct_count_hll,  # rows-only sketch
@@ -712,6 +714,26 @@ def oracle_sql() -> dict[str, str]:
             "WHERE md5(" + norm + ") NOT IN (SELECT fp FROM ev)"
         ),
         "stratified_sample": _stratified_sample_sql(norm),
+        "contamination_report": (
+            # per-eval-doc 5-gram leakage fraction: distinct grams per
+            # eval doc vs the distinct corpus-side gram set; same gram
+            # recipe as decontaminate_ngram; round-at-1e6 on the fraction
+            "WITH d AS (SELECT doc_id, "
+            "list_filter(string_split(" + norm + ", ' '), x -> x <> '') "
+            "AS tk FROM documents), "
+            "g AS (SELECT doc_id, unnest(list_transform("
+            "range(1, len(tk) - 3), i -> tk[i] || ' ' || tk[i+1] || ' ' || "
+            "tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])) AS g "
+            "FROM d WHERE len(tk) >= 5), "
+            "ev AS (SELECT DISTINCT doc_id, g FROM g WHERE doc_id % 97 = 0), "
+            "crp AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 <> 0), "
+            "h AS (SELECT ev.doc_id, count(*) AS n_hit FROM ev "
+            "JOIN crp USING (g) GROUP BY 1), "
+            "tot AS (SELECT doc_id, count(*) AS n_grams FROM ev GROUP BY 1) "
+            "SELECT t.doc_id, t.n_grams, coalesce(h.n_hit, 0) AS n_hit, "
+            "round(coalesce(h.n_hit, 0) / CAST(t.n_grams AS DOUBLE) "
+            "* 1000000) / 1000000 AS frac FROM tot t LEFT JOIN h USING (doc_id)"
+        ),
         "decontaminate_ngram": (
             # 5-gram-collision fuzzy leakage screen: same token recipe as
             # ngram_counts (NON-distinct sequence); docs with < 5 tokens
@@ -770,6 +792,12 @@ def oracle_sql() -> dict[str, str]:
             " 1 PRECEDING), 0) / 100000) AS BIGINT) AS shard_id FROM dd"
         ),
         "pii_scrub": _pii_scrub_sql(),
+        "group_sample": (
+            # deterministic per-lang quota: n smallest (md5(norm), doc_id)
+            "SELECT doc_id, lang FROM (SELECT doc_id, lang, "
+            "row_number() OVER (PARTITION BY lang ORDER BY md5(" + norm +
+            "), doc_id) AS rn FROM documents) WHERE rn <= 50"
+        ),
         "ngram_counts": (
             # NON-distinct normalized token sequence (the tokenize_array
             # recipe without list_distinct) → 3-gram strings → top-50 by

@@ -498,3 +498,137 @@ def pii_scrub(sf_dir: str):
 
     return ds.map_batches(_scrub, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def group_sample(sf_dir: str, n_per_group: int = 50,
+                 num_buckets: int = 8):
+    """Deterministic per-group quota sampling: the ``n_per_group`` docs
+    per language smallest in (md5(normalized text), doc_id) order — the
+    balanced-subset construction pass (equal docs per group regardless of
+    corpus skew), RNG-free like :func:`stratified_sample` so the pick is
+    reproducible across runs, engines and partitionings.
+
+    Scale shape: each batch emits AT MOST n rows per lang (vectorized
+    batch-local top-n — one Arrow sort + ragged rank per batch), so the
+    single exchange carries ≤ n·langs·n_blocks 50-byte rows and one tiny
+    per-bucket reduce takes the global n; the text never shuffles.
+    Oracle: ``row_number() OVER (PARTITION BY lang ORDER BY md5, doc_id)
+    <= n``."""
+    import pyarrow.compute as pc
+
+    from ..functions.text import normalize
+    from ..util import hash_exchange
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def _topn(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[
+            ("lang", "ascending"), ("fp", "ascending"),
+            ("doc_id", "ascending")])
+        t = t.take(order)
+        langs = t["lang"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, langs[1:] != langs[:-1]])
+        rank = np.arange(len(langs)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(langs)]))
+        return t.filter(pa.array(rank < n_per_group))
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "lang": pa.array([], pa.string()),
+                             "fp": pa.array([], pa.string())})
+        return _topn(pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "lang": t["lang"],
+            "fp": _md5_fps(normalize(t["text"])),
+        }))
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=4096)
+    out = hash_exchange(parts, "lang", num_buckets, _topn, arrow=True)
+    return out.drop_columns(["fp"])
+
+
+def contamination_report(sf_dir: str, n: int = NGRAM_DECON_N,
+                         eval_mod: int = EVAL_MOD):
+    """Per-eval-doc contamination REPORT: for every held-out eval doc
+    (the ``doc_id % eval_mod == 0`` stand-in), the fraction of its
+    distinct token ``n``-grams that also occur in the training corpus —
+    the measurement companion to :func:`decontaminate_ngram` (which
+    drops): release notes report this table, per benchmark.
+
+    Scale shape (both sides honest): the EVAL side is a fixed bounded
+    benchmark suite — its per-doc distinct gram table gathers once
+    driver-side and its gram SET broadcasts via ``ray.put``; the CORPUS
+    side streams through one map_batches that emits only the grams it
+    actually HIT (pre-uniqued per batch, ≤ |eval set| each) — the corpus
+    text never shuffles and nothing corpus-sized lands anywhere. Final
+    per-doc intersection counts are a vectorized driver pass over the
+    bounded eval table. Docs with < n tokens carry no grams and emit no
+    row (matching the oracle's empty-gram semantics)."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from ..util import dataset_to_arrow
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _eval_doc_grams(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], np.int64)
+        sub = t.filter(pa.array(ids % eval_mod == 0))
+        g, di = _doc_ngrams(sub["text"], n)
+        if not len(di):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "g": pa.array([], pa.string())})
+        # per-doc distinct grams
+        u = pa.table({"doc_id": pa.array(
+            np.asarray(sub["doc_id"], np.int64)[di], pa.int64()),
+            "g": g}).group_by(["doc_id", "g"]).aggregate([])
+        return u
+
+    ev = dataset_to_arrow(ds.map_batches(
+        _eval_doc_grams, batch_format="pyarrow", zero_copy_batch=True))
+    ev_set = pc.unique(ev["g"].combine_chunks()) if ev.num_rows else \
+        pa.array([], pa.string())
+    ref = ray.put(ev_set)
+
+    def _hits(t: pa.Table) -> pa.Table:
+        empty = pa.table({"g": pa.array([], pa.string())})
+        if t.num_rows == 0:
+            return empty
+        ids = np.asarray(t["doc_id"], np.int64)
+        sub = t.filter(pa.array(ids % eval_mod != 0))  # corpus side only
+        g, _ = _doc_ngrams(sub["text"], n)
+        if not len(g):
+            return empty
+        u = pc.unique(g)
+        hit = pc.is_in(u, value_set=ray.get(ref))
+        return pa.table({"g": u.filter(hit)})
+
+    hit_tbl = dataset_to_arrow(ds.map_batches(
+        _hits, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=4096))
+    hits = (pc.unique(hit_tbl["g"].combine_chunks())
+            if hit_tbl.num_rows else pa.array([], pa.string()))
+
+    if ev.num_rows == 0:
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_grams": pa.array([], pa.int64()),
+            "n_hit": pa.array([], pa.int64()),
+            "frac": pa.array([], pa.float64())}))
+    is_hit = pc.is_in(ev["g"].combine_chunks(), value_set=hits)
+    agg = pa.table({
+        "doc_id": ev["doc_id"],
+        "h": pc.cast(is_hit, pa.int64()),
+    }).group_by("doc_id").aggregate([([], "count_all"), ("h", "sum")])
+    tot = agg["count_all"].to_numpy().astype(np.float64)
+    nh = agg["h_sum"].to_numpy().astype(np.int64)
+    frac = np.rint(nh / tot * 1e6) / 1e6
+    return rd.from_arrow(pa.table({
+        "doc_id": pc.cast(agg["doc_id"], pa.int64()),
+        "n_grams": pc.cast(agg["count_all"], pa.int64()),
+        "n_hit": pa.array(nh, pa.int64()),
+        "frac": pa.array(frac, pa.float64()),
+    }))

@@ -266,3 +266,59 @@ def test_pii_scrub_matches_oracle(ray_session):
     assert got["contact"].tolist() == want["contact"].tolist()
     assert got["n_pii"].tolist() == want["n_pii"].tolist()
     assert (got["n_pii"] > 0).all()
+
+
+def test_group_sample_quota_and_invariance(ray_session):
+    """Exactly min(n, group size) docs per lang, deterministic under
+    reshuffled input blocks and a different bucket count."""
+    import ember_ray.pipelines.curation as cur
+    from ember_ray.pipelines.curation import group_sample
+
+    a = (group_sample(SF_DIR, n_per_group=20).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    sizes = a.groupby("lang").size()
+    assert (sizes <= 20).all() and sizes.max() == 20
+
+    orig = cur._rp
+
+    def shredded(sf_dir, table, columns=None):
+        return orig(sf_dir, table, columns=columns).repartition(17)
+
+    cur._rp = shredded
+    try:
+        b = (group_sample(SF_DIR, n_per_group=20, num_buckets=3)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    finally:
+        cur._rp = orig
+    assert a.equals(b)
+
+
+def test_contamination_report_planted(ray_session, tmp_path):
+    """An eval doc sharing a 5-gram run with a corpus doc reports a
+    positive fraction; an eval doc with unique text reports 0; docs with
+    < 5 tokens emit no row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ember_ray.pipelines.curation import contamination_report
+
+    d = tmp_path / "documents.parquet"
+    d.mkdir()
+    leak = "alpha beta gamma delta epsilon zeta"
+    texts = {
+        0: leak + " plus some extra eval tail words here",   # eval (0%97)
+        97: "completely different unique eval words one two three four five",
+        194: "tiny doc",                                     # < 5 tokens
+        1: "corpus prefix " + leak + " corpus suffix words",  # leaks into 0
+        2: "unrelated corpus content with plenty of words in it",
+    }
+    pq.write_table(
+        pa.table({"doc_id": pa.array(list(texts), pa.int64()),
+                  "text": pa.array(list(texts.values()), pa.string())}),
+        str(d / "part-0.parquet"))
+    out = (contamination_report(str(tmp_path)).to_pandas()
+           .set_index("doc_id"))
+    assert set(out.index) == {0, 97}          # 194 has no grams
+    assert out.loc[0, "n_hit"] == 2           # the two full leak 5-grams
+    assert out.loc[0, "frac"] > 0
+    assert out.loc[97, "n_hit"] == 0 and out.loc[97, "frac"] == 0.0
