@@ -534,6 +534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window_agg": relational.sliding_window_agg,  # oracle-exact
         "group_sample": curation.group_sample,              # oracle-exact
         "contamination_report": curation.contamination_report,  # oracle-exact
+        "zscore_norm": textops.zscore_norm,                 # oracle-exact
         "er_scored_pairs": _q_er_scored,              # rows-only (tfidf/score)
         "mm_features": multimodal.mm_features,              # rows-only
         "distinct_count_hll": sketches.distinct_count_hll,  # rows-only sketch
@@ -809,6 +810,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM d WHERE len(tk) >= 3) "
             "SELECT ngram, count(*) AS n FROM ng GROUP BY ngram "
             "ORDER BY n DESC, ngram LIMIT 50"
+        ),
+        "zscore_norm": (
+            # expression-identity float parity: mu and sigma from the SAME
+            # exact integer aggregates via the SAME IEEE operation
+            # sequence ((ss - s*s/c)/c), then the shared round-at-1e6;
+            # sigma=0 groups map to z=0
+            "WITH m AS (SELECT lang, count(*) AS c, sum(n_chars) AS s, "
+            "sum(n_chars * n_chars) AS ss FROM documents GROUP BY lang) "
+            "SELECT d.doc_id, d.lang, "
+            "CASE WHEN (m.ss - CAST(m.s AS DOUBLE) * m.s / m.c) / m.c <= 0 "
+            "THEN 0.0 ELSE round((d.n_chars - CAST(m.s AS DOUBLE) / m.c) / "
+            "sqrt((m.ss - CAST(m.s AS DOUBLE) * m.s / m.c) / m.c) "
+            "* 1000000) / 1000000 END AS z "
+            "FROM documents d JOIN m USING (lang)"
         ),
         "tfidf_keywords": (
             # per-doc top-3 TF-IDF: tf over the NON-distinct normalized

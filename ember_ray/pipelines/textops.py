@@ -398,3 +398,76 @@ def tfidf_keywords(sf_dir: str, k: int = 3, num_buckets: int = 32,
 
     return ds.map_batches(score, batch_format="pyarrow",
                           zero_copy_batch=True, batch_size=4096)
+
+
+def zscore_norm(sf_dir: str):
+    """Per-language z-score normalization of document length — the
+    feature-calibration pass mixture-balancing runs before thresholding
+    heterogeneous subcorpora (a 'short' English doc and a 'short' code
+    doc sit at the same z).
+
+    Two passes, no shuffle: (1) per-batch integer moment partials
+    (count, Σx, Σx²) per lang — exact int64 arithmetic, ≤ langs rows per
+    batch — gathered once (langs × blocks tiny rows); (2) a stateless
+    map_batches applies z = (x − μ)/σ. Float parity is by EXPRESSION
+    IDENTITY, not rounding alone: both engines compute μ = s/c and
+    σ² = (ss − s·s/c)/c from the SAME exact integer aggregates, so every
+    IEEE operation sequence matches bitwise; the final round-at-1e6 is
+    belt-and-braces. Degenerate groups (σ = 0) map to z = 0 on both
+    sides."""
+    import ray
+
+    from ..util import dataset_to_arrow
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "ss": pa.array([], pa.int64())})
+        x = np.asarray(t["n_chars"], np.int64)
+        g = pa.table({"lang": t["lang"],
+                      "x": pa.array(x, pa.int64()),
+                      "xx": pa.array(x * x, pa.int64())}).group_by(
+            "lang").aggregate([([], "count_all"), ("x", "sum"),
+                               ("xx", "sum")])
+        return pa.table({"lang": g["lang"],
+                         "c": pc.cast(g["count_all"], pa.int64()),
+                         "s": pc.cast(g["x_sum"], pa.int64()),
+                         "ss": pc.cast(g["xx_sum"], pa.int64())})
+
+    parts = dataset_to_arrow(ds.map_batches(
+        moments, batch_format="pyarrow", zero_copy_batch=True))
+    fin = parts.group_by("lang").aggregate(
+        [("c", "sum"), ("s", "sum"), ("ss", "sum")])
+    stats = {}
+    for lang, c, s, ss in zip(fin["lang"].to_pylist(),
+                              fin["c_sum"].to_pylist(),
+                              fin["s_sum"].to_pylist(),
+                              fin["ss_sum"].to_pylist()):
+        mu = s / c                      # exact-int doubles: identical in SQL
+        var = (ss - float(s) * s / c) / c
+        stats[lang] = (mu, np.sqrt(var) if var > 0 else 0.0)
+    sref = ray.put(stats)  # ≤ langs entries — trivially broadcastable
+
+    def z(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "lang": pa.array([], pa.string()),
+                             "z": pa.array([], pa.float64())})
+        st = ray.get(sref)
+        d = t["lang"].combine_chunks().dictionary_encode()
+        codes = np.asarray(d.indices, np.int64)
+        mus = np.asarray([st[v][0] for v in d.dictionary.to_pylist()])[codes]
+        sds = np.asarray([st[v][1] for v in d.dictionary.to_pylist()])[codes]
+        x = np.asarray(t["n_chars"], np.int64).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            zz = np.where(sds > 0, (x - mus) / sds, 0.0)
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "lang": t["lang"],
+                         "z": pa.array(np.rint(zz * 1e6) / 1e6,
+                                       pa.float64())})
+
+    return ds.map_batches(z, batch_format="pyarrow", zero_copy_batch=True)

@@ -189,3 +189,29 @@ def test_tfidf_keywords_planted_frequencies(ray_session, tmp_path):
     assert abs(d0["score"].iloc[0] - d0["score"].iloc[1]) < 1e-9
     # 'common' (df=4 -> score 0) is never selected anywhere
     assert "common" not in set(out["token"])
+
+
+def test_zscore_norm_moments(ray_session):
+    """Per-lang z-scores must have (weighted) mean ~0 and variance ~1,
+    and be invariant to input block layout."""
+    import ember_ray.pipelines.textops as tx
+    from ember_ray.pipelines.textops import zscore_norm
+
+    a = (zscore_norm(SF_DIR).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    for lang, grp in a.groupby("lang"):
+        assert abs(grp["z"].mean()) < 1e-4
+        assert abs(grp["z"].pow(2).mean() - 1.0) < 1e-3
+
+    orig = tx._rp
+
+    def shredded(sf_dir, table, columns=None):
+        return orig(sf_dir, table, columns=columns).repartition(13)
+
+    tx._rp = shredded
+    try:
+        b = (zscore_norm(SF_DIR).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    finally:
+        tx._rp = orig
+    assert a.equals(b)
