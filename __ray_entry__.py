@@ -535,6 +535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_sample": curation.group_sample,              # oracle-exact
         "contamination_report": curation.contamination_report,  # oracle-exact
         "zscore_norm": textops.zscore_norm,                 # oracle-exact
+        "pmi_collocations": textops.pmi_collocations,      # oracle-exact
         "er_scored_pairs": _q_er_scored,              # rows-only (tfidf/score)
         "mm_features": multimodal.mm_features,              # rows-only
         "distinct_count_hll": sketches.distinct_count_hll,  # rows-only sketch
@@ -810,6 +811,28 @@ def oracle_sql() -> dict[str, str]:
             "FROM d WHERE len(tk) >= 3) "
             "SELECT ngram, count(*) AS n FROM ng GROUP BY ngram "
             "ORDER BY n DESC, ngram LIMIT 50"
+        ),
+        "pmi_collocations": (
+            # adjacent-token PMI with expression-identity parity:
+            # ln((c*T*T)/(N*c1*c2)) left-to-right from exact int counts,
+            # support floor 5, (pmi DESC, w1, w2) tie-break, top-50
+            "WITH d AS (SELECT list_filter(string_split(" + norm + ", ' '), "
+            "x -> x <> '') AS tk FROM documents), "
+            "u AS (SELECT unnest(tk) AS w FROM d), "
+            "uc AS (SELECT w, count(*) AS c FROM u GROUP BY w), "
+            "tt AS (SELECT count(*) AS t FROM u), "
+            "b AS (SELECT tk[CAST(i AS INT)] AS w1, "
+            "tk[CAST(i AS INT) + 1] AS w2 FROM d, "
+            "unnest(range(1, len(tk))) AS t(i)), "
+            "nn AS (SELECT count(*) AS n FROM b), "
+            "bc AS (SELECT w1, w2, count(*) AS c FROM b GROUP BY 1, 2 "
+            "HAVING count(*) >= 5) "
+            "SELECT bc.w1, bc.w2, bc.c AS n, "
+            "round(ln((CAST(bc.c AS DOUBLE) * tt.t * tt.t) / "
+            "(CAST(nn.n AS DOUBLE) * u1.c * u2.c)) * 1000000) / 1000000 "
+            "AS pmi FROM bc JOIN uc u1 ON u1.w = bc.w1 "
+            "JOIN uc u2 ON u2.w = bc.w2, tt, nn "
+            "ORDER BY pmi DESC, w1, w2 LIMIT 50"
         ),
         "zscore_norm": (
             # expression-identity float parity: mu and sigma from the SAME

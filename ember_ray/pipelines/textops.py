@@ -471,3 +471,125 @@ def zscore_norm(sf_dir: str):
                                        pa.float64())})
 
     return ds.map_batches(z, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pmi_collocations(sf_dir: str, min_count: int = 5, k: int = 50,
+                     num_buckets: int = 32,
+                     broadcast_threshold: int = 4_000_000):
+    """Top-k PMI collocations (phrase mining): adjacent normalized token
+    pairs ranked by pointwise mutual information
+    ``ln((c_xy/N) / ((c_x/T)·(c_y/T)))`` with a ``min_count`` support
+    floor — the corpus pass that surfaces multiword expressions to
+    protect during tokenization/dedup.
+
+    Scale shape: per-batch bigram AND unigram pre-counts (one Arrow
+    group_by each; grams built zero-copy from the flat token buffer);
+    ONE hash exchange on the bigram sums supports; the unigram table
+    (vocab — sublinear, Heaps' law; guarded by ``broadcast_threshold``)
+    broadcasts once; each bigram bucket filters support, looks both
+    sides up map-side, computes PMI and a LOCAL top-k, so the driver
+    merge sees ≤ k·buckets rows. Float parity by expression identity:
+    both engines evaluate ``ln((c_xy·T·T)/(N·c_x·c_y))`` left-to-right
+    from exact integer counts, then round-at-1e6; ties break
+    (pmi DESC, w1, w2)."""
+    import ray
+
+    from ..functions.text import tokenize_array
+    from ..util import (broadcast_lookup, build_broadcast_index,
+                        dataset_to_arrow, hash_exchange)
+
+    ds = _rp(sf_dir, "documents", columns=["text"])
+
+    def partials(t: pa.Table):
+        toks = tokenize_array(t["text"])
+        offsets = np.asarray(toks.offsets, np.int64)
+        total = int(offsets[-1])
+        out_u = pa.table({"w": pa.array([], pa.string()),
+                          "c": pa.array([], pa.int64())})
+        out_b = pa.table({"w1": pa.array([], pa.string()),
+                          "w2": pa.array([], pa.string()),
+                          "c": pa.array([], pa.int64())})
+        if total:
+            g = pa.table({"w": toks.values}).group_by("w").aggregate(
+                [([], "count_all")])
+            out_u = pa.table({"w": g["w"],
+                              "c": pc.cast(g["count_all"], pa.int64())})
+        L = total - 1
+        if L > 0:
+            valid = np.ones(L, bool)
+            b = offsets[1:-1] - 1
+            valid[b[(b >= 0) & (b < L)]] = False  # cross-doc pairs
+            keep = pa.array(valid)
+            g = pa.table({
+                "w1": toks.values.slice(0, L).filter(keep),
+                "w2": toks.values.slice(1, L).filter(keep),
+            }).group_by(["w1", "w2"]).aggregate([([], "count_all")])
+            out_b = pa.table({"w1": g["w1"], "w2": g["w2"],
+                              "c": pc.cast(g["count_all"], pa.int64())})
+        return out_u, out_b
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        return partials(t)[0]
+
+    def bi_partial(t: pa.Table) -> pa.Table:
+        return partials(t)[1]
+
+    uni_parts = ds.map_batches(uni_partial, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=4096)
+
+    def uni_sum(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"w": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        g = t.group_by("w").aggregate([("c", "sum")])
+        return pa.table({"w": g["w"], "c": pc.cast(g["c_sum"], pa.int64())})
+
+    uni = dataset_to_arrow(hash_exchange(
+        uni_parts, key="w", num_buckets=num_buckets, reduce_fn=uni_sum,
+        arrow=True))
+    if uni.num_rows > broadcast_threshold:  # pragma: no cover - scale path
+        raise NotImplementedError(
+            "vocab exceeds broadcast threshold: bucketed unigram join "
+            "(util.bucketed_join) is the fallback, as in er.py IDF")
+    T = int(pc.sum(uni["c"]).as_py() or 0)
+    uref = ray.put(build_broadcast_index(uni, "w", ["c"]))
+
+    bi_parts = ds.map_batches(bi_partial, batch_format="pyarrow",
+                              zero_copy_batch=True,
+                              batch_size=4096).materialize()
+    # N = total bigram occurrences (sum of partials — exact)
+    N = int(bi_parts.sum("c") or 0) if bi_parts.count() else 0
+
+    def bucket_pmi(t: pa.Table) -> pa.Table:
+        empty = pa.table({"w1": pa.array([], pa.string()),
+                          "w2": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64()),
+                          "pmi": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        g = t.group_by(["w1", "w2"]).aggregate([("c", "sum")])
+        n = g["c_sum"].to_numpy().astype(np.int64)
+        keep = n >= min_count
+        if not keep.any():
+            return empty
+        g = g.filter(pa.array(keep))
+        n = n[keep]
+        idx = ray.get(uref)
+        c1 = broadcast_lookup(idx, g["w1"], "c").to_numpy().astype(np.int64)
+        c2 = broadcast_lookup(idx, g["w2"], "c").to_numpy().astype(np.int64)
+        # expression identity with the SQL: (c·T·T)/(N·c1·c2), then ln
+        val = np.log((n.astype(np.float64) * T * T)
+                     / (float(N) * c1 * c2))
+        out = pa.table({"w1": g["w1"], "w2": g["w2"],
+                        "n": pa.array(n, pa.int64()),
+                        "pmi": pa.array(np.rint(val * 1e6) / 1e6,
+                                        pa.float64())})
+        order = pc.sort_indices(out, sort_keys=[
+            ("pmi", "descending"), ("w1", "ascending"),
+            ("w2", "ascending")])
+        return out.take(order[:k])
+
+    out = hash_exchange(bi_parts, key="w1", num_buckets=num_buckets,
+                        reduce_fn=bucket_pmi, arrow=True)
+    return out.sort(["pmi", "w1", "w2"],
+                    descending=[True, False, False]).limit(k)

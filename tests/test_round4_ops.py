@@ -215,3 +215,32 @@ def test_zscore_norm_moments(ray_session):
     finally:
         tx._rp = orig
     assert a.equals(b)
+
+
+def test_pmi_collocations_planted_pair(ray_session, tmp_path):
+    """A bigram that ALWAYS co-occurs (every 'hong' is followed by 'kong')
+    must out-rank a frequent-but-independent pair; support below
+    min_count never appears."""
+    from ember_ray.pipelines.textops import pmi_collocations
+
+    d = tmp_path / "documents.parquet"
+    d.mkdir()
+    docs = (["hong kong visit report summary"] * 6
+            + ["the data the report the data the summary"] * 6
+            + ["rare pair"] * 2)  # support 2 < min_count
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs, pa.string())}),
+        str(d / "part-0.parquet"))
+    out = pmi_collocations(str(tmp_path), min_count=5, k=10).to_pandas()
+    pairs = list(zip(out["w1"], out["w2"]))
+    assert ("hong", "kong") == pairs[0]
+    assert ("rare", "pair") not in pairs
+    assert (out["n"] >= 5).all()
+    # perfect collocation: c_xy == c_x == c_y == 6 -> pmi = ln(T*T/(N*6))
+    import numpy as np
+    got = out.iloc[0]["pmi"]
+    T = sum(len(t.split()) for t in docs)
+    N = sum(len(t.split()) - 1 for t in docs)
+    want = np.rint(np.log((6.0 * T * T) / (float(N) * 6 * 6)) * 1e6) / 1e6
+    assert got == want
