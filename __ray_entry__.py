@@ -536,6 +536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_report": curation.contamination_report,  # oracle-exact
         "zscore_norm": textops.zscore_norm,                 # oracle-exact
         "pmi_collocations": textops.pmi_collocations,      # oracle-exact
+        "session_funnel": temporal.session_funnel,          # oracle-exact
         "er_scored_pairs": _q_er_scored,              # rows-only (tfidf/score)
         "mm_features": multimodal.mm_features,              # rows-only
         "distinct_count_hll": sketches.distinct_count_hll,  # rows-only sketch
@@ -1242,6 +1243,35 @@ def oracle_sql() -> dict[str, str]:
             "ON c.user_id = p.user_id AND c.ts >= p.ts - INTERVAL 24 HOUR "
             "AND c.ts < p.ts "
             "GROUP BY p.event_id, p.user_id, p.ts"
+        ),
+        "session_funnel": (
+            # the sessionize CTE + three nested earliest-qualifying stage
+            # timestamps; stage depends only on event times (ties in ts
+            # produce brk=0 on both engines, so session labels agree)
+            "WITH g AS (SELECT user_id, ts, event_type, CASE WHEN "
+            "lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > "
+            "INTERVAL 6 HOUR THEN 1 ELSE 0 END AS brk FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+            "s AS (SELECT user_id, ts, event_type, sum(brk) OVER "
+            "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) "
+            "AS session_seq FROM g), "
+            "base AS (SELECT user_id, session_seq::BIGINT AS session_seq, "
+            "min(ts) FILTER (WHERE event_type = 'view') AS vt "
+            "FROM s GROUP BY 1, 2), "
+            "c AS (SELECT s.user_id, s.session_seq::BIGINT AS session_seq, "
+            "min(s.ts) AS ct FROM s JOIN base b ON s.user_id = b.user_id "
+            "AND s.session_seq = b.session_seq WHERE s.event_type = "
+            "'click' AND b.vt IS NOT NULL AND s.ts > b.vt GROUP BY 1, 2), "
+            "p AS (SELECT s.user_id, s.session_seq::BIGINT AS session_seq, "
+            "min(s.ts) AS pt FROM s JOIN c ON s.user_id = c.user_id "
+            "AND s.session_seq = c.session_seq WHERE s.event_type = "
+            "'purchase' AND s.ts > c.ct GROUP BY 1, 2) "
+            "SELECT b.user_id, b.session_seq, CAST(CASE WHEN b.vt IS NULL "
+            "THEN 0 ELSE 1 END + CASE WHEN c.ct IS NULL THEN 0 ELSE 1 END "
+            "+ CASE WHEN p.pt IS NULL THEN 0 ELSE 1 END AS BIGINT) "
+            "AS stage FROM base b LEFT JOIN c ON b.user_id = c.user_id "
+            "AND b.session_seq = c.session_seq LEFT JOIN p ON "
+            "b.user_id = p.user_id AND b.session_seq = p.session_seq"
         ),
         "sessionize": (
             "WITH g AS ("

@@ -370,3 +370,63 @@ def sessionize(sf_dir: str):
     return bucketed_group_map(
         _read_events(sf_dir), key="user_id", fn=per_bucket, num_buckets=None
     )
+
+
+def session_funnel(sf_dir: str):
+    """Per-session conversion funnel: within each user session (the same
+    6-hour-gap windows as :func:`sessionize`) the deepest ORDERED stage
+    reached — 1 = a 'view', 2 = a 'click' strictly after that view,
+    3 = a 'purchase' strictly after that click (earliest-qualifying
+    timestamps, so the result depends only on event times, never on row
+    order), 0 = session with no view. The product-analytics pass run
+    per release over the event log.
+
+    Per bucket (co-partitioned by user, same packed-key sort and break
+    detection as sessionize): stage timestamps are three masked
+    ``np.minimum.reduceat`` passes over the session segments — v = min
+    view ts, c = min click ts > v, p = min purchase ts > c — no
+    per-session Python. Oracle: the sessionize CTE + three nested
+    min-filter aggregates; integer stages, no float in the comparison."""
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype="int64"),
+                "session_seq": pd.Series(dtype="int64"),
+                "stage": pd.Series(dtype="int64"),
+            })
+        u = df["user_id"].to_numpy(np.int64)
+        ts = _ts_us(df["ts"])
+        et = df["event_type"].to_numpy()
+        uniq, shift, base = _key_layout(u, u[:0], ts)
+        order = np.argsort(_pack(u, ts - base, uniq, shift), kind="stable")
+        u, ts, et = u[order], ts[order], et[order]
+        new_user = np.empty(len(u), bool)
+        new_user[0] = True
+        np.not_equal(u[1:], u[:-1], out=new_user[1:])
+        brk = new_user.copy()
+        brk[1:] |= (ts[1:] - ts[:-1]) > SESSION_GAP_US
+        sess = np.cumsum(brk)
+        at_start = np.where(new_user, sess, 0)
+        seq = sess - np.maximum.accumulate(at_start) + 1
+        starts = np.flatnonzero(brk)
+        seg_len = np.diff(np.append(starts, len(u)))
+
+        INF = np.iinfo(np.int64).max
+
+        def seg_min(mask: np.ndarray) -> np.ndarray:
+            vals = np.where(mask, ts, INF)
+            return np.minimum.reduceat(vals, starts)
+
+        v = seg_min(et == "view")
+        c = seg_min((et == "click") & (ts > np.repeat(v, seg_len)))
+        p = seg_min((et == "purchase") & (ts > np.repeat(c, seg_len)))
+        stage = ((v < INF).astype(np.int64) + (c < INF) + (p < INF))
+        return pd.DataFrame({
+            "user_id": u[starts],
+            "session_seq": seq[starts].astype(np.int64),
+            "stage": stage,
+        })
+
+    return bucketed_group_map(
+        _read_events(sf_dir), key="user_id", fn=per_bucket, num_buckets=None
+    )

@@ -143,3 +143,45 @@ def test_event_rank_matches_pandas(ray_session):
         .rank(method="dense", ascending=False).to_numpy(np.int64),
     })
     _assert_matches(event_rank(SF_DIR), ref)
+
+
+def test_session_funnel_planted_sequences(ray_session, tmp_path):
+    """Hand-built sessions covering every stage: no view (0), view only
+    (1), view→click (2), full funnel (3), and an OUT-OF-ORDER
+    click-before-view session that must NOT advance past stage 1."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ember_ray.pipelines.temporal import session_funnel
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    m = np.timedelta64(60_000_000, "us")  # one minute
+    rows = [
+        # user 1, session 1: full ordered funnel -> 3
+        (1, t0 + 0 * m, "view"), (1, t0 + 1 * m, "click"),
+        (1, t0 + 2 * m, "purchase"),
+        # user 2, session 1: click BEFORE view -> stage 1 (order matters)
+        (2, t0 + 0 * m, "click"), (2, t0 + 1 * m, "view"),
+        # user 2, session 2 (after the 6h gap): view, click -> 2
+        (2, t0 + 500 * m, "view"), (2, t0 + 501 * m, "click"),
+        # user 3: errors only -> 0
+        (3, t0 + 0 * m, "error"), (3, t0 + 1 * m, "error"),
+    ]
+    df = pd.DataFrame({
+        "event_id": np.arange(len(rows), dtype=np.int64),
+        "user_id": np.array([r[0] for r in rows], np.int64),
+        "ts": pd.Series([r[1] for r in rows]).astype("datetime64[us]"),
+        "event_type": [r[2] for r in rows],
+        "value": np.ones(len(rows)),
+    })
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(df), str(d / "part-0.parquet"))
+    out = (session_funnel(str(tmp_path)).to_pandas()
+           .set_index(["user_id", "session_seq"])["stage"].sort_index())
+    assert out.loc[(1, 1)] == 3
+    assert out.loc[(2, 1)] == 1
+    assert out.loc[(2, 2)] == 2
+    assert out.loc[(3, 1)] == 0
