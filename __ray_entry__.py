@@ -537,6 +537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_norm": textops.zscore_norm,                 # oracle-exact
         "pmi_collocations": textops.pmi_collocations,      # oracle-exact
         "session_funnel": temporal.session_funnel,          # oracle-exact
+        "dedup_containment": dedup.dedup_containment,       # oracle-exact
         "er_scored_pairs": _q_er_scored,              # rows-only (tfidf/score)
         "mm_features": multimodal.mm_features,              # rows-only
         "distinct_count_hll": sketches.distinct_count_hll,  # rows-only sketch
@@ -1088,6 +1089,25 @@ def oracle_sql() -> dict[str, str]:
             "ON a.win = b.win AND a.doc_id < b.doc_id GROUP BY 1, 2) "
             "SELECT doc_id_left, doc_id_right, CAST(n AS BIGINT) "
             "AS n_shared FROM p"
+        ),
+        "dedup_containment": (
+            # containment = full window coverage: shared distinct windows
+            # equal the smaller side's distinct window count
+            "WITH w AS (SELECT DISTINCT doc_id, "
+            "substring(text, CAST(i AS INT), 32) AS win FROM documents, "
+            "unnest(range(1, len(text) - 32 + 2)) AS t(i)), "
+            "cnt AS (SELECT doc_id, count(*) AS nw FROM w GROUP BY doc_id), "
+            "p AS (SELECT a.doc_id AS doc_id_left, b.doc_id AS "
+            "doc_id_right, count(*) AS ns FROM w a JOIN w b "
+            "ON a.win = b.win AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT p.doc_id_left, p.doc_id_right, "
+            "CAST(p.ns AS BIGINT) AS n_shared, "
+            "CAST(CASE WHEN p.ns = cl.nw AND p.ns = cr.nw THEN 0 "
+            "WHEN p.ns = cl.nw THEN 1 ELSE 2 END AS BIGINT) "
+            "AS contained_side FROM p "
+            "JOIN cnt cl ON cl.doc_id = p.doc_id_left "
+            "JOIN cnt cr ON cr.doc_id = p.doc_id_right "
+            "WHERE p.ns = least(cl.nw, cr.nw)"
         ),
         "semdedup": (
             # full prune re-derivation over the exported k-means cells:

@@ -853,3 +853,79 @@ def dedup_substring(sf_dir: str, L: int = 32, num_buckets: int = 16,
     # same (left,right) pair always routes to one bucket via doc_id_left
     return hash_exchange(verified, "doc_id_left", num_buckets, count_shared,
                          arrow=True)
+
+
+def dedup_containment(sf_dir: str, L: int = 32, num_buckets: int = 16,
+                      cap: int = 256):
+    """Document containment detection: pairs where one document's ENTIRE
+    distinct L-window set is covered by the other's (``n_shared ==
+    min(nw_left, nw_right)``) — the quote/boilerplate-absorption case
+    exact-substring pair counts alone don't isolate (Lee et al. 2022
+    treat full containment as the highest-priority removal class).
+    ``contained_side``: 0 = window-equivalent docs, 1 = left inside
+    right, 2 = right inside left.
+
+    Pure composition: :func:`dedup_substring` supplies verified shared-
+    window counts (same one-exchange scale shape); per-doc distinct
+    window counts are a stateless second pass over the documents (no
+    shuffle); both sides attach via the hybrid broadcast/bucketed rule.
+    """
+    from ..functions.minhash import window_hash_positions
+
+    pairs = dedup_substring(sf_dir, L=L, num_buckets=num_buckets, cap=cap)
+    docs = _docs(sf_dir)
+
+    def counts(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "nw": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        h, _, offs = window_hash_positions(t["text"], L)
+        if len(h) == 0:
+            return empty
+        cnts = np.diff(offs)
+        rows = np.repeat(np.arange(t.num_rows, dtype=np.int64), cnts)
+        order = np.lexsort((h, rows))
+        rows_s, h_s = rows[order], h[order]
+        first = np.r_[True, (rows_s[1:] != rows_s[:-1]) | (h_s[1:] != h_s[:-1])]
+        nw = np.bincount(rows_s[first], minlength=t.num_rows)
+        keep = nw > 0
+        return pa.table({
+            "doc_id": pa.array(np.asarray(t["doc_id"], np.int64)[keep],
+                               pa.int64()),
+            "nw": pa.array(nw[keep], pa.int64()),
+        })
+
+    nw_ds = docs.map_batches(counts, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=4096)
+    joined = _attach_pair_sides(pairs, nw_ds, "doc_id", ["nw"], num_buckets)
+
+    def flag(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "doc_id_left": pa.array([], pa.int64()),
+            "doc_id_right": pa.array([], pa.int64()),
+            "n_shared": pa.array([], pa.int64()),
+            "contained_side": pa.array([], pa.int64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        ns = np.asarray(t["n_shared"], np.int64)
+        nl = np.asarray(t["nw_left"], np.int64)
+        nr = np.asarray(t["nw_right"], np.int64)
+        keep = ns == np.minimum(nl, nr)
+        if not keep.any():
+            return empty
+        ns, nl, nr = ns[keep], nl[keep], nr[keep]
+        side = np.where((ns == nl) & (ns == nr), 0,
+                        np.where(ns == nl, 1, 2)).astype(np.int64)
+        return pa.table({
+            "doc_id_left": pa.array(np.asarray(t["doc_id_left"])[keep],
+                                    pa.int64()),
+            "doc_id_right": pa.array(np.asarray(t["doc_id_right"])[keep],
+                                     pa.int64()),
+            "n_shared": pa.array(ns, pa.int64()),
+            "contained_side": pa.array(side, pa.int64()),
+        })
+
+    return joined.map_batches(flag, batch_format="pyarrow",
+                              zero_copy_batch=True)

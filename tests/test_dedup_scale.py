@@ -260,3 +260,29 @@ def test_dedup_substring_partition_invariance(ray_session):
     finally:
         dmod._docs = orig
     assert a.equals(b)
+
+
+def test_dedup_containment_planted(ray_session, tmp_path):
+    """A doc that is a verbatim substring of another must flag as
+    contained (side points at it); partial-overlap pairs must not."""
+    from ember_ray.pipelines.dedup import dedup_containment
+
+    rng = np.random.default_rng(11)
+
+    def noise(n):
+        return "".join(chr(c) for c in rng.integers(97, 123, size=n))
+
+    inner = noise(60)
+    partial = noise(40)
+    texts = [
+        noise(30) + inner + noise(25),   # doc 0: container
+        inner,                            # doc 1: fully inside doc 0
+        noise(45) + partial + noise(45),  # doc 2: shares a 40-char run w/ 3
+        partial + noise(70),              # doc 3: partial overlap only
+    ]
+    out = dedup_containment(
+        _write_docs(tmp_path, texts), L=32).to_pandas()
+    rows = {(r.doc_id_left, r.doc_id_right): r.contained_side
+            for r in out.itertuples()}
+    assert rows[(0, 1)] == 2           # right (doc 1) inside left (doc 0)
+    assert (2, 3) not in rows          # overlap but neither contains
