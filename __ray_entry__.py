@@ -488,8 +488,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_by_lang": textops.quality_by_lang,
         "lang_id": textops.lang_id,
         "fingerprints": textops.fingerprints,
-        "detok_roundtrip": textops.detok_roundtrip,         # F5
-        "payload_paths": textops.payload_paths,             # M8/F7
+        # dedup extensions promoted into the window (driver-visible
+        # rows for the LLM-pipeline op family); the F5/M8 string ops they
+        # displace stay oracle-checked by the full sweep + pytests
+        "dedup_substring": dedup.dedup_substring,           # oracle-exact
+        "semdedup": _q_semdedup,                            # oracle-exact
         # --- dedup suite (oracle-exact members) ----------------------------
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_verify": _q_dedup_minhash_verify,    # verify-stage oracle
@@ -527,8 +530,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline": curation.curation_pipeline,    # oracle-exact
         "stratified_sample": curation.stratified_sample,    # oracle-exact
         "pii_scrub": curation.pii_scrub,                    # oracle-exact
-        "semdedup": _q_semdedup,                            # oracle-exact
-        "dedup_substring": dedup.dedup_substring,           # oracle-exact
+        "detok_roundtrip": textops.detok_roundtrip,         # F5
+        "payload_paths": textops.payload_paths,             # M8/F7
         "ann_topk_filtered": ann.ann_topk_filtered,         # oracle-exact
         "tfidf_keywords": textops.tfidf_keywords,           # oracle-exact
         "sliding_window_agg": relational.sliding_window_agg,  # oracle-exact
