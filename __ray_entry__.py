@@ -280,6 +280,19 @@ def _q_ann_ivf_verify(sf_dir: str):
         sf_dir, export_candidates=os.path.join(_SIDE_DIR, "ann_ivf_candidates"))
 
 
+def _q_dedup_incremental(sf_dir: str):
+    """dedup_incremental with the LSH candidates exported so DuckDB
+    re-verifies (Jaccard >= tau), re-filters to batch-vs-old pairs and
+    re-derives the per-new-doc admission verdict end-to-end."""
+    import os
+
+    from ember_ray.pipelines import dedup
+
+    return dedup.dedup_incremental(
+        sf_dir,
+        export_candidates=os.path.join(_SIDE_DIR, "minhash_candidates_inc"))
+
+
 def _q_dedup_minhash_verify(sf_dir: str):
     """dedup_minhash with the candidate pair ids exported so DuckDB
     independently recomputes the verify stage (exact token Jaccard ≥ τ)
@@ -541,6 +554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_collocations": textops.pmi_collocations,      # oracle-exact
         "session_funnel": temporal.session_funnel,          # oracle-exact
         "dedup_containment": dedup.dedup_containment,       # oracle-exact
+        "dedup_incremental": _q_dedup_incremental,          # oracle-exact
         "er_scored_pairs": _q_er_scored,              # rows-only (tfidf/score)
         "mm_features": multimodal.mm_features,              # rows-only
         "distinct_count_hll": sketches.distinct_count_hll,  # rows-only sketch
@@ -1016,6 +1030,27 @@ def oracle_sql() -> dict[str, str]:
             "count(p.name)::BIGINT AS n_pairs FROM keys k "
             "LEFT JOIN p ON p.name = k.name AND p.label = k.label "
             "GROUP BY k.name, k.label"
+        ),
+        "dedup_incremental": (
+            "WITH cand AS (SELECT * FROM "
+            f"read_parquet('{_SIDE_DIR}/minhash_candidates_inc/*.parquet')), "
+            f"d AS (SELECT doc_id, {toks} AS tk FROM documents), "
+            "j AS (SELECT c.doc_id_left, c.doc_id_right, "
+            "len(list_intersect(a.tk, b.tk)) * 1.0 / "
+            "nullif(len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk)), 0)"
+            " AS jac FROM cand c "
+            "JOIN d a ON a.doc_id = c.doc_id_left "
+            "JOIN d b ON b.doc_id = c.doc_id_right), "
+            "v AS (SELECT doc_id_left, doc_id_right FROM j WHERE jac >= 0.8), "
+            "x AS (SELECT CASE WHEN doc_id_left % 10 = 0 THEN doc_id_left "
+            "ELSE doc_id_right END AS doc_id, CASE WHEN doc_id_left % 10 = 0 "
+            "THEN doc_id_right ELSE doc_id_left END AS old_id FROM v "
+            "WHERE (doc_id_left % 10 = 0) <> (doc_id_right % 10 = 0)), "
+            "m AS (SELECT doc_id, min(old_id) AS dup_of FROM x GROUP BY 1) "
+            "SELECT n.doc_id, CAST(CASE WHEN m.dup_of IS NULL THEN 0 ELSE 1 "
+            "END AS BIGINT) AS is_dup, coalesce(m.dup_of, -1) AS dup_of "
+            "FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) n "
+            "LEFT JOIN m USING (doc_id)"
         ),
         "dedup_minhash_verify": (
             "WITH cand AS (SELECT * FROM "

@@ -929,3 +929,99 @@ def dedup_containment(sf_dir: str, L: int = 32, num_buckets: int = 16,
 
     return joined.map_batches(flag, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def dedup_incremental(sf_dir: str, new_mod: int = 10, threshold: float = 0.8,
+                      num_perm: int = 64, num_bands: int = 16,
+                      num_buckets: int = 16,
+                      export_candidates: str | None = None):
+    """Incremental ingest dedup gate: for every document of the incoming
+    batch (the deterministic ``doc_id % new_mod == 0`` stand-in), whether
+    it near-duplicates (exact token Jaccard ≥ ``threshold``) any document
+    already in the corpus, and the smallest such prior doc_id — the
+    admission check a production pipeline runs per ingest batch instead
+    of re-deduplicating the world.
+
+    Sandbox shape vs deployment: here candidates come from the same
+    MinHash-LSH band exchange as :func:`dedup_minhash` (both sides hash
+    into the same buckets — exactly what probing a PRE-BUILT band index
+    of the old corpus computes, without maintaining one in a test
+    harness); batch-vs-old filtering happens on the verified pairs. The
+    per-new-doc min aggregate exchanges only (new_id, old_id) int pairs,
+    and the final attach broadcasts the bounded batch-sized result.
+
+    Output: (doc_id, is_dup, dup_of) for every NEW doc; dup_of = -1 when
+    clean."""
+    import ray
+    import pyarrow.compute as pc
+
+    from ..util import (broadcast_lookup, build_broadcast_index,
+                        dataset_to_arrow, hash_exchange)
+
+    pairs = dedup_minhash(sf_dir, threshold=threshold, num_perm=num_perm,
+                          num_bands=num_bands, num_buckets=num_buckets,
+                          export_candidates=export_candidates)
+
+    def cross(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "old_id": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        l = np.asarray(t["doc_id_left"], np.int64)
+        r = np.asarray(t["doc_id_right"], np.int64)
+        ln, rn = l % new_mod == 0, r % new_mod == 0
+        keep_lr = ln & ~rn  # left is new, right is old
+        keep_rl = rn & ~ln
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([l[keep_lr], r[keep_rl]]),
+                               pa.int64()),
+            "old_id": pa.array(np.concatenate([r[keep_lr], l[keep_rl]]),
+                               pa.int64()),
+        })
+
+    def min_old(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "dup_of": pa.array([], pa.int64())})
+        g = t.group_by("doc_id").aggregate([("old_id", "min")])
+        return pa.table({"doc_id": g["doc_id"],
+                         "dup_of": pc.cast(g["old_id_min"], pa.int64())})
+
+    hits = dataset_to_arrow(hash_exchange(
+        pairs.map_batches(cross, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        "doc_id", num_buckets, min_old, arrow=True))
+    ref = ray.put(build_broadcast_index(hits, "doc_id", ["dup_of"])
+                  if hits.num_rows else None)
+
+    def _new_only(t: pa.Table) -> pa.Table:  # expr can't parse modulo
+        ids = np.asarray(t["doc_id"], np.int64)
+        return t.filter(pa.array(ids % new_mod == 0))
+
+    new_ids = _docs(sf_dir).select_columns(["doc_id"]).map_batches(
+        _new_only, batch_format="pyarrow", zero_copy_batch=True)
+
+    def attach(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "is_dup": pa.array([], pa.int64()),
+                             "dup_of": pa.array([], pa.int64())})
+        idx = ray.get(ref)
+        ids = pc.cast(t["doc_id"], pa.int64())
+        if idx is None:
+            dup = pa.nulls(t.num_rows, pa.int64())
+        else:
+            dup = broadcast_lookup(idx, ids, "dup_of")
+        dup_np = dup.to_numpy(zero_copy_only=False)
+        is_dup = (~np.isnan(dup_np.astype(np.float64))
+                  if dup_np.dtype != np.int64 else np.ones(len(dup_np), bool))
+        return pa.table({
+            "doc_id": ids,
+            "is_dup": pa.array(is_dup.astype(np.int64), pa.int64()),
+            "dup_of": pa.array(np.where(is_dup, np.nan_to_num(
+                dup_np.astype(np.float64), nan=-1).astype(np.int64), -1),
+                pa.int64()),
+        })
+
+    return new_ids.map_batches(attach, batch_format="pyarrow",
+                               zero_copy_batch=True)

@@ -286,3 +286,34 @@ def test_dedup_containment_planted(ray_session, tmp_path):
             for r in out.itertuples()}
     assert rows[(0, 1)] == 2           # right (doc 1) inside left (doc 0)
     assert (2, 3) not in rows          # overlap but neither contains
+
+
+def test_dedup_incremental_planted(ray_session, tmp_path):
+    """A new doc that near-duplicates an old doc is flagged with the
+    smallest old partner; a clean new doc passes with dup_of = -1."""
+    from ember_ray.pipelines.dedup import dedup_incremental
+
+    rng = np.random.default_rng(17)
+
+    def words(n):
+        return " ".join("w%d" % c for c in rng.integers(0, 5000, size=n))
+
+    shared = words(60)
+    texts = {
+        0: shared + " tail0",          # new (0 % 10): near-dup of 3 and 13
+        10: words(70),                 # new: clean
+        3: shared + " tail3",          # old
+        13: shared + " tail13",        # old
+        7: words(70),                  # old, unrelated
+    }
+    d = tmp_path / "documents.parquet"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(list(texts), pa.int64()),
+                  "text": pa.array(list(texts.values()), pa.string())}),
+        str(d / "part-0.parquet"))
+    out = (dedup_incremental(str(tmp_path), threshold=0.7)
+           .to_pandas().set_index("doc_id"))
+    assert set(out.index) == {0, 10}
+    assert out.loc[0, "is_dup"] == 1 and out.loc[0, "dup_of"] == 3
+    assert out.loc[10, "is_dup"] == 0 and out.loc[10, "dup_of"] == -1
