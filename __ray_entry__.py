@@ -555,6 +555,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_funnel": temporal.session_funnel,          # oracle-exact
         "dedup_containment": dedup.dedup_containment,       # oracle-exact
         "dedup_incremental": _q_dedup_incremental,          # oracle-exact
+        "join_rows": relational.join_rows,                  # oracle-exact
+        "full_join_counts": relational.full_join_counts,    # oracle-exact
+        "rollup_agg": relational.rollup_agg,                # oracle-exact
+        "vocab_topk": textops.vocab_topk,                   # oracle-exact
         "er_scored_pairs": _q_er_scored,              # rows-only (tfidf/score)
         "mm_features": multimodal.mm_features,              # rows-only
         "distinct_count_hll": sketches.distinct_count_hll,  # rows-only sketch
@@ -1051,6 +1055,47 @@ def oracle_sql() -> dict[str, str]:
             "END AS BIGINT) AS is_dup, coalesce(m.dup_of, -1) AS dup_of "
             "FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) n "
             "LEFT JOIN m USING (doc_id)"
+        ),
+        "join_rows": (
+            # row-level inner join (no aggregate): raw payload doubles
+            # pass through both engines untouched — exact, no rounding
+            "SELECT o_orderkey, o_custkey, o_orderpriority, l_linenumber, "
+            "l_quantity, l_extendedprice FROM orders "
+            "JOIN lineitem ON o_orderkey = l_orderkey "
+            "WHERE l_quantity >= 49"
+        ),
+        "full_join_counts": (
+            # filtered sides: the synth corpus gives every customer an
+            # order, so only the filtered pairing leaves unmatched rows
+            # on BOTH sides (genuine full-outer coverage)
+            "WITH oc AS (SELECT o_custkey AS custkey, count(*) AS n_orders "
+            "FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1), "
+            "ec AS (SELECT user_id AS custkey, count(*) AS n_events "
+            "FROM events WHERE event_type = 'purchase' GROUP BY 1) "
+            "SELECT coalesce(oc.custkey, ec.custkey) AS custkey, "
+            "coalesce(n_orders, 0) AS n_orders, "
+            "coalesce(n_events, 0) AS n_events "
+            "FROM oc FULL OUTER JOIN ec ON oc.custkey = ec.custkey"
+        ),
+        "rollup_agg": (
+            # dow parity: (epoch_us // 86400000000 + 4) % 7 — expression-
+            # identical to the numpy kernel (0=Sunday); rolled-up levels
+            # encode as ('ALL', -1) so no NULL crosses the compare
+            "WITH e AS (SELECT event_type, "
+            "(epoch_us(ts) // 86400000000 + 4) % 7 AS dow FROM events) "
+            "SELECT coalesce(event_type, 'ALL') AS event_type, "
+            "coalesce(dow, -1) AS dow, count(*) AS n_events "
+            "FROM e GROUP BY ROLLUP(event_type, dow)"
+        ),
+        "vocab_topk": (
+            # NON-distinct normalized token stream (ngram_counts recipe) →
+            # counts → 1-based rank ids, (n DESC, token ASC) tie-break
+            "WITH d AS (SELECT list_filter(string_split(" + norm + ", ' '), "
+            "x -> x <> '') AS tk FROM documents), "
+            "u AS (SELECT unnest(tk) AS token FROM d), "
+            "c AS (SELECT token, count(*) AS n FROM u GROUP BY token) "
+            "SELECT token, n, row_number() OVER (ORDER BY n DESC, token) "
+            "AS token_id FROM c ORDER BY token_id LIMIT 1000"
         ),
         "dedup_minhash_verify": (
             "WITH cand AS (SELECT * FROM "

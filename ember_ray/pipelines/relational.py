@@ -624,3 +624,127 @@ def left_join_counts(sf_dir: str):
 
     return joined.map_batches(fill0, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+# ------------------------------------------------------------------ J1 rows
+def join_rows(sf_dir: str):
+    """Row-level distributed inner join (the J1/J2 family at row
+    granularity — ``join_agg`` exercises join+aggregate; this emits the
+    JOINED ROWS themselves, the shape a pipeline uses to attach order
+    context to line items before further per-row transforms).
+
+    Filter pushes down before the exchange (only ~4% of lineitem rows
+    survive ``l_quantity >= 49``), so the shuffle moves the small side's
+    bytes, not the full fact table. Raw payload doubles pass through
+    untouched — exact parity with the parquet values, no rounding."""
+    from ..util import bucketed_join
+
+    li = _rp(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_linenumber", "l_quantity",
+                      "l_extendedprice"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["l_quantity"], 49.0))
+
+    li = li.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    ords = _rp(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_orderpriority"])
+    return bucketed_join(ords, li, on="o_orderkey", right_on="l_orderkey",
+                         num_buckets=16)
+
+
+# ------------------------------------------------------------- J full outer
+def full_join_counts(sf_dir: str):
+    """FULL OUTER hash join — the one join type the inner/left suite
+    doesn't exercise. Per-customer URGENT-order counts ⋈ per-user
+    purchase-event counts (the synth corpus gives EVERY customer an
+    order, so the unfiltered pairing would degenerate to a left join;
+    the filters leave real unmatched rows on BOTH sides at every sf).
+    Both inputs pre-aggregate (partial per batch, final per bucket)
+    before the join, so the exchange moves one row per key."""
+    from ..util import bucketed_group_map, bucketed_join
+
+    ords = _rp(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+    ev = _rp(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def part(col: str, out: str, flt: str, val: str):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t[flt], val))
+            u, c = np.unique(np.asarray(t[col]), return_counts=True)
+            return pa.table({"custkey": pa.array(u, pa.int64()),
+                             out: pa.array(c, pa.int64())})
+
+        return fn
+
+    def fin(col: str):
+        def fn(df):
+            return df.groupby("custkey", sort=False, as_index=False)[
+                [col]].sum()
+
+        return fn
+
+    oc = bucketed_group_map(
+        ords.map_batches(
+            part("o_custkey", "n_orders", "o_orderpriority", "1-URGENT"),
+            batch_format="pyarrow", zero_copy_batch=True),
+        "custkey", fin("n_orders"), num_buckets=None)
+    ec = bucketed_group_map(
+        ev.map_batches(
+            part("user_id", "n_events", "event_type", "purchase"),
+            batch_format="pyarrow", zero_copy_batch=True),
+        "custkey", fin("n_events"), num_buckets=None)
+    joined = bucketed_join(oc, ec, on="custkey", how="full_outer",
+                           num_buckets=16)
+
+    def fill0(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "custkey": t["custkey"],
+            "n_orders": pc.fill_null(pc.cast(t["n_orders"], pa.int64()), 0),
+            "n_events": pc.fill_null(pc.cast(t["n_events"], pa.int64()), 0),
+        })
+
+    return joined.map_batches(fill0, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+# -------------------------------------------------------------- A rollup
+def rollup_agg(sf_dir: str):
+    """Grouping-sets / ROLLUP aggregate: event counts at (event_type, dow),
+    (event_type) and () levels in one pass — the OLAP summary shape the
+    single-level groupby suite doesn't cover. Rolled-up keys are encoded
+    ('ALL', -1) so no NULL crosses the oracle comparison.
+
+    Scale shape: each batch pre-collapses to ≤ n_types×7 rows, the driver
+    final combines a bounded partial table (35 keys regardless of input
+    size) and derives the upper levels from the finest level — integer
+    sums, so upper levels are exact and no second pass over the data is
+    needed. dow parity: ``(epoch_us // 86_400_000_000 + 4) % 7`` on both
+    sides (0=Sunday), expression-identical to the DuckDB oracle."""
+    ev = _rp(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = np.asarray(t["ts"], dtype="datetime64[us]").astype(np.int64)
+        dow = (us // 86_400_000_000 + 4) % 7
+        g = pa.table({
+            "event_type": t["event_type"],
+            "dow": pa.array(dow, pa.int64()),
+        }).group_by(["event_type", "dow"]).aggregate([([], "count_all")])
+        return pa.table({"event_type": g["event_type"], "dow": g["dow"],
+                         "n_events": g["count_all"]})
+
+    parts = ev.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=8192)
+    base = (parts.to_pandas()
+            .groupby(["event_type", "dow"], sort=False, as_index=False)
+            ["n_events"].sum())
+    lvl1 = (base.groupby("event_type", sort=False, as_index=False)
+            ["n_events"].sum())
+    lvl1["dow"] = np.int64(-1)
+    total = pd.DataFrame({"event_type": ["ALL"], "dow": np.int64(-1),
+                          "n_events": [base["n_events"].sum()]})
+    out = pd.concat([base, lvl1[["event_type", "dow", "n_events"]], total],
+                    ignore_index=True)
+    out["dow"] = out["dow"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return pa.Table.from_pandas(out[["event_type", "dow", "n_events"]],
+                                preserve_index=False)

@@ -593,3 +593,50 @@ def pmi_collocations(sf_dir: str, min_count: int = 5, k: int = 50,
                         reduce_fn=bucket_pmi, arrow=True)
     return out.sort(["pmi", "w1", "w2"],
                     descending=[True, False, False]).limit(k)
+
+
+def vocab_topk(sf_dir: str, k: int = 1000, num_buckets: int = 32):
+    """Corpus vocabulary build: top-k tokens by frequency with dense
+    integer ids — the pass that seeds a tokenizer / frequency-cutoff
+    vocabulary over a training corpus.
+
+    Same scale shape as ``ngram_counts``: per-batch Arrow group_by
+    pre-counts (the flat token values of ``tokenize_array``, no per-doc
+    Python), ONE hash exchange co-locates each token, per-bucket totals
+    take a LOCAL top-k, and the driver's final sort sees ≤ k·num_buckets
+    rows before assigning ids. Deterministic: (count DESC, token ASC)
+    tie-break both sides; token_id is the 1-based rank."""
+    from ..functions.text import tokenize_array
+    from ..util import hash_exchange
+
+    ds = _rp(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = tokenize_array(t["text"])
+        g = pa.table({"token": toks.values}).group_by("token").aggregate(
+            [([], "count_all")])
+        return pa.table({"token": g["token"], "n": g["count_all"]})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=4096)
+
+    def bucket_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        g = t.group_by("token").aggregate([("n", "sum")])
+        g = pa.table({"token": g["token"], "n": g["n_sum"]})
+        order = pc.sort_indices(
+            g, sort_keys=[("n", "descending"), ("token", "ascending")])
+        return g.take(order[:k])
+
+    out = hash_exchange(parts, key="token", num_buckets=num_buckets,
+                        reduce_fn=bucket_topk, arrow=True)
+    pdf = (out.sort(["n", "token"], descending=[True, False]).limit(k)
+           .to_pandas()
+           .sort_values(["n", "token"], ascending=[False, True],
+                        kind="mergesort")
+           .reset_index(drop=True))
+    pdf["token_id"] = np.arange(1, len(pdf) + 1, dtype=np.int64)
+    return pa.Table.from_pandas(pdf[["token", "n", "token_id"]],
+                                preserve_index=False)

@@ -462,7 +462,8 @@ def bucketed_join(
     runs; this variant is one all-to-all exchange with no driver barrier,
     and at scale it shuffles the same bytes a hash join would.
 
-    ``how``: "inner" or "left_outer". Key column names must not collide
+    ``how``: "inner", "left_outer" or "full_outer" (key coalesced across
+    sides in the outer forms). Key column names must not collide
     with payload names; payload names must be disjoint across sides.
     """
     import pyarrow as pa
@@ -507,8 +508,10 @@ def bucketed_join(
         + [(c, types[c]) for c in lpay]
         + [(c, types[c]) for c in rpay]
     )
-    pd_how = {"inner": "inner", "left_outer": "left"}[how]
-    acero_how = {"inner": "inner", "left_outer": "left outer"}[how]
+    pd_how = {"inner": "inner", "left_outer": "left",
+              "full_outer": "outer"}[how]
+    acero_how = {"inner": "inner", "left_outer": "left outer",
+                 "full_outer": "full outer"}[how]
     # pandas merge silently corrupts integer payloads once the null
     # padding forces a float64 round-trip (uint64 fingerprints lose low
     # bits above 2^53) — so the per-bucket merge runs in Arrow (Acero

@@ -158,3 +158,76 @@ def test_sliding_window_membership(ray_session):
     assert int(out["n"].sum()) == 4 * n_events
     # window starts land on the 15-minute grid
     assert (out["window_start"].astype("int64") % (15 * 60 * 1_000_000) == 0).all()
+
+
+def _duck_tpch(sql):
+    con = duckdb.connect()
+    con.execute("SET threads=2")
+    for t in ("events", "customer", "orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')")
+    out = con.execute(sql).df()
+    con.close()
+    return out
+
+
+def test_join_rows_matches_sql(ray_session):
+    from ember_ray.pipelines.relational import join_rows
+
+    keys = ["o_orderkey", "l_linenumber"]
+    got = (join_rows(SF_DIR).to_pandas()
+           .sort_values(keys).reset_index(drop=True))
+    want = _duck_tpch(
+        "SELECT o_orderkey, o_custkey, o_orderpriority, l_linenumber, "
+        "l_quantity, l_extendedprice FROM orders "
+        "JOIN lineitem ON o_orderkey = l_orderkey WHERE l_quantity >= 49 "
+        "ORDER BY o_orderkey, l_linenumber")
+    assert len(got) == len(want) > 0
+    for c in want.columns:
+        assert (got[c].values == want[c].values).all(), c
+
+
+def test_full_join_counts_covers_both_null_sides(ray_session):
+    from ember_ray.pipelines.relational import full_join_counts
+
+    got = (full_join_counts(SF_DIR).to_pandas()
+           .sort_values("custkey").reset_index(drop=True))
+    want = _duck_tpch(
+        "WITH oc AS (SELECT o_custkey AS custkey, count(*) AS n_orders "
+        "FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1), "
+        "ec AS (SELECT user_id AS custkey, count(*) AS n_events "
+        "FROM events WHERE event_type = 'purchase' GROUP BY 1) "
+        "SELECT coalesce(oc.custkey, ec.custkey) AS custkey, "
+        "coalesce(n_orders, 0) AS n_orders, coalesce(n_events, 0) AS n_events "
+        "FROM oc FULL OUTER JOIN ec ON oc.custkey = ec.custkey "
+        "ORDER BY custkey")
+    # the join type is only exercised if both unmatched sides appear
+    assert (got["n_orders"] == 0).any(), "event-only users must survive"
+    assert (got["n_events"] == 0).any(), "order-only customers must survive"
+    for c in want.columns:
+        assert (got[c].astype("int64").values
+                == want[c].astype("int64").values).all(), c
+
+
+def test_rollup_agg_levels_are_consistent(ray_session):
+    from ember_ray.pipelines.relational import rollup_agg
+
+    got = rollup_agg(SF_DIR).to_pandas()
+    want = _duck_tpch(
+        "WITH e AS (SELECT event_type, "
+        "(epoch_us(ts) // 86400000000 + 4) % 7 AS dow FROM events) "
+        "SELECT coalesce(event_type, 'ALL') AS event_type, "
+        "coalesce(dow, -1) AS dow, count(*) AS n_events "
+        "FROM e GROUP BY ROLLUP(event_type, dow)")
+    key = ["event_type", "dow"]
+    g = got.sort_values(key).reset_index(drop=True)
+    w = want.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(w)
+    assert (g["n_events"].values == w["n_events"].astype("int64").values).all()
+    # internal consistency: finest level sums to each rollup level
+    base = got[(got.event_type != "ALL") & (got.dow >= 0)]
+    lvl1 = got[(got.event_type != "ALL") & (got.dow == -1)]
+    total = got[got.event_type == "ALL"]["n_events"].iloc[0]
+    assert base["n_events"].sum() == total
+    assert lvl1["n_events"].sum() == total

@@ -244,3 +244,19 @@ def test_pmi_collocations_planted_pair(ray_session, tmp_path):
     N = sum(len(t.split()) - 1 for t in docs)
     want = np.rint(np.log((6.0 * T * T) / (float(N) * 6 * 6)) * 1e6) / 1e6
     assert got == want
+
+
+def test_vocab_topk_ranks_match_recount(ray_session):
+    """token_id must be the exact 1-based (count DESC, token ASC) rank of
+    a full driver-side recount over the normalized token stream."""
+    from ember_ray.functions.text import tokenize_array
+    from ember_ray.pipelines.textops import vocab_topk
+
+    got = vocab_topk(SF_DIR, k=200).to_pandas()
+    texts = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text"])
+    toks = tokenize_array(texts["text"].combine_chunks())
+    cnt = collections.Counter(toks.values.to_pylist())
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:200]
+    assert list(got["token"]) == [w for w, _ in want]
+    assert list(got["n"]) == [c for _, c in want]
+    assert list(got["token_id"]) == list(range(1, len(want) + 1))
