@@ -559,6 +559,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "full_join_counts": relational.full_join_counts,    # oracle-exact
         "rollup_agg": relational.rollup_agg,                # oracle-exact
         "vocab_topk": textops.vocab_topk,                   # oracle-exact
+        "json_extract_agg": relational.json_extract_agg,    # oracle-exact
+        "latest_order": relational.latest_order,            # oracle-exact
+        "value_quartiles": relational.value_quartiles,      # oracle-exact
         "er_scored_pairs": _q_er_scored,              # rows-only (tfidf/score)
         "mm_features": multimodal.mm_features,              # rows-only
         "distinct_count_hll": sketches.distinct_count_hll,  # rows-only sketch
@@ -1096,6 +1099,27 @@ def oracle_sql() -> dict[str, str]:
             "c AS (SELECT token, count(*) AS n FROM u GROUP BY token) "
             "SELECT token, n, row_number() OVER (ORDER BY n DESC, token) "
             "AS token_id FROM c ORDER BY token_id LIMIT 1000"
+        ),
+        "json_extract_agg": (
+            # same RE2 pattern as the Ray kernel (regexp group 1 == the
+            # named group); every output column is an exact integer
+            "WITH e AS (SELECT event_type, CAST(regexp_extract(props, "
+            "'\"k\": (\\d+)', 1) AS BIGINT) AS k FROM events) "
+            "SELECT event_type, sum(k) AS sum_k, min(k) AS min_k, "
+            "max(k) AS max_k, count(*) AS n FROM e GROUP BY event_type"
+        ),
+        "latest_order": (
+            "SELECT o_custkey, o_orderkey, o_orderdate FROM (SELECT *, "
+            "row_number() OVER (PARTITION BY o_custkey ORDER BY "
+            "o_orderdate DESC, o_orderkey DESC) AS rn FROM orders) "
+            "WHERE rn = 1"
+        ),
+        "value_quartiles": (
+            # NTILE over raw doubles: values are only ORDERED, never
+            # operated on; (value, event_id) tie-break both sides
+            "SELECT event_id, event_type, CAST(ntile(4) OVER ("
+            "PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) "
+            "AS quartile FROM events"
         ),
         "dedup_minhash_verify": (
             "WITH cand AS (SELECT * FROM "

@@ -188,6 +188,10 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     timed("pivot_counts", lambda: relational.pivot_counts(sf_dir).count())
     timed("left_join_counts",
           lambda: relational.left_join_counts(sf_dir).count())
+    timed("join_rows", lambda: relational.join_rows(sf_dir).count())
+    timed("full_join_counts",
+          lambda: relational.full_join_counts(sf_dir).count())
+    timed("rollup_agg", lambda: relational.rollup_agg(sf_dir).num_rows)
     timed("distinct_count_hll",
           lambda: sketches.distinct_count_hll(sf_dir).num_rows)
     timed("group_quantiles", lambda: sketches.group_quantiles(sf_dir).count())
@@ -205,6 +209,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     timed("dedup_substring", lambda: dedup.dedup_substring(sf_dir).count())
     timed("semdedup", lambda: dedup.semdedup(sf_dir).count())
     timed("pii_scrub", lambda: curation.pii_scrub(sf_dir).count())
+    from ember_ray.pipelines import textops
+    timed("vocab_topk", lambda: textops.vocab_topk(sf_dir).num_rows)
     timed("ann_topk", lambda: ann.ann_topk(sf_dir).count())
     timed("ann_topk_ivf", lambda: ann.ann_topk_ivf(sf_dir).count())
     timed("ann_topk_filtered", lambda: ann.ann_topk_filtered(sf_dir).count())

@@ -748,3 +748,127 @@ def rollup_agg(sf_dir: str):
     out["n_events"] = out["n_events"].astype("int64")
     return pa.Table.from_pandas(out[["event_type", "dow", "n_events"]],
                                 preserve_index=False)
+
+
+# ------------------------------------------------------------ M6 json attr
+def json_extract_agg(sf_dir: str):
+    """Semi-structured attribute extraction + aggregate (the M6 attr-map
+    family over a JSON column): parse ``events.props`` ('{"k": N}'),
+    extract the integer attribute, aggregate per event type.
+
+    Extraction is one vectorized RE2 pass (``pc.extract_regex``) — the
+    pyarrow<->DuckDB RE2 parity recipe (see pii_scrub): the SAME pattern
+    runs as ``regexp_extract`` in the oracle, and all outputs are exact
+    integers, so nothing float crosses the compare. Partial aggregates
+    collapse each batch to ≤ n_types rows before the tiny final."""
+    ev = _rp(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = pc.extract_regex(t["props"], pattern=r'"k": (?P<k>\d+)')
+        kv = pc.cast(pc.struct_field(k, "k"), pa.int64())
+        g = pa.table({"event_type": t["event_type"], "k": kv}).group_by(
+            "event_type").aggregate(
+                [("k", "sum"), ("k", "min"), ("k", "max"),
+                 ([], "count_all")])
+        return pa.table({"event_type": g["event_type"],
+                         "sum_k": g["k_sum"], "min_k": g["k_min"],
+                         "max_k": g["k_max"], "n": g["count_all"]})
+
+    parts = ev.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=8192)
+    df = parts.to_pandas()
+    out = df.groupby("event_type", sort=True, as_index=False).agg(
+        sum_k=("sum_k", "sum"), min_k=("min_k", "min"),
+        max_k=("max_k", "max"), n=("n", "sum"))
+    for c in ("sum_k", "min_k", "max_k", "n"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# --------------------------------------------------------------- O1 argmax
+def latest_order(sf_dir: str):
+    """Per-group argmax (the 'latest row per key' pattern): each
+    customer's most recent order, ties on o_orderdate broken by the
+    larger o_orderkey — deterministic on both engines.
+
+    Per batch: one lexsort + take-last-per-key collapses the batch to
+    ≤ n_batch_custs rows; the bucketed exchange then repeats the same
+    reduce per key bucket, so no task ever sees a customer's full order
+    history materialized beyond its own bucket. No packed-key tricks —
+    works at any orderkey magnitude."""
+    from ..util import bucketed_group_map
+
+    ords = _rp(sf_dir, "orders",
+               columns=["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def argmax_np(cust, key, date):
+        order = np.lexsort((key, date, cust))
+        cust_s = cust[order]
+        last = np.nonzero(np.append(cust_s[1:] != cust_s[:-1], True))[0]
+        sel = order[last]
+        return sel
+
+    def partial(t: pa.Table) -> pa.Table:
+        cust = np.asarray(t["o_custkey"])
+        key = np.asarray(t["o_orderkey"])
+        date = np.asarray(t["o_orderdate"], dtype="datetime64[us]").astype(
+            np.int64)
+        sel = argmax_np(cust, key, date)
+        return t.take(pa.array(sel))
+
+    parts = ords.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=8192)
+
+    def fin(df):
+        cust = df["o_custkey"].to_numpy()
+        key = df["o_orderkey"].to_numpy()
+        date = df["o_orderdate"].to_numpy().astype("datetime64[us]").astype(
+            np.int64)
+        sel = argmax_np(cust, key, date)
+        return df.iloc[sel]
+
+    return bucketed_group_map(parts, "o_custkey", fin, num_buckets=None)
+
+
+# ------------------------------------------------------------- O2 ntile
+def value_quartiles(sf_dir: str):
+    """NTILE(4) quartile assignment per event type ordered by (value,
+    event_id) — the bucketed-rank window family (event_rank covers
+    row_number; this covers equal-height binning). Integer output, raw
+    doubles only ORDERED (never operated on), so parity is exact.
+
+    Partitioning assumption (documented, same as group_quantiles): the
+    partition key is low-cardinality (n_types); each exchange bucket
+    sorts only its own types' rows. NTILE arithmetic mirrors DuckDB:
+    n//4 per bucket with the first n%4 buckets one larger."""
+    from ..util import bucketed_group_map
+
+    ev = _rp(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def fin(df):
+        typ = df["event_type"].to_numpy()
+        val = df["value"].to_numpy()
+        eid = df["event_id"].to_numpy()
+        order = np.lexsort((eid, val, typ))
+        typ_s = typ[order]
+        starts = np.nonzero(np.append(True, typ_s[1:] != typ_s[:-1]))[0]
+        ends = np.append(starts[1:], len(typ_s))
+        q = np.empty(len(typ_s), np.int64)
+        for s, e in zip(starts, ends):  # one iteration per TYPE (bounded)
+            n = e - s
+            size, extra = divmod(n, 4)
+            pos = np.arange(n)
+            cut = extra * (size + 1)
+            # first `extra` buckets hold size+1 rows, the rest `size`
+            # (max(size,1) only guards the eager np.where branch when
+            # n < 4 — then pos < cut for every row and it's never used)
+            q[s:e] = np.where(
+                pos < cut,
+                pos // (size + 1),
+                extra + (pos - cut) // max(size, 1),
+            ) + 1
+        out = df.iloc[order][["event_id", "event_type"]].copy()
+        out["quartile"] = q
+        return out
+
+    return bucketed_group_map(ev, "event_type", fin, num_buckets=None)

@@ -231,3 +231,57 @@ def test_rollup_agg_levels_are_consistent(ray_session):
     total = got[got.event_type == "ALL"]["n_events"].iloc[0]
     assert base["n_events"].sum() == total
     assert lvl1["n_events"].sum() == total
+
+
+def test_json_extract_agg_matches_sql(ray_session):
+    from ember_ray.pipelines.relational import json_extract_agg
+
+    got = json_extract_agg(SF_DIR).to_pandas().sort_values(
+        "event_type").reset_index(drop=True)
+    want = _duck_tpch(
+        "WITH e AS (SELECT event_type, CAST(regexp_extract(props, "
+        "'\"k\": (\\d+)', 1) AS BIGINT) AS k FROM events) "
+        "SELECT event_type, sum(k) AS sum_k, min(k) AS min_k, "
+        "max(k) AS max_k, count(*) AS n FROM e GROUP BY event_type "
+        "ORDER BY event_type")
+    for c in want.columns:
+        assert (got[c].values == want[c].values).all(), c
+
+
+def test_latest_order_one_row_per_customer(ray_session):
+    from ember_ray.pipelines.relational import latest_order
+
+    got = latest_order(SF_DIR).to_pandas().sort_values(
+        "o_custkey").reset_index(drop=True)
+    want = _duck_tpch(
+        "SELECT o_custkey, o_orderkey, o_orderdate FROM (SELECT *, "
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY "
+        "o_orderdate DESC, o_orderkey DESC) AS rn FROM orders) "
+        "WHERE rn = 1 ORDER BY o_custkey")
+    assert got["o_custkey"].is_unique
+    assert len(got) == len(want)
+    for c in ("o_custkey", "o_orderkey"):
+        assert (got[c].values == want[c].values).all(), c
+    assert (got["o_orderdate"].values == want["o_orderdate"].values).all()
+
+
+def test_value_quartiles_ntile_arithmetic_small_groups(ray_session):
+    """DuckDB-identical NTILE on groups smaller than the bucket count —
+    the eager-np.where edge the vectorized kernel must not trip on."""
+    import numpy as np
+    import pandas as pd
+
+    from ember_ray.pipelines.relational import value_quartiles
+
+    got = value_quartiles(SF_DIR).to_pandas().sort_values(
+        "event_id").reset_index(drop=True)
+    want = _duck_tpch(
+        "SELECT event_id, CAST(ntile(4) OVER (PARTITION BY event_type "
+        "ORDER BY value, event_id) AS BIGINT) AS quartile FROM events "
+        "ORDER BY event_id")
+    assert (got["event_id"].values == want["event_id"].values).all()
+    assert (got["quartile"].values == want["quartile"].values).all()
+    # quartiles are equal-height per type (sizes differ by at most 1)
+    sizes = got.groupby(["event_type", "quartile"]).size()
+    for t, grp in sizes.groupby(level=0):
+        assert grp.max() - grp.min() <= 1, t
