@@ -562,6 +562,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_extract_agg": relational.json_extract_agg,    # oracle-exact
         "latest_order": relational.latest_order,            # oracle-exact
         "value_quartiles": relational.value_quartiles,      # oracle-exact
+        "event_gaps": temporal.event_gaps,                  # oracle-exact
+        "above_median_orders": relational.above_median_orders,  # oracle-exact
         "er_scored_pairs": _q_er_scored,              # rows-only (tfidf/score)
         "mm_features": multimodal.mm_features,              # rows-only
         "distinct_count_hll": sketches.distinct_count_hll,  # rows-only sketch
@@ -1120,6 +1122,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, event_type, CAST(ntile(4) OVER ("
             "PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) "
             "AS quartile FROM events"
+        ),
+        "event_gaps": (
+            # LAG window; first-event NULL encoded as -1 on both sides
+            "SELECT event_id, user_id, coalesce(epoch_us(ts) - "
+            "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, "
+            "event_id), -1) AS gap_us FROM events"
+        ),
+        "above_median_orders": (
+            # even-group median is (a+b)/2 of the same two doubles in
+            # numpy and DuckDB — bitwise identical, raw-value compare
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM (SELECT *, "
+            "median(o_totalprice) OVER (PARTITION BY o_custkey) AS med "
+            "FROM orders) WHERE o_totalprice > med"
         ),
         "dedup_minhash_verify": (
             "WITH cand AS (SELECT * FROM "

@@ -872,3 +872,25 @@ def value_quartiles(sf_dir: str):
         return out
 
     return bucketed_group_map(ev, "event_type", fin, num_buckets=None)
+
+
+# ------------------------------------------------------- groupwise filter
+def above_median_orders(sf_dir: str):
+    """Correlated-subquery pattern: orders strictly above their own
+    customer's median order price. One user-keyed exchange; per bucket a
+    vectorized groupby-median then a filter against the raw values.
+
+    Float parity: the median of an even group is (a+b)/2 of the SAME two
+    doubles in both engines (numpy and DuckDB both interpolate midpoint),
+    one IEEE add + one divide → bitwise identical, and the comparison
+    operand is the untouched raw double — nothing accumulates."""
+    from ..util import bucketed_group_map
+
+    ords = _rp(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def fin(df):
+        med = df.groupby("o_custkey")["o_totalprice"].transform("median")
+        return df[df["o_totalprice"] > med]
+
+    return bucketed_group_map(ords, "o_custkey", fin, num_buckets=None)

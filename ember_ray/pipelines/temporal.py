@@ -430,3 +430,38 @@ def session_funnel(sf_dir: str):
     return bucketed_group_map(
         _read_events(sf_dir), key="user_id", fn=per_bucket, num_buckets=None
     )
+
+
+def event_gaps(sf_dir: str):
+    """Per-user LAG window: for every event, the gap (µs, exact int64) to
+    the user's previous event ordered by ``(ts, event_id)``; a user's
+    first event reports -1 (no NULL crosses the oracle compare).
+
+    Same single user-keyed exchange + packed-key sort as ``rolling_agg``;
+    the gap is one shifted subtraction masked at user boundaries."""
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out_cols = {"event_id": "int64", "user_id": "int64",
+                    "gap_us": "int64"}
+        if not len(df):
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in out_cols.items()})
+        u = df["user_id"].to_numpy(np.int64)
+        ts = _ts_us(df["ts"])
+        eid = df["event_id"].to_numpy(np.int64)
+        uniq, shift, base = _key_layout(u, u[:0], ts)
+        pk = _pack(u, ts - base, uniq, shift)
+        sec = np.argsort(eid, kind="stable")
+        order = sec[np.argsort(pk[sec], kind="stable")]
+        u, ts, eid = u[order], ts[order], eid[order]
+        gap = np.empty(len(u), np.int64)
+        gap[0] = -1
+        np.subtract(ts[1:], ts[:-1], out=gap[1:])
+        gap[1:][u[1:] != u[:-1]] = -1
+        return pd.DataFrame({"event_id": eid, "user_id": u, "gap_us": gap})
+
+    import ray.data as rd
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "ts"])
+    return bucketed_group_map(ev, key="user_id", fn=per_bucket,
+                              num_buckets=None)

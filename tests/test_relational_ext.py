@@ -285,3 +285,17 @@ def test_value_quartiles_ntile_arithmetic_small_groups(ray_session):
     sizes = got.groupby(["event_type", "quartile"]).size()
     for t, grp in sizes.groupby(level=0):
         assert grp.max() - grp.min() <= 1, t
+
+
+def test_above_median_orders_matches_sql(ray_session):
+    from ember_ray.pipelines.relational import above_median_orders
+
+    got = (above_median_orders(SF_DIR).to_pandas()
+           .sort_values("o_orderkey").reset_index(drop=True))
+    want = _duck_tpch(
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM (SELECT *, "
+        "median(o_totalprice) OVER (PARTITION BY o_custkey) AS med "
+        "FROM orders) WHERE o_totalprice > med ORDER BY o_orderkey")
+    assert len(got) == len(want) > 0
+    for c in want.columns:
+        assert (got[c].values == want[c].values).all(), c

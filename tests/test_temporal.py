@@ -185,3 +185,26 @@ def test_session_funnel_planted_sequences(ray_session, tmp_path):
     assert out.loc[(2, 1)] == 1
     assert out.loc[(2, 2)] == 2
     assert out.loc[(3, 1)] == 0
+
+
+def test_event_gaps_lag_parity(ray_session):
+    """gap_us must equal the DuckDB LAG window; first event per user -1."""
+    import duckdb
+
+    from ember_ray.pipelines.temporal import event_gaps
+
+    sf = "/root/testdata/sf0.001"
+    got = (event_gaps(sf).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute("SET threads=2")
+    want = con.execute(
+        "SELECT event_id, coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id), -1) AS gap_us "
+        f"FROM read_parquet('{sf}/events.parquet') ORDER BY event_id").df()
+    con.close()
+    assert (got["event_id"].values == want["event_id"].values).all()
+    assert (got["gap_us"].values == want["gap_us"].astype("int64").values).all()
+    # every user's earliest event must be the -1 row
+    first = got.loc[got.groupby("user_id")["event_id"].idxmin()]
+    assert len(got[got.gap_us == -1]) >= got["user_id"].nunique()
