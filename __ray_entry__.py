@@ -564,6 +564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quartiles": relational.value_quartiles,      # oracle-exact
         "event_gaps": temporal.event_gaps,                  # oracle-exact
         "above_median_orders": relational.above_median_orders,  # oracle-exact
+        "corr_by_type": relational.corr_by_type,            # oracle-exact
         "er_scored_pairs": _q_er_scored,              # rows-only (tfidf/score)
         "mm_features": multimodal.mm_features,              # rows-only
         "distinct_count_hll": sketches.distinct_count_hll,  # rows-only sketch
@@ -1135,6 +1136,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, o_custkey, o_totalprice FROM (SELECT *, "
             "median(o_totalprice) OVER (PARTITION BY o_custkey) AS med "
             "FROM orders) WHERE o_totalprice > med"
+        ),
+        "corr_by_type": (
+            # NOT built-in corr(): the formula below runs left-to-right
+            # on double-cast EXACT integer moment sums, matching the Ray
+            # kernel bit-for-bit, then the shared round-at-1e6
+            "WITH e AS (SELECT event_type, CAST(round(value * 100) AS "
+            "BIGINT) AS x, CAST(regexp_extract(props, '\"k\": (\\d+)', 1) "
+            "AS BIGINT) AS y FROM events), "
+            "s AS (SELECT event_type, count(*) AS n, sum(x) AS sx, "
+            "sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx, "
+            "sum(y*y) AS syy FROM e GROUP BY event_type) "
+            "SELECT event_type, n, round((CAST(n AS DOUBLE) * sxy - "
+            "CAST(sx AS DOUBLE) * sy) / sqrt((CAST(n AS DOUBLE) * sxx - "
+            "CAST(sx AS DOUBLE) * sx) * (CAST(n AS DOUBLE) * syy - "
+            "CAST(sy AS DOUBLE) * sy)) * 1000000) / 1000000 AS corr_vk "
+            "FROM s"
         ),
         "dedup_minhash_verify": (
             "WITH cand AS (SELECT * FROM "

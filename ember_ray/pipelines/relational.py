@@ -894,3 +894,53 @@ def above_median_orders(sf_dir: str):
         return df[df["o_totalprice"] > med]
 
     return bucketed_group_map(ords, "o_custkey", fin, num_buckets=None)
+
+
+# ------------------------------------------------------- stats aggregate
+def corr_by_type(sf_dir: str):
+    """Per-group Pearson correlation (the covariance/correlation aggregate
+    family): corr(value, props.k) per event type.
+
+    Exactness recipe: ``value`` is 2-decimal by construction, so
+    ``rint(value*100)`` and the JSON ``k`` are exact int64 — all six
+    moment sums (n, sx, sy, sxy, sxx, syy) accumulate as INTEGERS per
+    batch and merge exactly. The final correlation is computed once per
+    group from the same double-cast expression left-to-right as the
+    oracle SQL (NOT DuckDB's built-in corr(), whose streaming update
+    order differs), then the shared round-at-1e6. All products stay
+    < 2^53 at oracle scales (documented bound; a 1000x corpus would move
+    the final combine to float128/hugeint)."""
+    ev = _rp(sf_dir, "events", columns=["event_type", "value", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = pc.extract_regex(t["props"], pattern=r'"k": (?P<k>\d+)')
+        y = pc.cast(pc.struct_field(k, "k"), pa.int64())
+        x = pa.array(np.rint(np.asarray(t["value"]) * 100.0).astype(
+            np.int64))
+        xy = pc.multiply(x, y)
+        xx = pc.multiply(x, x)
+        yy = pc.multiply(y, y)
+        g = pa.table({"event_type": t["event_type"], "x": x, "y": y,
+                      "xy": xy, "xx": xx, "yy": yy}).group_by(
+            "event_type").aggregate(
+                [("x", "sum"), ("y", "sum"), ("xy", "sum"),
+                 ("xx", "sum"), ("yy", "sum"), ([], "count_all")])
+        return g.rename_columns(["event_type", "sx", "sy", "sxy", "sxx",
+                                 "syy", "n"])
+
+    parts = ev.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=8192)
+    df = parts.to_pandas().groupby("event_type", sort=True,
+                                   as_index=False).sum()
+    n = df["n"].astype("float64").to_numpy()
+    sx = df["sx"].astype("float64").to_numpy()
+    sy = df["sy"].astype("float64").to_numpy()
+    cov = n * df["sxy"].astype("float64").to_numpy() - sx * sy
+    vx = n * df["sxx"].astype("float64").to_numpy() - sx * sx
+    vy = n * df["syy"].astype("float64").to_numpy() - sy * sy
+    corr = cov / np.sqrt(vx * vy)
+    return pa.table({
+        "event_type": pa.array(df["event_type"], pa.string()),
+        "n": pa.array(df["n"].astype("int64")),
+        "corr_vk": pa.array(np.rint(corr * 1e6) / 1e6, pa.float64()),
+    })

@@ -299,3 +299,22 @@ def test_above_median_orders_matches_sql(ray_session):
     assert len(got) == len(want) > 0
     for c in want.columns:
         assert (got[c].values == want[c].values).all(), c
+
+
+def test_corr_by_type_matches_exact_recompute(ray_session):
+    """corr from exact integer moment sums must equal a direct driver
+    recompute (np.corrcoef) to ~1e-12 and the sign/structure must hold."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ember_ray.pipelines.relational import corr_by_type
+
+    got = corr_by_type(SF_DIR).to_pandas().set_index("event_type")
+    ev = pq.read_table(f"{SF_DIR}/events.parquet",
+                       columns=["event_type", "value", "props"]).to_pandas()
+    ev["x"] = np.rint(ev["value"].to_numpy() * 100).astype("int64")
+    ev["y"] = ev["props"].str.extract(r'"k": (\d+)').astype("int64")
+    for t, grp in ev.groupby("event_type"):
+        want = np.corrcoef(grp["x"], grp["y"])[0, 1]
+        assert abs(got.loc[t, "corr_vk"] - want) < 1e-6, t
+        assert got.loc[t, "n"] == len(grp)
