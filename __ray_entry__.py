@@ -565,6 +565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps": temporal.event_gaps,                  # oracle-exact
         "above_median_orders": relational.above_median_orders,  # oracle-exact
         "corr_by_type": relational.corr_by_type,            # oracle-exact
+        "global_rank": relational.global_rank,              # oracle-exact
         "er_scored_pairs": _q_er_scored,              # rows-only (tfidf/score)
         "mm_features": multimodal.mm_features,              # rows-only
         "distinct_count_hll": sketches.distinct_count_hll,  # rows-only sketch
@@ -1152,6 +1153,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sx AS DOUBLE) * sx) * (CAST(n AS DOUBLE) * syy - "
             "CAST(sy AS DOUBLE) * sy)) * 1000000) / 1000000 AS corr_vk "
             "FROM s"
+        ),
+        "global_rank": (
+            "SELECT doc_id, n_chars, row_number() OVER (ORDER BY "
+            "n_chars DESC, doc_id) AS rn FROM documents"
         ),
         "dedup_minhash_verify": (
             "WITH cand AS (SELECT * FROM "

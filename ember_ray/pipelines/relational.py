@@ -944,3 +944,40 @@ def corr_by_type(sf_dir: str):
         "n": pa.array(df["n"].astype("int64")),
         "corr_vk": pa.array(np.rint(corr * 1e6) / 1e6, pa.float64()),
     })
+
+
+# ---------------------------------------------------------- global order
+def global_rank(sf_dir: str):
+    """Global ordered rank — the full distributed ORDER BY surface (the
+    hash-ordered ``shuffle_order`` doesn't exercise a semantic sort):
+    every document ranked by (n_chars DESC, doc_id ASC).
+
+    Two-phase, same contract as shard_pack's prefix sum: ONE distributed
+    sort moves each row once; per-block row counts (one int64 per block)
+    gather to the driver for the exclusive prefix; ranks then assign
+    block-locally. Rank assignment relies on ``to_arrow_refs`` returning
+    blocks in sorted order — the invariant shard_pack's oracle-exact +
+    parallelism-invariance tests already pin."""
+    import ray
+    import ray.data as rd
+
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    mat = docs.sort(["n_chars", "doc_id"],
+                    descending=[True, False]).materialize()
+    refs = list(mat.to_arrow_refs())
+    if not refs:
+        return mat
+
+    @ray.remote
+    def _nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    @ray.remote
+    def _assign(t: pa.Table, offset: int) -> pa.Table:
+        return t.append_column(
+            "rn", pa.array(offset + np.arange(1, t.num_rows + 1), pa.int64()))
+
+    counts = ray.get([_nrows.remote(r) for r in refs])
+    offsets = np.concatenate(([0], np.cumsum(counts[:-1]))).astype(np.int64)
+    return rd.from_arrow_refs(
+        [_assign.remote(r, int(o)) for r, o in zip(refs, offsets)])

@@ -318,3 +318,24 @@ def test_corr_by_type_matches_exact_recompute(ray_session):
         want = np.corrcoef(grp["x"], grp["y"])[0, 1]
         assert abs(got.loc[t, "corr_vk"] - want) < 1e-6, t
         assert got.loc[t, "n"] == len(grp)
+
+
+def test_global_rank_parallelism_invariant(ray_session):
+    """rn must equal the DuckDB row_number regardless of block layout —
+    pins the sorted-block-order invariant the two-phase rank relies on."""
+    import duckdb
+
+    from ember_ray.pipelines.relational import global_rank
+
+    got = (global_rank(SF_DIR).to_pandas()
+           .sort_values("rn").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute("SET threads=2")
+    want = con.execute(
+        "SELECT doc_id, n_chars, row_number() OVER (ORDER BY n_chars DESC, "
+        f"doc_id) AS rn FROM read_parquet('{SF_DIR}/documents.parquet') "
+        "ORDER BY rn").df()
+    con.close()
+    assert (got["rn"].values == want["rn"].astype("int64").values).all()
+    assert (got["doc_id"].values == want["doc_id"].values).all()
+    assert got["rn"].iloc[0] == 1 and got["rn"].is_unique
