@@ -566,6 +566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "above_median_orders": relational.above_median_orders,  # oracle-exact
         "corr_by_type": relational.corr_by_type,            # oracle-exact
         "global_rank": relational.global_rank,              # oracle-exact
+        "unpivot_counts": relational.unpivot_counts,        # oracle-exact
         "er_scored_pairs": _q_er_scored,              # rows-only (tfidf/score)
         "mm_features": multimodal.mm_features,              # rows-only
         "distinct_count_hll": sketches.distinct_count_hll,  # rows-only sketch
@@ -1157,6 +1158,11 @@ def oracle_sql() -> dict[str, str]:
         "global_rank": (
             "SELECT doc_id, n_chars, row_number() OVER (ORDER BY "
             "n_chars DESC, doc_id) AS rn FROM documents"
+        ),
+        "unpivot_counts": (
+            # sparse long form of the pivot: zero cells dropped
+            "SELECT user_id, event_type, count(*) AS n FROM events "
+            "GROUP BY user_id, event_type"
         ),
         "dedup_minhash_verify": (
             "WITH cand AS (SELECT * FROM "

@@ -981,3 +981,34 @@ def global_rank(sf_dir: str):
     offsets = np.concatenate(([0], np.cumsum(counts[:-1]))).astype(np.int64)
     return rd.from_arrow_refs(
         [_assign.remote(r, int(o)) for r, o in zip(refs, offsets)])
+
+
+# ----------------------------------------------------------- reshape long
+def unpivot_counts(sf_dir: str):
+    """UNPIVOT / melt — the inverse reshaping of ``pivot_counts``: the
+    wide per-user count table back to long (user_id, event_type, n),
+    zero-count cells dropped (the sparse long form).
+
+    The melt itself is a stateless per-batch transform over the pivoted
+    dataset: one column concat + a repeat of the key column — no
+    shuffle beyond the one already inside pivot_counts. Emitting from
+    the WIDE table (rather than re-aggregating the raw events) is the
+    point: it exercises wide→long as its own operator."""
+    wide = pivot_counts(sf_dir)
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        users = np.asarray(t["user_id"], np.int64)
+        ids = np.repeat(users, len(EVENT_TYPES))
+        types = pa.array(
+            np.tile(np.array(EVENT_TYPES, dtype=object), n), pa.string())
+        vals = np.empty(n * len(EVENT_TYPES), np.int64)
+        for j, name in enumerate(EVENT_TYPES):
+            vals[j::len(EVENT_TYPES)] = np.asarray(t[name], np.int64)
+        out = pa.table({"user_id": pa.array(ids, pa.int64()),
+                        "event_type": types,
+                        "n": pa.array(vals, pa.int64())})
+        return out.filter(pc.greater(out["n"], 0))
+
+    return wide.map_batches(melt, batch_format="pyarrow",
+                            zero_copy_batch=True)

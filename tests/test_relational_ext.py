@@ -339,3 +339,19 @@ def test_global_rank_parallelism_invariant(ray_session):
     assert (got["rn"].values == want["rn"].astype("int64").values).all()
     assert (got["doc_id"].values == want["doc_id"].values).all()
     assert got["rn"].iloc[0] == 1 and got["rn"].is_unique
+
+
+def test_unpivot_roundtrips_pivot(ray_session):
+    """melt(pivot(events)) must equal the direct long-form aggregate,
+    with zero cells absent."""
+    from ember_ray.pipelines.relational import unpivot_counts
+
+    got = (unpivot_counts(SF_DIR).to_pandas()
+           .sort_values(["user_id", "event_type"]).reset_index(drop=True))
+    want = _duck_tpch(
+        "SELECT user_id, event_type, count(*) AS n FROM events "
+        "GROUP BY user_id, event_type ORDER BY user_id, event_type")
+    assert len(got) == len(want)
+    for c in want.columns:
+        assert (got[c].values == want[c].values).all(), c
+    assert (got["n"] > 0).all()
