@@ -567,6 +567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_by_type": relational.corr_by_type,            # oracle-exact
         "global_rank": relational.global_rank,              # oracle-exact
         "unpivot_counts": relational.unpivot_counts,        # oracle-exact
+        "global_deciles": relational.global_deciles,        # oracle-exact
         "er_scored_pairs": _q_er_scored,              # rows-only (tfidf/score)
         "mm_features": multimodal.mm_features,              # rows-only
         "distinct_count_hll": sketches.distinct_count_hll,  # rows-only sketch
@@ -1163,6 +1164,10 @@ def oracle_sql() -> dict[str, str]:
             # sparse long form of the pivot: zero cells dropped
             "SELECT user_id, event_type, count(*) AS n FROM events "
             "GROUP BY user_id, event_type"
+        ),
+        "global_deciles": (
+            "SELECT doc_id, n_chars, CAST(ntile(10) OVER (ORDER BY "
+            "n_chars DESC, doc_id) AS BIGINT) AS decile FROM documents"
         ),
         "dedup_minhash_verify": (
             "WITH cand AS (SELECT * FROM "

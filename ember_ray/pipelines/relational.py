@@ -1012,3 +1012,43 @@ def unpivot_counts(sf_dir: str):
 
     return wide.map_batches(melt, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+def global_deciles(sf_dir: str):
+    """Global NTILE(10) — equal-height decile assignment over the WHOLE
+    corpus ordered by (n_chars DESC, doc_id): the global companion of the
+    per-group ``value_quartiles``. Same two-phase machinery as
+    ``global_rank`` (one distributed sort + per-block counts to the
+    driver); each block then assigns buckets locally from its global
+    offset using DuckDB-identical ntile arithmetic (first n%10 buckets
+    one larger)."""
+    import ray
+    import ray.data as rd
+
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    mat = docs.sort(["n_chars", "doc_id"],
+                    descending=[True, False]).materialize()
+    refs = list(mat.to_arrow_refs())
+    if not refs:
+        return mat
+
+    @ray.remote
+    def _nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    counts = ray.get([_nrows.remote(r) for r in refs])
+    total = int(np.sum(counts))
+    offsets = np.concatenate(([0], np.cumsum(counts[:-1]))).astype(np.int64)
+    size, extra = divmod(total, 10)
+    cut = extra * (size + 1)
+
+    @ray.remote
+    def _assign(t: pa.Table, offset: int) -> pa.Table:
+        pos = offset + np.arange(t.num_rows, dtype=np.int64)
+        dec = np.where(pos < cut,
+                       pos // (size + 1),
+                       extra + (pos - cut) // max(size, 1)) + 1
+        return t.append_column("decile", pa.array(dec, pa.int64()))
+
+    return rd.from_arrow_refs(
+        [_assign.remote(r, int(o)) for r, o in zip(refs, offsets)])

@@ -355,3 +355,22 @@ def test_unpivot_roundtrips_pivot(ray_session):
     for c in want.columns:
         assert (got[c].values == want[c].values).all(), c
     assert (got["n"] > 0).all()
+
+
+def test_global_deciles_equal_height(ray_session):
+    import duckdb
+
+    from ember_ray.pipelines.relational import global_deciles
+
+    got = global_deciles(SF_DIR).to_pandas()
+    con = duckdb.connect()
+    con.execute("SET threads=2")
+    want = con.execute(
+        "SELECT doc_id, CAST(ntile(10) OVER (ORDER BY n_chars DESC, doc_id)"
+        f" AS BIGINT) AS decile FROM read_parquet('{SF_DIR}/documents.parquet')"
+        " ORDER BY doc_id").df()
+    con.close()
+    g = got.sort_values("doc_id").reset_index(drop=True)
+    assert (g["decile"].values == want["decile"].values).all()
+    sizes = got.groupby("decile").size()
+    assert sizes.max() - sizes.min() <= 1
