@@ -568,6 +568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_rank": relational.global_rank,              # oracle-exact
         "unpivot_counts": relational.unpivot_counts,        # oracle-exact
         "global_deciles": relational.global_deciles,        # oracle-exact
+        "bm25_multi": search.bm25_multi,                    # oracle-exact
         "er_scored_pairs": _q_er_scored,              # rows-only (tfidf/score)
         "mm_features": multimodal.mm_features,              # rows-only
         "distinct_count_hll": sketches.distinct_count_hll,  # rows-only sketch
@@ -582,6 +583,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bench_pairs_train": _q_bench_pairs_train,
         "bench_pairs_imbalanced": _q_bench_pairs_imbalanced,
     }
+
+
+def _bm25_multi_sql(norm: str, k: int = 5) -> str:
+    """Generated per-query BM25 CTEs over the SAME unique-term tf/idf
+    columns the Ray kernel computes, each query summing ITS terms
+    left-to-right (float parity with bm25_topk's hand-written form),
+    per-query rounded-score top-k, UNION ALL."""
+    from ember_ray.pipelines.search import MULTI_QUERIES
+
+    per_query = [[t for t in q.split() if t] for q in MULTI_QUERIES]
+    uniq = []
+    for terms in per_query:
+        for t in terms:
+            if t not in uniq:
+                uniq.append(t)
+    tf_cols = ", ".join(
+        f"len(list_filter(tk, x -> x = '{t}'))::DOUBLE AS tf{j}"
+        for j, t in enumerate(uniq))
+    idf_cols = ", ".join(
+        f"ln((count(*)::DOUBLE - sum((tf{j} > 0)::INT)::DOUBLE + 0.5) / "
+        f"(sum((tf{j} > 0)::INT)::DOUBLE + 0.5) + 1.0) AS idf{j}"
+        for j in range(len(uniq)))
+    tix = {t: j for j, t in enumerate(uniq)}
+    parts = []
+    for qi, terms in enumerate(per_query):
+        expr = " + ".join(
+            f"idf{tix[t]} * (tf{tix[t]} * 2.2) / (tf{tix[t]} + 1.2 * "
+            "(1.0 - 0.75 + 0.75 * dl / avgdl))" for t in terms)
+        parts.append(
+            f"t{qi} AS (SELECT {qi}::BIGINT AS query_id, doc_id, "
+            f"round(raw * 1000000) / 1000000 AS score FROM "
+            f"(SELECT doc_id, {expr} AS raw FROM e, s WHERE raw > 0.0) "
+            f"ORDER BY score DESC, doc_id LIMIT {k})")
+    union = " UNION ALL ".join(f"SELECT * FROM t{qi}"
+                               for qi in range(len(per_query)))
+    return (
+        "WITH d AS (SELECT doc_id, list_filter(string_split(" + norm +
+        ", ' '), x -> x <> '') AS tk FROM documents), "
+        f"e AS (SELECT doc_id, len(tk)::DOUBLE AS dl, {tf_cols} FROM d), "
+        "s AS (SELECT sum(dl) / count(*)::DOUBLE AS avgdl, "
+        f"{idf_cols} FROM e), "
+        + ", ".join(parts) +
+        f" {union} ORDER BY query_id, score DESC, doc_id"
+    )
 
 
 def _stratified_sample_sql(norm: str) -> str:
@@ -1169,6 +1214,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_chars, CAST(ntile(10) OVER (ORDER BY "
             "n_chars DESC, doc_id) AS BIGINT) AS decile FROM documents"
         ),
+        "bm25_multi": _bm25_multi_sql(norm),
         "dedup_minhash_verify": (
             "WITH cand AS (SELECT * FROM "
             f"read_parquet('{_SIDE_DIR}/minhash_candidates/*.parquet')), "

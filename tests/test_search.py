@@ -73,3 +73,23 @@ def test_tf_matrix_handles_empty_trailing_doc(ray_session):
         assert got["doc_id"].tolist() == want
         # doc 1 contains every query term twice-or-once; doc 3 is empty
         assert got["doc_id"].iloc[0] == 1 and 3 not in got["doc_id"].values
+
+
+def test_bm25_multi_first_query_matches_single(ray_session):
+    """query_id 0 of the batched pass must reproduce bm25_topk exactly
+    (same terms, same corpus stats, same rounded-score ordering)."""
+    from ember_ray.pipelines.search import bm25_multi, bm25_topk
+
+    sf = "/root/testdata/sf0.001"
+    multi = bm25_multi(sf, k=5).to_pandas()
+    single = (bm25_topk(sf, k=5).to_pandas()
+              .sort_values(["score", "doc_id"], ascending=[False, True])
+              .reset_index(drop=True))
+    q0 = (multi[multi.query_id == 0][["doc_id", "score"]]
+          .reset_index(drop=True))
+    assert len(q0) == len(single) > 0
+    assert (q0["doc_id"].values == single["doc_id"].values).all()
+    assert (q0["score"].values == single["score"].values).all()
+    # every query returns k rows (corpus large enough) with its own ranking
+    assert set(multi["query_id"]) == {0, 1, 2}
+    assert (multi.groupby("query_id").size() <= 5).all()
