@@ -569,6 +569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unpivot_counts": relational.unpivot_counts,        # oracle-exact
         "global_deciles": relational.global_deciles,        # oracle-exact
         "bm25_multi": search.bm25_multi,                    # oracle-exact
+        "validate_constraints": relational.validate_constraints,  # oracle-exact
         "er_scored_pairs": _q_er_scored,              # rows-only (tfidf/score)
         "mm_features": multimodal.mm_features,              # rows-only
         "distinct_count_hll": sketches.distinct_count_hll,  # rows-only sketch
@@ -1215,6 +1216,19 @@ def oracle_sql() -> dict[str, str]:
             "n_chars DESC, doc_id) AS BIGINT) AS decile FROM documents"
         ),
         "bm25_multi": _bm25_multi_sql(norm),
+        "validate_constraints": (
+            "SELECT * FROM (SELECT 'fk_orders_customer' AS check_name, "
+            "(SELECT count(*) FROM orders WHERE o_custkey NOT IN "
+            "(SELECT c_custkey FROM customer)) AS n_violations "
+            "UNION ALL SELECT 'notnull_documents_text', "
+            "(SELECT count(*) FROM documents WHERE text IS NULL) "
+            "UNION ALL SELECT 'range_lineitem_quantity', "
+            "(SELECT count(*) FROM lineitem WHERE l_quantity < 1 "
+            "OR l_quantity > 50) "
+            "UNION ALL SELECT 'unique_events_event_id', "
+            "(SELECT count(*) - count(DISTINCT event_id) FROM events)) "
+            "ORDER BY check_name"
+        ),
         "dedup_minhash_verify": (
             "WITH cand AS (SELECT * FROM "
             f"read_parquet('{_SIDE_DIR}/minhash_candidates/*.parquet')), "

@@ -1052,3 +1052,86 @@ def global_deciles(sf_dir: str):
 
     return rd.from_arrow_refs(
         [_assign.remote(r, int(o)) for r, o in zip(refs, offsets)])
+
+
+# ------------------------------------------------------- data validation
+def validate_constraints(sf_dir: str):
+    """Constraint-validation report (the dbt-test / Deequ data-quality
+    family): one row per check with its exact violation count —
+    referential integrity (orders.o_custkey -> customer), value range
+    (lineitem.l_quantity in [1, 50]), key uniqueness (events.event_id),
+    and non-null (documents.text). Passing checks report 0 — the report
+    shape is the operator, not the failures.
+
+    Scale shapes per check: FK = build-side key set broadcast once (the
+    semi/anti hybrid applies above the threshold); range/non-null =
+    stateless per-batch counts summed; uniqueness = per-batch unique
+    partial -> one key exchange -> per-bucket distinct count (no task
+    holds the global key set)."""
+    import ray
+
+    from ..util import bucketed_group_map
+
+    counts = {}
+
+    # referential integrity: o_custkey not in customer
+    cust = _rp(sf_dir, "customer", columns=["c_custkey"])
+    keys = np.fromiter(set(cust.unique("c_custkey")), np.int64)
+    ref = ray.put(keys)
+
+    def fk_viol(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t["o_custkey"], value_set=pa.array(ray.get(ref)))
+        bad = t.num_rows - int(pc.sum(pc.cast(mask, pa.int64())).as_py() or 0)
+        return pa.table({"n": pa.array([bad], pa.int64())})
+
+    counts["fk_orders_customer"] = int(
+        _rp(sf_dir, "orders", columns=["o_custkey"])
+        .map_batches(fk_viol, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()["n"].sum())
+
+    # range check
+    def range_viol(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"]
+        bad = pc.or_(pc.less(q, 1.0), pc.greater(q, 50.0))
+        return pa.table({"n": pa.array(
+            [int(pc.sum(pc.cast(bad, pa.int64())).as_py() or 0)],
+            pa.int64())})
+
+    counts["range_lineitem_quantity"] = int(
+        _rp(sf_dir, "lineitem", columns=["l_quantity"])
+        .map_batches(range_viol, batch_format="pyarrow",
+                     zero_copy_batch=True).to_pandas()["n"].sum())
+
+    # uniqueness: duplicates = total - distinct
+    ev = _rp(sf_dir, "events", columns=["event_id"])
+    total = ev.count()
+
+    def uniq_partial(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": pa.array(
+            np.unique(np.asarray(t["event_id"])), pa.int64())})
+
+    parts = ev.map_batches(uniq_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def bucket_distinct(df):
+        return pd.DataFrame({"n": [df["event_id"].nunique()]})
+
+    distinct = int(bucketed_group_map(parts, "event_id", bucket_distinct,
+                                      num_buckets=None)
+                   .to_pandas()["n"].sum())
+    counts["unique_events_event_id"] = total - distinct
+
+    # non-null check
+    def null_viol(t: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array([t["text"].null_count], pa.int64())})
+
+    counts["notnull_documents_text"] = int(
+        _rp(sf_dir, "documents", columns=["text"])
+        .map_batches(null_viol, batch_format="pyarrow")
+        .to_pandas()["n"].sum())
+
+    names = sorted(counts)
+    return pa.table({
+        "check_name": pa.array(names, pa.string()),
+        "n_violations": pa.array([counts[c] for c in names], pa.int64()),
+    })

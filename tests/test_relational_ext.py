@@ -374,3 +374,54 @@ def test_global_deciles_equal_height(ray_session):
     assert (g["decile"].values == want["decile"].values).all()
     sizes = got.groupby("decile").size()
     assert sizes.max() - sizes.min() <= 1
+
+
+def test_validate_constraints_detects_planted_violations(ray_session):
+    """On the clean corpus every check is 0; on a corpus with PLANTED
+    violations (dup event_ids, dangling FK, out-of-range quantity, null
+    text) each check must report the exact planted count."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ember_ray.pipelines.relational import validate_constraints
+
+    rep = validate_constraints(SF_DIR).to_pandas().set_index("check_name")
+    assert set(rep.index) == {"fk_orders_customer",
+                              "range_lineitem_quantity",
+                              "unique_events_event_id",
+                              "notnull_documents_text"}
+    assert (rep["n_violations"] == 0).all()
+
+    bad_dir = "/tmp/ember_ray_test_validate"
+    shutil.rmtree(bad_dir, ignore_errors=True)
+    os.makedirs(bad_dir)
+    for t in ("customer", "orders", "lineitem", "events", "documents"):
+        tbl = pq.read_table(f"{SF_DIR}/{t}.parquet")
+        if t == "events":  # 3 duplicate event_ids
+            tbl = pa.concat_tables([tbl, tbl.slice(0, 3)])
+        elif t == "orders":  # 2 dangling custkeys
+            bad = tbl.slice(0, 2).set_column(
+                tbl.schema.get_field_index("o_custkey"), "o_custkey",
+                pa.array([10**9, 10**9 + 1], pa.int64()))
+            tbl = pa.concat_tables([tbl, bad])
+        elif t == "lineitem":  # 1 out-of-range quantity
+            bad = tbl.slice(0, 1).set_column(
+                tbl.schema.get_field_index("l_quantity"), "l_quantity",
+                pa.array([99.0], pa.float64()))
+            tbl = pa.concat_tables([tbl, bad])
+        elif t == "documents":  # 4 null texts
+            bad = tbl.slice(0, 4).set_column(
+                tbl.schema.get_field_index("text"), "text",
+                pa.array([None] * 4, tbl.schema.field("text").type))
+            tbl = pa.concat_tables([tbl, bad])
+        pq.write_table(tbl, f"{bad_dir}/{t}.parquet")
+    bad_rep = (validate_constraints(bad_dir).to_pandas()
+               .set_index("check_name")["n_violations"])
+    assert bad_rep["unique_events_event_id"] == 3
+    assert bad_rep["fk_orders_customer"] == 2
+    assert bad_rep["range_lineitem_quantity"] == 1
+    assert bad_rep["notnull_documents_text"] == 4
+    shutil.rmtree(bad_dir, ignore_errors=True)
