@@ -570,6 +570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_deciles": relational.global_deciles,        # oracle-exact
         "bm25_multi": search.bm25_multi,                    # oracle-exact
         "validate_constraints": relational.validate_constraints,  # oracle-exact
+        "table_diff": relational.table_diff,                # oracle-exact
         "er_scored_pairs": _q_er_scored,              # rows-only (tfidf/score)
         "mm_features": multimodal.mm_features,              # rows-only
         "distinct_count_hll": sketches.distinct_count_hll,  # rows-only sketch
@@ -1228,6 +1229,21 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'unique_events_event_id', "
             "(SELECT count(*) - count(DISTINCT event_id) FROM events)) "
             "ORDER BY check_name"
+        ),
+        "table_diff": (
+            # v2 simulation rules shared verbatim with the Ray kernel
+            "WITH v1 AS (SELECT doc_id, md5(text) AS fp FROM documents), "
+            "v2 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN "
+            "md5(text || ' v2') ELSE md5(text) END AS fp FROM documents "
+            "WHERE doc_id % 13 <> 0 "
+            "UNION ALL SELECT doc_id + 10000000, md5(text) FROM documents "
+            "WHERE doc_id % 11 = 0 AND doc_id % 13 <> 0), "
+            "j AS (SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id, "
+            "v1.fp AS f1, v2.fp AS f2 FROM v1 FULL OUTER JOIN v2 "
+            "ON v1.doc_id = v2.doc_id) "
+            "SELECT doc_id, CASE WHEN f1 IS NULL THEN 'added' "
+            "WHEN f2 IS NULL THEN 'removed' ELSE 'changed' END AS change "
+            "FROM j WHERE f1 IS NULL OR f2 IS NULL OR f1 <> f2"
         ),
         "dedup_minhash_verify": (
             "WITH cand AS (SELECT * FROM "

@@ -1135,3 +1135,75 @@ def validate_constraints(sf_dir: str):
         "check_name": pa.array(names, pa.string()),
         "n_violations": pa.array([counts[c] for c in names], pa.int64()),
     })
+
+
+# ------------------------------------------------------------ CDC diff
+def table_diff(sf_dir: str):
+    """Snapshot diff (the CDC / change-data-capture family): classify
+    every doc as added / removed / changed between the corpus (v1) and a
+    deterministic simulated next version (v2: doc_id%13==0 rows dropped,
+    %7==0 texts edited, %11==0 rows cloned under doc_id+10^7) —
+    unchanged rows are excluded, the normal diff output.
+
+    Scale shape: both versions reduce to (doc_id, md5) map-side, so the
+    single doc_id exchange carries 36-byte fingerprints, never text; the
+    per-bucket classify is one outer merge + vectorized np.where. The
+    v2 rules are shared verbatim with the oracle SQL."""
+    import hashlib
+
+    from ..util import bucketed_group_map
+
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _md5(arr) -> pa.Array:
+        return pa.array(
+            [hashlib.md5((s or "").encode()).hexdigest()
+             for s in arr.to_pylist()], pa.string())
+
+    def v1_fp(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "fp": _md5(t["text"]),
+                         "side": pa.array([0] * t.num_rows, pa.int8())})
+
+    def v2_fp(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], np.int64)
+        keep = ids % 13 != 0
+        kept_ids = ids[keep]
+        text = t["text"].take(pa.array(np.nonzero(keep)[0]))
+        edited = pc.if_else(
+            pa.array(kept_ids % 7 == 0),
+            pc.binary_join_element_wise(text, " v2", ""),
+            text)
+        out_ids = [kept_ids]
+        out_fp = [_md5(edited)]
+        clone = kept_ids % 11 == 0
+        if clone.any():
+            sel = pa.array(np.nonzero(clone)[0])
+            out_ids.append(kept_ids[clone] + 10_000_000)
+            out_fp.append(_md5(text.take(sel)))
+        ids_all = np.concatenate(out_ids)
+        fp_all = pa.concat_arrays(out_fp)
+        return pa.table({"doc_id": pa.array(ids_all, pa.int64()),
+                         "fp": fp_all,
+                         "side": pa.array([1] * len(ids_all), pa.int8())})
+
+    v1 = docs.map_batches(v1_fp, batch_format="pyarrow", zero_copy_batch=True)
+    v2 = docs.map_batches(v2_fp, batch_format="pyarrow", zero_copy_batch=True)
+
+    def classify(df):
+        a = df[df["side"] == 0][["doc_id", "fp"]].rename(
+            columns={"fp": "f1"})
+        b = df[df["side"] == 1][["doc_id", "fp"]].rename(
+            columns={"fp": "f2"})
+        j = a.merge(b, on="doc_id", how="outer")
+        change = np.where(
+            j["f1"].isna(), "added",
+            np.where(j["f2"].isna(), "removed",
+                     np.where(j["f1"] != j["f2"], "changed", "same")))
+        j["change"] = change
+        out = j[j["change"] != "same"][["doc_id", "change"]]
+        out["doc_id"] = out["doc_id"].astype("int64")
+        return out
+
+    return bucketed_group_map(v1.union(v2), "doc_id", classify,
+                              num_buckets=None)

@@ -425,3 +425,17 @@ def test_validate_constraints_detects_planted_violations(ray_session):
     assert bad_rep["range_lineitem_quantity"] == 1
     assert bad_rep["notnull_documents_text"] == 4
     shutil.rmtree(bad_dir, ignore_errors=True)
+
+
+def test_table_diff_classes_partition_ids(ray_session):
+    """added/removed/changed must exactly follow the simulation rules."""
+    from ember_ray.pipelines.relational import table_diff
+
+    got = table_diff(SF_DIR).to_pandas()
+    by = {c: set(g["doc_id"]) for c, g in got.groupby("change")}
+    assert all(d >= 10_000_000 for d in by.get("added", set()))
+    assert all(d % 13 == 0 for d in by.get("removed", set()))
+    assert all(d % 7 == 0 and d % 13 != 0 for d in by.get("changed", set()))
+    assert by.get("added") and by.get("removed") and by.get("changed")
+    assert not (by["added"] & by["removed"]) and not (
+        by["removed"] & by["changed"])
