@@ -571,6 +571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_multi": search.bm25_multi,                    # oracle-exact
         "validate_constraints": relational.validate_constraints,  # oracle-exact
         "table_diff": relational.table_diff,                # oracle-exact
+        "key_skew_report": relational.key_skew_report,      # oracle-exact
         "er_scored_pairs": _q_er_scored,              # rows-only (tfidf/score)
         "mm_features": multimodal.mm_features,              # rows-only
         "distinct_count_hll": sketches.distinct_count_hll,  # rows-only sketch
@@ -1244,6 +1245,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CASE WHEN f1 IS NULL THEN 'added' "
             "WHEN f2 IS NULL THEN 'removed' ELSE 'changed' END AS change "
             "FROM j WHERE f1 IS NULL OR f2 IS NULL OR f1 <> f2"
+        ),
+        "key_skew_report": (
+            # top_key ties break on the VARCHAR form (the engine carries
+            # keys as strings in the diagnostic), hence the CASTs
+            "SELECT * FROM ("
+            "SELECT 'events.event_type' AS key, "
+            "(SELECT count(DISTINCT event_type) FROM events) AS n_keys, "
+            "(SELECT count(*) FROM events) AS total_rows, "
+            "(SELECT count(*) AS c FROM events GROUP BY event_type "
+            "ORDER BY c DESC LIMIT 1) AS max_group, "
+            "(SELECT event_type FROM events GROUP BY event_type "
+            "ORDER BY count(*) DESC, event_type LIMIT 1) AS top_key "
+            "UNION ALL SELECT 'events.user_id', "
+            "(SELECT count(DISTINCT user_id) FROM events), "
+            "(SELECT count(*) FROM events), "
+            "(SELECT count(*) AS c FROM events GROUP BY user_id "
+            "ORDER BY c DESC LIMIT 1), "
+            "(SELECT CAST(user_id AS VARCHAR) FROM events GROUP BY user_id "
+            "ORDER BY count(*) DESC, CAST(user_id AS VARCHAR) LIMIT 1) "
+            "UNION ALL SELECT 'orders.o_custkey', "
+            "(SELECT count(DISTINCT o_custkey) FROM orders), "
+            "(SELECT count(*) FROM orders), "
+            "(SELECT count(*) AS c FROM orders GROUP BY o_custkey "
+            "ORDER BY c DESC LIMIT 1), "
+            "(SELECT CAST(o_custkey AS VARCHAR) FROM orders "
+            "GROUP BY o_custkey ORDER BY count(*) DESC, "
+            "CAST(o_custkey AS VARCHAR) LIMIT 1)) ORDER BY key"
         ),
         "dedup_minhash_verify": (
             "WITH cand AS (SELECT * FROM "

@@ -1207,3 +1207,71 @@ def table_diff(sf_dir: str):
 
     return bucketed_group_map(v1.union(v2), "doc_id", classify,
                               num_buckets=None)
+
+
+# ------------------------------------------------------ skew diagnostics
+def key_skew_report(sf_dir: str):
+    """Key-skew diagnostic report — the introspection pass an engine
+    runs before choosing a shuffle plan (salting, broadcast thresholds,
+    bucket counts): for each candidate partition key, the distinct-key
+    count, the max and total group sizes, and the hottest key (ties to
+    the smallest key value). Covers events.user_id, events.event_type
+    and orders.o_custkey.
+
+    Per key: per-batch np.unique partials, ONE key exchange, per-bucket
+    final group sizes, then a driver merge over per-bucket summaries
+    (4 ints per bucket — never the key histogram itself)."""
+    from ..util import bucketed_group_map
+
+    specs = [("events", "user_id"), ("events", "event_type"),
+             ("orders", "o_custkey")]
+    rows = []
+    for table, col in specs:
+        ds = _rp(sf_dir, table, columns=[col])
+
+        def partial(t: pa.Table, col=col) -> pa.Table:
+            arr = t[col]
+            if pa.types.is_string(arr.type):
+                g = pa.table({col: arr}).group_by(col).aggregate(
+                    [([], "count_all")])
+                return pa.table({"k": pc.cast(g[col], pa.string()),
+                                 "n": g["count_all"]})
+            u, c = np.unique(np.asarray(arr), return_counts=True)
+            return pa.table({"k": pa.array(u.astype(str), pa.string()),
+                             "n": pa.array(c, pa.int64())})
+
+        def bucket_summary(df):
+            if not len(df):  # empty exchange bucket
+                return pd.DataFrame({"n_keys": pd.Series(dtype="int64"),
+                                     "max_n": pd.Series(dtype="int64"),
+                                     "top_key": pd.Series(dtype="object"),
+                                     "total": pd.Series(dtype="int64")})
+            g = df.groupby("k", sort=False, as_index=False)["n"].sum()
+            top = g.sort_values(["n", "k"],
+                                ascending=[False, True]).iloc[0]
+            return pd.DataFrame({
+                "n_keys": [len(g)], "max_n": [int(top["n"])],
+                "top_key": [str(top["k"])], "total": [int(g["n"].sum())],
+            })
+
+        parts = ds.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        s = bucketed_group_map(parts, "k", bucket_summary,
+                               num_buckets=None).to_pandas()
+        hot = s.sort_values(["max_n", "top_key"],
+                            ascending=[False, True]).iloc[0]
+        rows.append({
+            "key": f"{table}.{col}",
+            "n_keys": int(s["n_keys"].sum()),
+            "total_rows": int(s["total"].sum()),
+            "max_group": int(hot["max_n"]),
+            "top_key": str(hot["top_key"]),
+        })
+    rows.sort(key=lambda r: r["key"])
+    return pa.table({
+        "key": pa.array([r["key"] for r in rows], pa.string()),
+        "n_keys": pa.array([r["n_keys"] for r in rows], pa.int64()),
+        "total_rows": pa.array([r["total_rows"] for r in rows], pa.int64()),
+        "max_group": pa.array([r["max_group"] for r in rows], pa.int64()),
+        "top_key": pa.array([r["top_key"] for r in rows], pa.string()),
+    })

@@ -439,3 +439,18 @@ def test_table_diff_classes_partition_ids(ray_session):
     assert by.get("added") and by.get("removed") and by.get("changed")
     assert not (by["added"] & by["removed"]) and not (
         by["removed"] & by["changed"])
+
+
+def test_key_skew_report_counts(ray_session):
+    import pyarrow.parquet as pq
+
+    from ember_ray.pipelines.relational import key_skew_report
+
+    rep = key_skew_report(SF_DIR).to_pandas().set_index("key")
+    ev = pq.read_table(f"{SF_DIR}/events.parquet",
+                       columns=["user_id"]).to_pandas()
+    assert rep.loc["events.user_id", "n_keys"] == ev["user_id"].nunique()
+    assert rep.loc["events.user_id", "total_rows"] == len(ev)
+    vc = ev["user_id"].value_counts()
+    assert rep.loc["events.user_id", "max_group"] == vc.max()
+    assert rep.loc["events.event_type", "n_keys"] == 5
