@@ -734,9 +734,14 @@ def rollup_agg(sf_dir: str):
 
     parts = ev.map_batches(partial, batch_format="pyarrow",
                            zero_copy_batch=True, batch_size=8192)
-    base = (parts.to_pandas()
-            .groupby(["event_type", "dow"], sort=False, as_index=False)
-            ["n_events"].sum())
+    # final combine through ONE type-keyed exchange (the driver sees the
+    # ≤ n_types×7 final rows, never the per-block partial stream)
+    def _fin(df):
+        return df.groupby(["event_type", "dow"], sort=False,
+                          as_index=False)["n_events"].sum()
+
+    base = bucketed_group_map(parts, "event_type", _fin,
+                              num_buckets=None).to_pandas()
     lvl1 = (base.groupby("event_type", sort=False, as_index=False)
             ["n_events"].sum())
     lvl1["dow"] = np.int64(-1)
@@ -776,10 +781,15 @@ def json_extract_agg(sf_dir: str):
 
     parts = ev.map_batches(partial, batch_format="pyarrow",
                            zero_copy_batch=True, batch_size=8192)
-    df = parts.to_pandas()
-    out = df.groupby("event_type", sort=True, as_index=False).agg(
-        sum_k=("sum_k", "sum"), min_k=("min_k", "min"),
-        max_k=("max_k", "max"), n=("n", "sum"))
+    # final combine through ONE type-keyed exchange; the driver sees
+    # only the ≤ n_types final rows
+    def _fin(df):
+        return df.groupby("event_type", sort=False, as_index=False).agg(
+            sum_k=("sum_k", "sum"), min_k=("min_k", "min"),
+            max_k=("max_k", "max"), n=("n", "sum"))
+
+    out = (bucketed_group_map(parts, "event_type", _fin, num_buckets=None)
+           .to_pandas().sort_values("event_type").reset_index(drop=True))
     for c in ("sum_k", "min_k", "max_k", "n"):
         out[c] = out[c].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
@@ -930,8 +940,13 @@ def corr_by_type(sf_dir: str):
 
     parts = ev.map_batches(partial, batch_format="pyarrow",
                            zero_copy_batch=True, batch_size=8192)
-    df = parts.to_pandas().groupby("event_type", sort=True,
-                                   as_index=False).sum()
+    # final moment combine through ONE type-keyed exchange (exact int
+    # sums merge anywhere); driver sees ≤ n_types rows
+    def _fin(d):
+        return d.groupby("event_type", sort=False, as_index=False).sum()
+
+    df = (bucketed_group_map(parts, "event_type", _fin, num_buckets=None)
+          .to_pandas().sort_values("event_type").reset_index(drop=True))
     n = df["n"].astype("float64").to_numpy()
     sx = df["sx"].astype("float64").to_numpy()
     sy = df["sy"].astype("float64").to_numpy()

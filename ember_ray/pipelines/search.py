@@ -204,11 +204,23 @@ def bm25_multi(sf_dir: str, queries: tuple = MULTI_QUERIES, k: int = 5):
             outs.append(out)
         return pa.concat_tables(outs)
 
-    cand = (ds.map_batches(_score, batch_format="pyarrow",
-                           zero_copy_batch=True, batch_size=4096)
-            .to_pandas())
-    cand = cand.sort_values(["query_id", "score", "doc_id"],
+    # per-query top-k through ONE query_id exchange (each bucket holds
+    # every surviving candidate of its queries — <= k x n_blocks rows);
+    # the driver sees only the k x n_queries final rows
+    from ..util import bucketed_group_map
+
+    def _bucket_topk(df):
+        df = df.sort_values(["query_id", "score", "doc_id"],
                             ascending=[True, False, True],
                             kind="mergesort")
-    final = cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+        return df.groupby("query_id", sort=True).head(k)
+
+    cand = ds.map_batches(_score, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=4096)
+    final = (bucketed_group_map(cand, "query_id", _bucket_topk,
+                                num_buckets=None)
+             .to_pandas()
+             .sort_values(["query_id", "score", "doc_id"],
+                          ascending=[True, False, True], kind="mergesort")
+             .reset_index(drop=True))
     return pa.Table.from_pandas(final, preserve_index=False)
