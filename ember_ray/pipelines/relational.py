@@ -1083,26 +1083,18 @@ def validate_constraints(sf_dir: str):
     stateless per-batch counts summed; uniqueness = per-batch unique
     partial -> one key exchange -> per-bucket distinct count (no task
     holds the global key set)."""
-    import ray
-
     from ..util import bucketed_group_map
 
     counts = {}
 
-    # referential integrity: o_custkey not in customer
-    cust = _rp(sf_dir, "customer", columns=["c_custkey"])
-    keys = np.fromiter(set(cust.unique("c_custkey")), np.int64)
-    ref = ray.put(keys)
-
-    def fk_viol(t: pa.Table) -> pa.Table:
-        mask = pc.is_in(t["o_custkey"], value_set=pa.array(ray.get(ref)))
-        bad = t.num_rows - int(pc.sum(pc.cast(mask, pa.int64())).as_py() or 0)
-        return pa.table({"n": pa.array([bad], pa.int64())})
-
-    counts["fk_orders_customer"] = int(
-        _rp(sf_dir, "orders", columns=["o_custkey"])
-        .map_batches(fk_viol, batch_format="pyarrow", zero_copy_batch=True)
-        .to_pandas()["n"].sum())
+    # referential integrity: dangling o_custkey = the anti-join count.
+    # Reuses the hybrid semi/anti (broadcast key set below the
+    # threshold, bucketed exchange above) so a billion-customer build
+    # side never materializes on the driver.
+    counts["fk_orders_customer"] = int(_semi_anti(
+        _rp(sf_dir, "orders", columns=["o_custkey"]),
+        _rp(sf_dir, "customer", columns=["c_custkey"]),
+        on="o_custkey", right_on="c_custkey", anti=True).count())
 
     # range check
     def range_viol(t: pa.Table) -> pa.Table:
