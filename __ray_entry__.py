@@ -572,6 +572,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validate_constraints": relational.validate_constraints,  # oracle-exact
         "table_diff": relational.table_diff,                # oracle-exact
         "key_skew_report": relational.key_skew_report,      # oracle-exact
+        "length_histogram": relational.length_histogram,    # oracle-exact
+        "upsert_merge": relational.upsert_merge,            # oracle-exact
         "er_scored_pairs": _q_er_scored,              # rows-only (tfidf/score)
         "mm_features": multimodal.mm_features,              # rows-only
         "distinct_count_hll": sketches.distinct_count_hll,  # rows-only sketch
@@ -1272,6 +1274,20 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT CAST(o_custkey AS VARCHAR) FROM orders "
             "GROUP BY o_custkey ORDER BY count(*) DESC, "
             "CAST(o_custkey AS VARCHAR) LIMIT 1)) ORDER BY key"
+        ),
+        "length_histogram": (
+            "SELECT (n_chars // 100) * 100 AS bin, count(*) AS n "
+            "FROM documents GROUP BY bin"
+        ),
+        "upsert_merge": (
+            # the merged table must equal the v2 derivation (same rules
+            # as the table_diff oracle)
+            "WITH v2 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN "
+            "md5(text || ' v2') ELSE md5(text) END AS fp FROM documents "
+            "WHERE doc_id % 13 <> 0 "
+            "UNION ALL SELECT doc_id + 10000000, md5(text) FROM documents "
+            "WHERE doc_id % 11 = 0 AND doc_id % 13 <> 0) "
+            "SELECT doc_id, fp FROM v2"
         ),
         "dedup_minhash_verify": (
             "WITH cand AS (SELECT * FROM "

@@ -1282,3 +1282,102 @@ def key_skew_report(sf_dir: str):
         "max_group": pa.array([r["max_group"] for r in rows], pa.int64()),
         "top_key": pa.array([r["top_key"] for r in rows], pa.string()),
     })
+
+
+# ------------------------------------------------------------- profiling
+def length_histogram(sf_dir: str, bin_width: int = 100):
+    """Equal-width histogram of document lengths (the profiling /
+    dataviz pass): bin = floor(n_chars / width) * width, exact counts.
+    Stateless per-batch pre-binning collapses each batch to its distinct
+    bins before a tiny final groupby — integer-exact."""
+    from ray.data.aggregate import Sum
+
+    ds = _rp(sf_dir, "documents", columns=["n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        b = (np.asarray(t["n_chars"], np.int64) // bin_width) * bin_width
+        u, c = np.unique(b, return_counts=True)
+        return pa.table({"bin": pa.array(u, pa.int64()),
+                         "n": pa.array(c, pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return parts.groupby("bin").aggregate(Sum("n", alias_name="n"))
+
+
+# ---------------------------------------------------------- CDC apply
+def upsert_merge(sf_dir: str):
+    """MERGE INTO / upsert — the APPLY side of CDC (``table_diff``
+    computes the change feed; this folds the same deterministic feed
+    into v1 and emits the merged table): removed ids dropped, changed
+    rows take the new fingerprint, added rows inserted. Output
+    (doc_id, fp) must equal the v2 derivation exactly.
+
+    One doc_id exchange over base ∪ changes; per bucket the change row
+    wins by (priority, side) — vectorized drop-duplicates, no per-row
+    Python."""
+    import hashlib
+
+    from ..util import bucketed_group_map
+
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _md5(arr) -> pa.Array:
+        return pa.array(
+            [hashlib.md5((s or "").encode()).hexdigest()
+             for s in arr.to_pylist()], pa.string())
+
+    def base_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "fp": _md5(t["text"]),
+                         "op": pa.array([0] * t.num_rows, pa.int8())})
+
+    def change_rows(t: pa.Table) -> pa.Table:
+        # the same deterministic feed as table_diff's v2 rules:
+        # op 2 = delete (%13), op 1 = update (%7), op 1 insert (+1e7 clone)
+        ids = np.asarray(t["doc_id"], np.int64)
+        text = t["text"]
+        out_id, out_fp, out_op = [], [], []
+        dele = ids % 13 == 0
+        if dele.any():
+            out_id.append(ids[dele])
+            out_fp.append(pa.array([""] * int(dele.sum()), pa.string()))
+            out_op.append(np.full(int(dele.sum()), 2, np.int8))
+        upd = (ids % 7 == 0) & ~dele
+        if upd.any():
+            sel = pa.array(np.nonzero(upd)[0])
+            edited = pc.binary_join_element_wise(text.take(sel), " v2", "")
+            out_id.append(ids[upd])
+            out_fp.append(_md5(edited))
+            out_op.append(np.full(int(upd.sum()), 1, np.int8))
+        ins = (ids % 11 == 0) & ~dele
+        if ins.any():
+            sel = pa.array(np.nonzero(ins)[0])
+            out_id.append(ids[ins] + 10_000_000)
+            out_fp.append(_md5(text.take(sel)))
+            out_op.append(np.full(int(ins.sum()), 1, np.int8))
+        if not out_id:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "fp": pa.array([], pa.string()),
+                             "op": pa.array([], pa.int8())})
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_id), pa.int64()),
+            "fp": pa.concat_arrays(out_fp),
+            "op": pa.array(np.concatenate(out_op), pa.int8()),
+        })
+
+    base = docs.map_batches(base_rows, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    feed = docs.map_batches(change_rows, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def merge(df):
+        # change rows (op>0) win over base (op=0); deletes (op=2) drop
+        df = df.sort_values(["doc_id", "op"], ascending=[True, False],
+                            kind="mergesort")
+        keep = df.drop_duplicates("doc_id", keep="first")
+        keep = keep[keep["op"] != 2]
+        return keep[["doc_id", "fp"]]
+
+    return bucketed_group_map(base.union(feed), "doc_id", merge,
+                              num_buckets=None)

@@ -454,3 +454,31 @@ def test_key_skew_report_counts(ray_session):
     vc = ev["user_id"].value_counts()
     assert rep.loc["events.user_id", "max_group"] == vc.max()
     assert rep.loc["events.event_type", "n_keys"] == 5
+
+
+def test_upsert_merge_is_diff_applied(ray_session):
+    """merge(v1, feed) must contain no removed ids, every added id, and
+    the changed rows must carry a DIFFERENT fingerprint than v1."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from ember_ray.pipelines.relational import table_diff, upsert_merge
+
+    merged = upsert_merge(SF_DIR).to_pandas().set_index("doc_id")
+    diff = table_diff(SF_DIR).to_pandas()
+    removed = set(diff[diff.change == "removed"]["doc_id"])
+    added = set(diff[diff.change == "added"]["doc_id"])
+    changed = set(diff[diff.change == "changed"]["doc_id"])
+    assert not (removed & set(merged.index))
+    assert added <= set(merged.index)
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    v1fp = {r.doc_id: hashlib.md5(r.text.encode()).hexdigest()
+            for r in docs.itertuples()}
+    for d in changed:
+        assert merged.loc[d, "fp"] != v1fp[d]
+    # untouched rows keep their v1 fingerprint
+    untouched = set(merged.index) - added - changed
+    for d in list(sorted(untouched))[:20]:
+        assert merged.loc[d, "fp"] == v1fp[d]
