@@ -574,6 +574,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_skew_report": relational.key_skew_report,      # oracle-exact
         "length_histogram": relational.length_histogram,    # oracle-exact
         "upsert_merge": relational.upsert_merge,            # oracle-exact
+        "cooccurrence_pairs": relational.cooccurrence_pairs,  # oracle-exact
+        "table_profile": relational.table_profile,          # oracle-exact
         "er_scored_pairs": _q_er_scored,              # rows-only (tfidf/score)
         "mm_features": multimodal.mm_features,              # rows-only
         "distinct_count_hll": sketches.distinct_count_hll,  # rows-only sketch
@@ -1288,6 +1290,32 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT doc_id + 10000000, md5(text) FROM documents "
             "WHERE doc_id % 11 = 0 AND doc_id % 13 <> 0) "
             "SELECT doc_id, fp FROM v2"
+        ),
+        "cooccurrence_pairs": (
+            # distinct (cell, user) then canonical u1<u2 pair per cell,
+            # counting the shared cells per pair
+            "WITH c AS (SELECT DISTINCT event_type || '|' || "
+            "CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS cell, "
+            "user_id FROM events) "
+            "SELECT a.user_id AS u1, b.user_id AS u2, count(*) AS n "
+            "FROM c a JOIN c b ON a.cell = b.cell "
+            "AND a.user_id < b.user_id GROUP BY 1, 2"
+        ),
+        "table_profile": (
+            "SELECT * FROM ("
+            "SELECT 'doc_id' AS \"column\", "
+            "count(*) FILTER (WHERE doc_id IS NULL) AS n_nulls, "
+            "count(DISTINCT doc_id) AS n_distinct, "
+            "CAST(min(doc_id) AS VARCHAR) AS min_v, "
+            "CAST(max(doc_id) AS VARCHAR) AS max_v FROM documents "
+            "UNION ALL SELECT 'lang', "
+            "count(*) FILTER (WHERE lang IS NULL), count(DISTINCT lang), "
+            "min(lang), max(lang) FROM documents "
+            "UNION ALL SELECT 'n_chars', "
+            "count(*) FILTER (WHERE n_chars IS NULL), "
+            "count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR), "
+            "CAST(max(n_chars) AS VARCHAR) FROM documents) "
+            "ORDER BY \"column\""
         ),
         "dedup_minhash_verify": (
             "WITH cand AS (SELECT * FROM "

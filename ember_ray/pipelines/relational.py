@@ -1381,3 +1381,128 @@ def upsert_merge(sf_dir: str):
 
     return bucketed_group_map(base.union(feed), "doc_id", merge,
                               num_buckets=None)
+
+
+# ------------------------------------------------------- graph construct
+def cooccurrence_pairs(sf_dir: str):
+    """Co-occurrence graph construction (the network-mining pass): user
+    pairs that act on the same (event_type, day) cell, with the number
+    of distinct cells they share. Canonical u1 < u2 orientation.
+
+    One exchange on the cell key co-locates each cell; per bucket the
+    pair explosion is vectorized (np.triu_indices per cell over the
+    cell's DISTINCT users) and immediately pre-aggregated, so only
+    (u1, u2, n) partials leave the bucket; a second small exchange sums
+    them. Cells above ``max_cell`` users are dropped AND counted via the
+    same stop-key policy the ER blocker uses (a hot cell would explode
+    quadratically at scale)."""
+    from ..util import bucketed_group_map
+
+    ev = _rp(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+    max_cell = 512
+
+    def cells(t: pa.Table) -> pa.Table:
+        us = np.asarray(t["ts"], dtype="datetime64[us]").astype(np.int64)
+        day = us // 86_400_000_000
+        key = pc.binary_join_element_wise(
+            pc.cast(t["event_type"], pa.string()),
+            pa.array(day.astype(str)), "|")
+        g = pa.table({"cell": key,
+                      "user_id": pc.cast(t["user_id"], pa.int64())}
+                     ).group_by(["cell", "user_id"]).aggregate([])
+        return g
+
+    parts = ev.map_batches(cells, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=8192)
+
+    def pair_gen(df):
+        out_u1, out_u2 = [], []
+        for _, grp in df.groupby("cell", sort=False):
+            users = np.unique(grp["user_id"].to_numpy())
+            n = len(users)
+            if n < 2 or n > max_cell:
+                continue
+            i, j = np.triu_indices(n, k=1)
+            out_u1.append(users[i])
+            out_u2.append(users[j])
+        if not out_u1:
+            return pd.DataFrame({"u1": pd.Series(dtype="int64"),
+                                 "u2": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64")})
+        u1 = np.concatenate(out_u1)
+        u2 = np.concatenate(out_u2)
+        d = pd.DataFrame({"u1": u1, "u2": u2})
+        return (d.groupby(["u1", "u2"], sort=False).size()
+                .rename("n").reset_index())
+
+    pairs = bucketed_group_map(parts, "cell", pair_gen, num_buckets=None)
+
+    def fin(df):
+        return df.groupby(["u1", "u2"], sort=False, as_index=False)[
+            "n"].sum()
+
+    return bucketed_group_map(pairs, "u1", fin, num_buckets=None)
+
+
+def table_profile(sf_dir: str):
+    """Column-profile report (the describe()/PROFILE surface): for each
+    documents column — null count, exact distinct count, min and max
+    (VARCHAR form so one schema covers all types).
+
+    Per column: stateless per-batch partials (nulls, min, max, distinct
+    values) and one value-keyed exchange for the exact distinct count —
+    the same no-global-set shape as validate_constraints."""
+    from ..util import bucketed_group_map
+
+    cols = ["doc_id", "lang", "n_chars"]
+    ds = _rp(sf_dir, "documents", columns=cols)
+    rows = []
+    for col in cols:
+        def partial(t: pa.Table, col=col) -> pa.Table:
+            arr = t[col]
+            valid = arr.drop_null()
+            vals = pa.table({col: valid}).group_by(col).aggregate([])[col]
+            return pa.table({
+                "v": pc.cast(vals, pa.string()),
+                "nulls": pa.array([arr.null_count] * len(vals), pa.int64()),
+            })
+
+        parts = ds.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+        def bucket(df):
+            u = df["v"].unique()
+            return pd.DataFrame({"n_distinct": [len(u)]})
+
+        nd = int(bucketed_group_map(parts, "v", bucket,
+                                    num_buckets=None).to_pandas()
+                 ["n_distinct"].sum())
+
+        def minmax(t: pa.Table, col=col) -> pa.Table:
+            # min/max stay NATIVE-typed through the reduce — a string
+            # round-trip would make the combine lexicographic ("100" <
+            # "99") and corrupt numeric minima; VARCHAR only at the end
+            arr = t[col]
+            return pa.table({
+                "nulls": pa.array([arr.null_count], pa.int64()),
+                "min_v": pa.array([pc.min(arr).as_py()], arr.type),
+                "max_v": pa.array([pc.max(arr).as_py()], arr.type),
+            })
+
+        mm = ds.map_batches(minmax, batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas()
+        rows.append({
+            "column": col,
+            "n_nulls": int(mm["nulls"].sum()),
+            "n_distinct": nd,
+            "min_v": str(mm["min_v"].min()),
+            "max_v": str(mm["max_v"].max()),
+        })
+    rows.sort(key=lambda r: r["column"])
+    return pa.table({
+        "column": pa.array([r["column"] for r in rows], pa.string()),
+        "n_nulls": pa.array([r["n_nulls"] for r in rows], pa.int64()),
+        "n_distinct": pa.array([r["n_distinct"] for r in rows], pa.int64()),
+        "min_v": pa.array([r["min_v"] for r in rows], pa.string()),
+        "max_v": pa.array([r["max_v"] for r in rows], pa.string()),
+    })

@@ -482,3 +482,27 @@ def test_upsert_merge_is_diff_applied(ray_session):
     untouched = set(merged.index) - added - changed
     for d in list(sorted(untouched))[:20]:
         assert merged.loc[d, "fp"] == v1fp[d]
+
+
+def test_cooccurrence_pairs_symmetric_canonical(ray_session):
+    from ember_ray.pipelines.relational import cooccurrence_pairs
+
+    got = cooccurrence_pairs(SF_DIR).to_pandas()
+    assert (got["u1"] < got["u2"]).all()
+    assert not got.duplicated(["u1", "u2"]).any()
+    assert (got["n"] >= 1).all() and len(got) > 0
+
+
+def test_table_profile_native_minmax(ray_session):
+    """min/max must reduce in native type — '99' vs '100' is the trap."""
+    import pyarrow.parquet as pq
+
+    from ember_ray.pipelines.relational import table_profile
+
+    rep = table_profile(SF_DIR).to_pandas().set_index("column")
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    assert rep.loc["doc_id", "min_v"] == str(docs["doc_id"].min())
+    assert rep.loc["doc_id", "max_v"] == str(docs["doc_id"].max())
+    assert rep.loc["n_chars", "min_v"] == str(docs["n_chars"].min())
+    assert rep.loc["lang", "n_distinct"] == docs["lang"].nunique()
+    assert (rep["n_nulls"] == 0).all()
