@@ -576,6 +576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "upsert_merge": relational.upsert_merge,            # oracle-exact
         "cooccurrence_pairs": relational.cooccurrence_pairs,  # oracle-exact
         "table_profile": relational.table_profile,          # oracle-exact
+        "group_size_histogram": relational.group_size_histogram,  # oracle-exact
         "er_scored_pairs": _q_er_scored,              # rows-only (tfidf/score)
         "mm_features": multimodal.mm_features,              # rows-only
         "distinct_count_hll": sketches.distinct_count_hll,  # rows-only sketch
@@ -1316,6 +1317,11 @@ def oracle_sql() -> dict[str, str]:
             "count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR), "
             "CAST(max(n_chars) AS VARCHAR) FROM documents) "
             "ORDER BY \"column\""
+        ),
+        "group_size_histogram": (
+            "SELECT n_events, count(*) AS n_users FROM "
+            "(SELECT user_id, count(*) AS n_events FROM events "
+            "GROUP BY user_id) GROUP BY n_events"
         ),
         "dedup_minhash_verify": (
             "WITH cand AS (SELECT * FROM "

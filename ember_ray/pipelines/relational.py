@@ -1506,3 +1506,36 @@ def table_profile(sf_dir: str):
         "min_v": pa.array([r["min_v"] for r in rows], pa.string()),
         "max_v": pa.array([r["max_v"] for r in rows], pa.string()),
     })
+
+
+def group_size_histogram(sf_dir: str):
+    """Aggregate-of-aggregate: the distribution of per-user event counts
+    (how many users have exactly n events) — the fan-out profile that
+    sizes blocking caps and join strategies. Two levels, both exchanges
+    bounded: per-batch user-count partials -> user-keyed exchange for
+    exact per-user totals collapsed to per-bucket histogram partials ->
+    tiny final groupby over (n_events, n_users) rows."""
+    from ray.data.aggregate import Sum
+
+    from ..util import bucketed_group_map
+
+    ev = _rp(sf_dir, "events", columns=["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u, c = np.unique(np.asarray(t["user_id"]), return_counts=True)
+        return pa.table({"user_id": pa.array(u, pa.int64()),
+                         "n": pa.array(c, pa.int64())})
+
+    parts = ev.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def bucket_hist(df):
+        totals = df.groupby("user_id", sort=False)["n"].sum()
+        h = totals.value_counts()
+        return pd.DataFrame({"n_events": h.index.astype("int64"),
+                             "n_users": h.to_numpy().astype("int64")})
+
+    hist = bucketed_group_map(parts, "user_id", bucket_hist,
+                              num_buckets=None)
+    return hist.groupby("n_events").aggregate(
+        Sum("n_users", alias_name="n_users"))

@@ -506,3 +506,15 @@ def test_table_profile_native_minmax(ray_session):
     assert rep.loc["n_chars", "min_v"] == str(docs["n_chars"].min())
     assert rep.loc["lang", "n_distinct"] == docs["lang"].nunique()
     assert (rep["n_nulls"] == 0).all()
+
+
+def test_group_size_histogram_total(ray_session):
+    import pyarrow.parquet as pq
+
+    from ember_ray.pipelines.relational import group_size_histogram
+
+    got = group_size_histogram(SF_DIR).to_pandas()
+    ev = pq.read_table(f"{SF_DIR}/events.parquet",
+                       columns=["user_id"]).to_pandas()
+    assert got["n_users"].sum() == ev["user_id"].nunique()
+    assert (got["n_events"] * got["n_users"]).sum() == len(ev)
