@@ -1294,13 +1294,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cooccurrence_pairs": (
             # distinct (cell, user) then canonical u1<u2 pair per cell,
-            # counting the shared cells per pair
+            # counting the shared cells per pair; cells with more than
+            # 512 distinct users are excluded — the IDENTICAL hot-cell
+            # cap the Ray kernel applies (and counts via report_oversize)
             "WITH c AS (SELECT DISTINCT event_type || '|' || "
             "CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS cell, "
-            "user_id FROM events) "
+            "user_id FROM events), "
+            "ok AS (SELECT cell FROM c GROUP BY cell "
+            "HAVING count(*) <= 512) "
             "SELECT a.user_id AS u1, b.user_id AS u2, count(*) AS n "
             "FROM c a JOIN c b ON a.cell = b.cell "
-            "AND a.user_id < b.user_id GROUP BY 1, 2"
+            "AND a.user_id < b.user_id "
+            "JOIN ok ON ok.cell = a.cell GROUP BY 1, 2"
         ),
         "table_profile": (
             "SELECT * FROM ("

@@ -1395,7 +1395,9 @@ def cooccurrence_pairs(sf_dir: str):
     (u1, u2, n) partials leave the bucket; a second small exchange sums
     them. Cells above ``max_cell`` users are dropped AND counted via the
     same stop-key policy the ER blocker uses (a hot cell would explode
-    quadratically at scale)."""
+    quadratically at scale); the registered oracle SQL carries the
+    IDENTICAL cap so both sides drop the same cells at every sf."""
+    from ..state.stats import report_oversize
     from ..util import bucketed_group_map
 
     ev = _rp(sf_dir, "events", columns=["user_id", "event_type", "ts"])
@@ -1417,14 +1419,21 @@ def cooccurrence_pairs(sf_dir: str):
 
     def pair_gen(df):
         out_u1, out_u2 = [], []
+        dropped_cells = dropped_rows = 0
         for _, grp in df.groupby("cell", sort=False):
             users = np.unique(grp["user_id"].to_numpy())
             n = len(users)
-            if n < 2 or n > max_cell:
+            if n > max_cell:
+                dropped_cells += 1
+                dropped_rows += n
+                continue
+            if n < 2:
                 continue
             i, j = np.triu_indices(n, k=1)
             out_u1.append(users[i])
             out_u2.append(users[j])
+        report_oversize("cooccurrence", dropped_cells, dropped_rows,
+                        "drop")
         if not out_u1:
             return pd.DataFrame({"u1": pd.Series(dtype="int64"),
                                  "u2": pd.Series(dtype="int64"),

@@ -518,3 +518,35 @@ def test_group_size_histogram_total(ray_session):
                        columns=["user_id"]).to_pandas()
     assert got["n_users"].sum() == ev["user_id"].nunique()
     assert (got["n_events"] * got["n_users"]).sum() == len(ev)
+
+
+def test_cooccurrence_hot_cell_dropped_and_counted(ray_session, tmp_path):
+    """A planted cell above max_cell (512 distinct users) must be dropped
+    on BOTH sides (kernel cap == oracle cap) and fire the oversize-drop
+    counter — never a silent candidate loss (ADVICE r4 high)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ember_ray.pipelines.relational import cooccurrence_pairs
+    from ember_ray.state.stats import drop_counts, reset_drop_counts
+
+    hot_users = list(range(600))          # one hot (click, day0) cell
+    ok_users = [1000, 1001, 1002]         # one small (view, day0) cell
+    n = len(hot_users) + len(ok_users)
+    t = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array([0] * n, pa.timestamp("us")),
+        "user_id": pa.array(hot_users + ok_users, pa.int64()),
+        "event_type": pa.array(
+            ["click"] * len(hot_users) + ["view"] * len(ok_users)),
+        "value": pa.array([0.0] * n),
+        "props": pa.array(["{}"] * n),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    reset_drop_counts()
+    got = cooccurrence_pairs(str(tmp_path)).to_pandas()
+    # only the 3-user cell's pairs survive: (1000,1001),(1000,1002),(1001,1002)
+    assert sorted(map(tuple, got[["u1", "u2"]].values.tolist())) == [
+        (1000, 1001), (1000, 1002), (1001, 1002)]
+    c = drop_counts()["cooccurrence"]
+    assert c["blocks"] == 1 and c["rows"] == 600 and c["policy"] == "drop"
