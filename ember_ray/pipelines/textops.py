@@ -314,13 +314,16 @@ def tfidf_keywords(sf_dir: str, k: int = 3, num_buckets: int = 32,
     Arrow pre-count → one hash exchange on the token summing document
     frequencies (the only all-to-all; 8-40 B/row, text never moves);
     (2) the df table broadcasts once as a zero-copy Arrow index (vocab
-    grows sublinearly — Heaps' law; above ``broadcast_threshold`` the
-    honest fallback is a bucketed token join, same hybrid rule as the ER
-    IDF at ``er.py``) and a stateless map_batches computes per-doc tf
-    (one Arrow group_by per batch), scores, and batch-local top-k — a
-    doc's tokens never span batches, so the top-k never shuffles.
-    Deterministic tie-break (score DESC, token ASC) and the shared
-    round-at-1e6 recipe on both engines."""
+    grows sublinearly — Heaps' law) and a stateless map_batches computes
+    per-doc tf (one Arrow group_by per batch), scores, and batch-local
+    top-k — a doc's tokens never span batches, so the top-k never
+    shuffles. Above ``broadcast_threshold`` the df table stays a
+    DATASET and attaches via ``util.bucketed_join`` on the token (same
+    hybrid rule as the ER IDF at ``er.py``), then one doc-keyed exchange
+    takes the per-doc top-k — two extra bounded exchanges instead of an
+    unbroadcastable vocab. Both paths share the identical float
+    expression (tf · ln(N/df), round-at-1e6) and tie-break (score DESC,
+    token ASC), pinned by a path-parity pytest with threshold=0."""
     from ..functions.text import tokenize_array
     from ..util import (broadcast_lookup, build_broadcast_index,
                         dataset_to_arrow, hash_exchange)
@@ -352,16 +355,14 @@ def tfidf_keywords(sf_dir: str, k: int = 3, num_buckets: int = 32,
         return pa.table({"token": g["token"],
                          "df": pc.cast(g["df_sum"], pa.int64())})
 
-    df_tbl = dataset_to_arrow(
-        hash_exchange(parts, key="token", num_buckets=num_buckets,
-                      reduce_fn=df_sum, arrow=True))
-    if df_tbl.num_rows > broadcast_threshold:  # pragma: no cover - scale path
-        raise NotImplementedError(
-            "vocab exceeds broadcast threshold: route through a bucketed "
-            "token join (util.bucketed_join), the er.py IDF hybrid rule")
+    df_ds = hash_exchange(parts, key="token", num_buckets=num_buckets,
+                          reduce_fn=df_sum, arrow=True).materialize()
     import ray
 
-    dref = ray.put(build_broadcast_index(df_tbl, "token", ["df"]))
+    if df_ds.count() > broadcast_threshold:
+        return _tfidf_bucketed(ds, df_ds, n_docs, k, num_buckets)
+    dref = ray.put(build_broadcast_index(
+        dataset_to_arrow(df_ds), "token", ["df"]))
 
     def score(t: pa.Table) -> pa.Table:
         empty = pa.table({"doc_id": pa.array([], pa.int64()),
@@ -398,6 +399,57 @@ def tfidf_keywords(sf_dir: str, k: int = 3, num_buckets: int = 32,
 
     return ds.map_batches(score, batch_format="pyarrow",
                           zero_copy_batch=True, batch_size=4096)
+
+
+def _tfidf_bucketed(ds, df_ds, n_docs: int, k: int, num_buckets: int):
+    """Scale path for ``tfidf_keywords``: the df vocab stays DISTRIBUTED.
+
+    (doc_id, token, tf) partials attach the document frequency through
+    ONE bucketed token-hash join (``util.bucketed_join`` — the big-side
+    route of the er.py IDF hybrid rule), scores compute per bucket with
+    the IDENTICAL float expression as the broadcast path, and one
+    doc-keyed exchange takes the exact per-doc top-k (the token join
+    scatters a doc's scored tokens, so the top-k needs the
+    co-partition). Two extra bounded exchanges; no driver-side vocab."""
+    from ..functions.text import tokenize_array
+    from ..util import bucketed_group_map, bucketed_join
+
+    def tf_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "token": pa.array([], pa.string()),
+                          "tf": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        toks = tokenize_array(t["text"])
+        offsets = np.asarray(toks.offsets, np.int64)
+        if int(offsets[-1]) == 0:
+            return empty
+        d = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                      np.diff(offsets))
+        g = (pa.table({"d": pa.array(d), "token": toks.values})
+             .group_by(["d", "token"]).aggregate([([], "count_all")]))
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()).take(g["d"]),
+            "token": g["token"],
+            "tf": pc.cast(g["count_all"], pa.int64())})
+
+    tf_ds = ds.map_batches(tf_fn, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=4096)
+    joined = bucketed_join(tf_ds, df_ds, on="token",
+                           num_buckets=num_buckets)
+
+    def topk_fn(df):
+        # expression identity with the broadcast path: tf·ln(N/df), rint
+        s = (df["tf"].to_numpy().astype(np.float64)
+             * np.log(n_docs / df["df"].to_numpy().astype(np.float64)))
+        df = df.assign(score=np.rint(s * 1e6) / 1e6)
+        df = df.sort_values(["doc_id", "score", "token"],
+                            ascending=[True, False, True])
+        rank = df.groupby("doc_id", sort=False).cumcount()
+        return df.loc[rank.to_numpy() < k, ["doc_id", "token", "score"]]
+
+    return bucketed_group_map(joined, "doc_id", topk_fn,
+                              num_buckets=num_buckets)
 
 
 def zscore_norm(sf_dir: str):
@@ -544,21 +596,21 @@ def pmi_collocations(sf_dir: str, min_count: int = 5, k: int = 50,
         g = t.group_by("w").aggregate([("c", "sum")])
         return pa.table({"w": g["w"], "c": pc.cast(g["c_sum"], pa.int64())})
 
-    uni = dataset_to_arrow(hash_exchange(
+    uni_ds = hash_exchange(
         uni_parts, key="w", num_buckets=num_buckets, reduce_fn=uni_sum,
-        arrow=True))
-    if uni.num_rows > broadcast_threshold:  # pragma: no cover - scale path
-        raise NotImplementedError(
-            "vocab exceeds broadcast threshold: bucketed unigram join "
-            "(util.bucketed_join) is the fallback, as in er.py IDF")
-    T = int(pc.sum(uni["c"]).as_py() or 0)
-    uref = ray.put(build_broadcast_index(uni, "w", ["c"]))
+        arrow=True).materialize()
+    T = int(uni_ds.sum("c") or 0) if uni_ds.count() else 0
 
     bi_parts = ds.map_batches(bi_partial, batch_format="pyarrow",
                               zero_copy_batch=True,
                               batch_size=4096).materialize()
     # N = total bigram occurrences (sum of partials — exact)
     N = int(bi_parts.sum("c") or 0) if bi_parts.count() else 0
+    if uni_ds.count() > broadcast_threshold:
+        return _pmi_bucketed(bi_parts, uni_ds, T, N, min_count, k,
+                             num_buckets)
+    uni = dataset_to_arrow(uni_ds)
+    uref = ray.put(build_broadcast_index(uni, "w", ["c"]))
 
     def bucket_pmi(t: pa.Table) -> pa.Table:
         empty = pa.table({"w1": pa.array([], pa.string()),
@@ -591,6 +643,74 @@ def pmi_collocations(sf_dir: str, min_count: int = 5, k: int = 50,
 
     out = hash_exchange(bi_parts, key="w1", num_buckets=num_buckets,
                         reduce_fn=bucket_pmi, arrow=True)
+    return out.sort(["pmi", "w1", "w2"],
+                    descending=[True, False, False]).limit(k)
+
+
+def _pmi_bucketed(bi_parts, uni_ds, T: int, N: int, min_count: int,
+                  k: int, num_buckets: int):
+    """Scale path for ``pmi_collocations``: the unigram vocab stays
+    DISTRIBUTED. Bigram supports sum through one w1-keyed exchange
+    (support floor applied there — the big cut), then c_x and c_y attach
+    via TWO bucketed unigram joins (``util.bucketed_join``, the er.py
+    IDF big-side route); PMI computes per batch with the IDENTICAL float
+    expression as the broadcast path, batch-local top-k bounds the final
+    sort. Exchanges carry only (w1, w2, counts) — never token streams."""
+    from ..util import bucketed_join, hash_exchange
+
+    def bi_sum(t: pa.Table) -> pa.Table:
+        empty = pa.table({"w1": pa.array([], pa.string()),
+                          "w2": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        g = t.group_by(["w1", "w2"]).aggregate([("c", "sum")])
+        n = pc.cast(g["c_sum"], pa.int64())
+        keep = pc.greater_equal(n, min_count)
+        return pa.table({"w1": g["w1"], "w2": g["w2"],
+                         "n": n}).filter(keep)
+
+    bi = hash_exchange(bi_parts, key="w1", num_buckets=num_buckets,
+                       reduce_fn=bi_sum, arrow=True)
+
+    def _ren(new):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns(["w", new])
+        return fn
+
+    uni1 = uni_ds.map_batches(_ren("c1"), batch_format="pyarrow",
+                              zero_copy_batch=True)
+    uni2 = uni_ds.map_batches(_ren("c2"), batch_format="pyarrow",
+                              zero_copy_batch=True)
+    j1 = bucketed_join(bi, uni1, on="w1", right_on="w",
+                       num_buckets=num_buckets)
+    j2 = bucketed_join(j1, uni2, on="w2", right_on="w",
+                       num_buckets=num_buckets)
+
+    def pmi_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"w1": pa.array([], pa.string()),
+                          "w2": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64()),
+                          "pmi": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        n = t["n"].to_numpy().astype(np.int64)
+        c1 = t["c1"].to_numpy().astype(np.int64)
+        c2 = t["c2"].to_numpy().astype(np.int64)
+        # expression identity with the broadcast path / SQL
+        val = np.log((n.astype(np.float64) * T * T)
+                     / (float(N) * c1 * c2))
+        out = pa.table({"w1": t["w1"], "w2": t["w2"],
+                        "n": pa.array(n, pa.int64()),
+                        "pmi": pa.array(np.rint(val * 1e6) / 1e6,
+                                        pa.float64())})
+        order = pc.sort_indices(out, sort_keys=[
+            ("pmi", "descending"), ("w1", "ascending"),
+            ("w2", "ascending")])
+        return out.take(order[:k])
+
+    out = j2.map_batches(pmi_fn, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=8192)
     return out.sort(["pmi", "w1", "w2"],
                     descending=[True, False, False]).limit(k)
 

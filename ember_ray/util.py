@@ -524,6 +524,12 @@ def bucketed_join(
     def merge_bucket(tbl: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        if tbl.num_rows == 0 or "__side" not in tbl.schema.names:
+            # Ray map_batches passes EMPTY input blocks through without
+            # running the pad fn, so a fully-empty bucket can arrive with
+            # the PRE-pad schema (no __side) — seen when the right side
+            # has empty blocks (tiny vocab over many buckets)
+            return out_schema.empty_table()
         mask = pc.equal(tbl["__side"], 0)
         l = tbl.filter(mask).select([on, *lpay])
         r = tbl.filter(pc.invert(mask)).select([on, *rpay])

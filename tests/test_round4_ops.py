@@ -260,3 +260,32 @@ def test_vocab_topk_ranks_match_recount(ray_session):
     assert list(got["token"]) == [w for w, _ in want]
     assert list(got["n"]) == [c for _, c in want]
     assert list(got["token_id"]) == list(range(1, len(want) + 1))
+
+
+def test_tfidf_bucketed_path_parity(ray_session):
+    """VERDICT r4 #2: forcing broadcast_threshold=0 routes the df table
+    through the bucketed token join; output must match the broadcast
+    path EXACTLY (same expression, same tie-break, same rounding)."""
+    from ember_ray.pipelines.textops import tfidf_keywords
+
+    key = ["doc_id", "token"]
+    a = (tfidf_keywords(SF_DIR, k=3).to_pandas()
+         .sort_values(key).reset_index(drop=True))
+    b = (tfidf_keywords(SF_DIR, k=3, broadcast_threshold=0).to_pandas()
+         .sort_values(key).reset_index(drop=True))
+    assert len(a) > 0
+    assert a[key + ["score"]].equals(b[key + ["score"]])
+
+
+def test_pmi_bucketed_path_parity(ray_session):
+    """Same path-parity gate for pmi_collocations: distributed unigram
+    joins must reproduce the broadcast-index result bitwise."""
+    from ember_ray.pipelines.textops import pmi_collocations
+
+    a = (pmi_collocations(SF_DIR, min_count=5, k=50).to_pandas()
+         .reset_index(drop=True))
+    b = (pmi_collocations(SF_DIR, min_count=5, k=50,
+                          broadcast_threshold=0).to_pandas()
+         .reset_index(drop=True))
+    assert len(a) > 0
+    assert a.equals(b)
