@@ -1225,8 +1225,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_multi": _bm25_multi_sql(norm),
         "validate_constraints": (
             "SELECT * FROM (SELECT 'fk_orders_customer' AS check_name, "
-            "(SELECT count(*) FROM orders WHERE o_custkey NOT IN "
-            "(SELECT c_custkey FROM customer)) AS n_violations "
+            "(SELECT count(*) FROM orders o WHERE NOT EXISTS "
+            "(SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) "
+            "AS n_violations "
             "UNION ALL SELECT 'notnull_documents_text', "
             "(SELECT count(*) FROM documents WHERE text IS NULL) "
             "UNION ALL SELECT 'range_lineitem_quantity', "
@@ -1486,9 +1487,12 @@ def oracle_sql() -> dict[str, str]:
             "WHERE c_custkey IN (SELECT o_custkey FROM orders)"
         ),
         "anti_join": (
-            "SELECT c_custkey, c_name FROM customer "
-            "WHERE c_custkey NOT IN "
-            "(SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')"
+            # NOT EXISTS, not NOT IN: a NULL key on the right would make
+            # NOT IN return zero rows (three-valued logic) while the Ray
+            # anti-join still emits unmatched lefts
+            "SELECT c_custkey, c_name FROM customer c "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders "
+            "WHERE o_orderstatus = 'F' AND o_custkey = c.c_custkey)"
         ),
         "join_agg": (
             "SELECT c_mktsegment, count(*) AS n_orders, "

@@ -804,8 +804,11 @@ def latest_order(sf_dir: str):
     Per batch: one lexsort + take-last-per-key collapses the batch to
     ≤ n_batch_custs rows; the bucketed exchange then repeats the same
     reduce per key bucket, so no task ever sees a customer's full order
-    history materialized beyond its own bucket. No packed-key tricks —
-    works at any orderkey magnitude."""
+    history materialized beyond its own bucket. Deliberately NOT the
+    packed-uint64 single-key sort from temporal.py: date-us needs ~51
+    bits and o_orderkey is unbounded (TPC-H sf1000 keys exceed 2^40), so
+    (date << k) | key cannot pack losslessly; the numeric 3-key lexsort
+    is the correct general form here."""
     from ..util import bucketed_group_map
 
     ords = _rp(sf_dir, "orders",
@@ -856,11 +859,14 @@ def value_quartiles(sf_dir: str):
     ev = _rp(sf_dir, "events", columns=["event_id", "event_type", "value"])
 
     def fin(df):
-        typ = df["event_type"].to_numpy()
+        # factorize the string key first: numeric-codes lexsort beats a
+        # string-key lexsort by ~an order of magnitude (codes only need
+        # to GROUP equal types, not order them — NTILE is per-partition)
+        typ_codes, _ = pd.factorize(df["event_type"], sort=False)
         val = df["value"].to_numpy()
         eid = df["event_id"].to_numpy()
-        order = np.lexsort((eid, val, typ))
-        typ_s = typ[order]
+        order = np.lexsort((eid, val, typ_codes))
+        typ_s = typ_codes[order]
         starts = np.nonzero(np.append(True, typ_s[1:] != typ_s[:-1]))[0]
         ends = np.append(starts[1:], len(typ_s))
         q = np.empty(len(typ_s), np.int64)
