@@ -456,19 +456,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                      relational, search, sketches, temporal,
                                      textops)
 
-    # ORDERING CONTRACT (VERDICT r3 #1): the driver checks exactly the
-    # FIRST 50 keys — all 50 in-window entries are oracle-exact, ending
-    # with the five flagship er_* queries. Oracle-exact round-4 additions
-    # (ngram_counts .. stratified_sample) sit just past the window —
-    # covered by the full tools/check_oracles.py sweep — followed by the
-    # rows-only entries (sketch / candidate-generation outputs whose
-    # verify companions ARE in the window).
+    # ORDERING CONTRACT (VERDICT r3 #1, ROTATED r5 per VERDICT r4 #5):
+    # the driver checks exactly the FIRST 50 keys — all 50 in-window
+    # entries are oracle-exact, ending with the five flagship er_*
+    # queries. Round 5 rotates the window: 25 veterans stay for
+    # continuity, 20 round-4 extension ops that never had driver rows
+    # are promoted, and the demoted veterans sit immediately past the
+    # window (still covered by the full tools/check_oracles.py sweep).
     return {
-        # --- relational operators (SURVEY §2; oracle-checked) -------------
+        # --- kept veterans: core relational (SURVEY §2) -------------------
         "filter_project": relational.filter_project,        # M2/M4/M10
         "groupby_count": relational.groupby_count,          # A2
         "distinct": relational.distinct_values,             # A3
-        "group_size_filter": relational.group_size_filter,  # M5
         "semi_join": relational.semi_join,                  # J4
         "anti_join": relational.anti_join,                  # J3
         "join_agg": relational.join_agg,                    # J1/J2 analog
@@ -476,51 +475,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_dedup": relational.union_dedup,              # U1/U2
         "assembly": relational.assembly,                    # A1 analog
         "pricing_summary": relational.pricing_summary,      # partial+final agg
-        "concat_cols": relational.concat_cols,              # M7/F4
-        "group_topk": relational.group_topk,                # O1/O2
-        "deterministic_split": relational.deterministic_split,  # O5
-        "regex_clean": relational.regex_clean,              # M6/F3
-        "overlap_stats": relational.overlap_stats,          # A5
-        "window_agg": relational.window_agg,                # windowed agg
-        "pivot_counts": relational.pivot_counts,            # pivot/cond-agg
-        "left_join_counts": relational.left_join_counts,    # left outer join
-        # --- temporal custom operators (no native Ray Data form) ----------
+        # --- kept veterans: temporal / curation / sketches / text ---------
         "asof_join": temporal.asof_join,                    # as-of join
         "range_join": temporal.range_join,                  # time-range join
         "sessionize": temporal.sessionize,                  # session windows
-        # --- curation (extension: quantile quality band, shard packing) ---
         "quality_filter": curation.quality_filter,
         "shard_pack": curation.shard_pack,
-        # --- sketches / one-pass summaries (extension; see sketches.py) ---
         "distinct_count": sketches.distinct_count,
-        "group_distinct_count": sketches.group_distinct_count,
         "group_quantiles": sketches.group_quantiles,
-        # --- text analysis ------------------------------------------------
         "token_count": textops.token_count,
-        "quality_scores": textops.quality_scores,
-        "quality_by_lang": textops.quality_by_lang,
         "lang_id": textops.lang_id,
         "fingerprints": textops.fingerprints,
-        # dedup extensions promoted into the window (driver-visible
-        # rows for the LLM-pipeline op family); the F5/M8 string ops they
-        # displace stay oracle-checked by the full sweep + pytests
+        # --- kept veterans: dedup / ANN -----------------------------------
+        "dedup_exact": dedup.dedup_exact,
         "dedup_substring": dedup.dedup_substring,           # oracle-exact
         "semdedup": _q_semdedup,                            # oracle-exact
-        # --- dedup suite (oracle-exact members) ----------------------------
-        "dedup_exact": dedup.dedup_exact,
-        "dedup_minhash_verify": _q_dedup_minhash_verify,    # verify-stage oracle
         "dedup_minhash_clusters": _q_dedup_minhash_clusters,  # closure oracle
-        "dedup_simhash_verify": _q_dedup_simhash_verify,    # verify-stage oracle
-        "dedup_embedding_verify": _q_dedup_embedding_verify,  # verify oracle
-        # --- similarity search (oracle-exact members) ----------------------
         "ann_topk": ann.ann_topk,
-        "ann_topk_lsh_verify": _q_ann_lsh_verify,           # verify-stage oracle
-        "ann_topk_ivf_verify": _q_ann_ivf_verify,           # verify-stage oracle
-        # --- multimodal plumbing -----------------------------------------
-        "mm_payload_sizes": multimodal.payload_sizes,
-        # --- labeled-benchmark construction (count oracles) ---------------
-        "bench_scenario_counts": _q_bench_scenario_counts,
-        "bench_ratio_counts": _q_bench_ratio_counts,
+        # --- r5 promotions: round-4 extension ops, first driver rows ------
+        "bm25_topk": search.bm25_topk,                      # oracle-exact
+        "bm25_multi": search.bm25_multi,                    # oracle-exact
+        "rollup_agg": relational.rollup_agg,                # oracle-exact
+        "global_rank": relational.global_rank,              # oracle-exact
+        "validate_constraints": relational.validate_constraints,  # oracle-exact
+        "table_diff": relational.table_diff,                # oracle-exact
+        "upsert_merge": relational.upsert_merge,            # oracle-exact
+        "curation_pipeline": curation.curation_pipeline,    # oracle-exact
+        "decontaminate_ngram": curation.decontaminate_ngram,  # oracle-exact
+        "session_funnel": temporal.session_funnel,          # oracle-exact
+        "heavy_hitters": sketches.heavy_hitters,            # oracle-exact
+        "tfidf_keywords": textops.tfidf_keywords,           # oracle-exact
+        "pmi_collocations": textops.pmi_collocations,       # oracle-exact
+        "vocab_topk": textops.vocab_topk,                   # oracle-exact
+        "cooccurrence_pairs": relational.cooccurrence_pairs,  # oracle-exact
+        "table_profile": relational.table_profile,          # oracle-exact
+        "latest_order": relational.latest_order,            # oracle-exact
+        "join_rows": relational.join_rows,                  # oracle-exact
+        "full_join_counts": relational.full_join_counts,    # oracle-exact
+        "group_size_histogram": relational.group_size_histogram,  # oracle-exact
         # --- flagship ER pipeline (synthetic transcripts) ----------------
         "er_conversations": _q_er_conversations,
         "er_similarity_verify": _q_er_similarity_verify,
@@ -528,55 +520,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_metrics": _q_er_metrics,
         "er_cluster_sizes": _q_er_cluster_sizes,
         # ==== past the driver's 50-key window (slots 1-50 above are ALL ====
-        # ==== oracle-exact): rows-only entries whose verify companions ====
-        # ==== / exact twins are oracle-checked above, plus ngram_counts ====
-        # ==== (oracle-exact in the full tools/check_oracles.py sweep)  ====
+        # ==== oracle-exact): r5-demoted veterans (green driver rows in  ====
+        # ==== r01-r04, still swept by tools/check_oracles.py), then the ====
+        # ==== remaining oracle-exact entries, then rows-only entries    ====
+        # ==== whose verify companions are oracle-checked.               ====
+        "group_size_filter": relational.group_size_filter,  # M5 (r04 green)
+        "group_topk": relational.group_topk,                # O1/O2 (r04 green)
+        "deterministic_split": relational.deterministic_split,  # O5 (r04 green)
+        "regex_clean": relational.regex_clean,              # M6/F3 (r04 green)
+        "overlap_stats": relational.overlap_stats,          # A5 (r04 green)
+        "window_agg": relational.window_agg,                # r04 green
+        "pivot_counts": relational.pivot_counts,            # r04 green
+        "left_join_counts": relational.left_join_counts,    # r04 green
+        "concat_cols": relational.concat_cols,              # M7/F4 (r04 green)
+        "group_distinct_count": sketches.group_distinct_count,  # r04 green
+        "quality_scores": textops.quality_scores,           # r04 green
+        "quality_by_lang": textops.quality_by_lang,         # r04 green
+        "dedup_minhash_verify": _q_dedup_minhash_verify,    # r04 green
+        "dedup_simhash_verify": _q_dedup_simhash_verify,    # r04 green
+        "dedup_embedding_verify": _q_dedup_embedding_verify,  # r04 green
+        "ann_topk_lsh_verify": _q_ann_lsh_verify,           # r04 green
+        "ann_topk_ivf_verify": _q_ann_ivf_verify,           # r04 green
+        "mm_payload_sizes": multimodal.payload_sizes,       # r04 green
+        "bench_scenario_counts": _q_bench_scenario_counts,  # r04 green
+        "bench_ratio_counts": _q_bench_ratio_counts,        # r04 green
+        # --- remaining oracle-exact entries (full-sweep covered) ----------
         "ngram_counts": textops.ngram_counts,               # oracle-exact
         "rolling_agg": temporal.rolling_agg,                # oracle-exact
         "event_rank": temporal.event_rank,                  # oracle-exact
-        "heavy_hitters": sketches.heavy_hitters,            # oracle-exact
-        "bm25_topk": search.bm25_topk,                      # oracle-exact
         "decontaminate": curation.decontaminate,            # oracle-exact
-        "decontaminate_ngram": curation.decontaminate_ngram,  # oracle-exact
         "repetition_scores": textops.repetition_scores,     # oracle-exact
         "shuffle_order": curation.shuffle_order,            # oracle-exact
-        "curation_pipeline": curation.curation_pipeline,    # oracle-exact
         "stratified_sample": curation.stratified_sample,    # oracle-exact
         "pii_scrub": curation.pii_scrub,                    # oracle-exact
         "detok_roundtrip": textops.detok_roundtrip,         # F5
         "payload_paths": textops.payload_paths,             # M8/F7
         "ann_topk_filtered": ann.ann_topk_filtered,         # oracle-exact
-        "tfidf_keywords": textops.tfidf_keywords,           # oracle-exact
         "sliding_window_agg": relational.sliding_window_agg,  # oracle-exact
         "group_sample": curation.group_sample,              # oracle-exact
         "contamination_report": curation.contamination_report,  # oracle-exact
         "zscore_norm": textops.zscore_norm,                 # oracle-exact
-        "pmi_collocations": textops.pmi_collocations,      # oracle-exact
-        "session_funnel": temporal.session_funnel,          # oracle-exact
         "dedup_containment": dedup.dedup_containment,       # oracle-exact
         "dedup_incremental": _q_dedup_incremental,          # oracle-exact
-        "join_rows": relational.join_rows,                  # oracle-exact
-        "full_join_counts": relational.full_join_counts,    # oracle-exact
-        "rollup_agg": relational.rollup_agg,                # oracle-exact
-        "vocab_topk": textops.vocab_topk,                   # oracle-exact
         "json_extract_agg": relational.json_extract_agg,    # oracle-exact
-        "latest_order": relational.latest_order,            # oracle-exact
         "value_quartiles": relational.value_quartiles,      # oracle-exact
         "event_gaps": temporal.event_gaps,                  # oracle-exact
         "above_median_orders": relational.above_median_orders,  # oracle-exact
         "corr_by_type": relational.corr_by_type,            # oracle-exact
-        "global_rank": relational.global_rank,              # oracle-exact
         "unpivot_counts": relational.unpivot_counts,        # oracle-exact
         "global_deciles": relational.global_deciles,        # oracle-exact
-        "bm25_multi": search.bm25_multi,                    # oracle-exact
-        "validate_constraints": relational.validate_constraints,  # oracle-exact
-        "table_diff": relational.table_diff,                # oracle-exact
         "key_skew_report": relational.key_skew_report,      # oracle-exact
         "length_histogram": relational.length_histogram,    # oracle-exact
-        "upsert_merge": relational.upsert_merge,            # oracle-exact
-        "cooccurrence_pairs": relational.cooccurrence_pairs,  # oracle-exact
-        "table_profile": relational.table_profile,          # oracle-exact
-        "group_size_histogram": relational.group_size_histogram,  # oracle-exact
         "er_scored_pairs": _q_er_scored,              # rows-only (tfidf/score)
         "mm_features": multimodal.mm_features,              # rows-only
         "distinct_count_hll": sketches.distinct_count_hll,  # rows-only sketch
