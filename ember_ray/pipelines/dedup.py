@@ -778,19 +778,24 @@ def dedup_substring(sf_dir: str, L: int = 32, num_buckets: int = 16,
         h, ids, pos = h[order], ids[order], pos[order]
         bounds = np.flatnonzero(np.r_[True, h[1:] != h[:-1], True])
         sizes = np.diff(bounds)
-        shared = np.flatnonzero(sizes >= 2)  # singleton mass skipped here
+        starts = bounds[:-1]
+        # size-class batched emission (same pattern as the ER pairgen,
+        # stages/pairs.py:_generate_pairs_hashed): one vectorized
+        # triu explosion per distinct group size instead of a Python
+        # loop per shared-window group. Sizes are capped at ``cap``,
+        # so at most ``cap - 1`` iterations, each a pure numpy gather.
+        ok = (sizes >= 2) & (sizes <= cap)
         l, r, pl, pr = [], [], [], []
-        over_blocks = over_rows = 0
-        for gi in shared:
-            s, e = bounds[gi], bounds[gi + 1]
-            if e - s > cap:  # boilerplate stop-key
-                over_blocks += 1
-                over_rows += int(e - s)
-                continue
-            i, j = np.triu_indices(e - s, k=1)
-            l.append(ids[s:e][i]); r.append(ids[s:e][j])
-            pl.append(pos[s:e][i]); pr.append(pos[s:e][j])
-        report_oversize("dedup_substring", over_blocks, over_rows, "drop")
+        for s in np.unique(sizes[ok]):
+            gs = starts[ok & (sizes == s)]
+            idx = gs[:, None] + np.arange(s)[None, :]
+            idm, pm = ids[idx], pos[idx]
+            iu, ju = np.triu_indices(s, k=1)
+            l.append(idm[:, iu].ravel()); r.append(idm[:, ju].ravel())
+            pl.append(pm[:, iu].ravel()); pr.append(pm[:, ju].ravel())
+        over = sizes > cap  # boilerplate stop-keys
+        report_oversize("dedup_substring", int(over.sum()),
+                        int(sizes[over].sum()), "drop")
         if not l:
             return empty
         return pa.table({
