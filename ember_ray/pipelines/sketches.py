@@ -185,9 +185,25 @@ def _quantile_cont(v: np.ndarray, q: float) -> float:
     return float(v[lo] + (v[lo + 1] - v[lo]) * frac)
 
 
-def group_quantiles(sf_dir: str, ndigits: int = 6):
+# Exact per-group quantiles need the whole group's values in ONE reduce
+# task (hash_exchange scales BUCKET count with bytes, but a single hot
+# key cannot be split across buckets). Gate loudly instead of OOMing:
+# a group above this many values raises with the sketch-path pointer.
+EXACT_GROUP_QUANTILE_CAP = 32_000_000  # 32M float64 = 256 MB
+
+
+def group_quantiles(sf_dir: str, ndigits: int = 6,
+                    group_cap: int = EXACT_GROUP_QUANTILE_CAP):
     """Per-event_type exact p50/p95 of ``value`` + count. One hash
-    exchange on the group key; values sort per group inside the reduce."""
+    exchange on the group key; values sort per group inside the reduce.
+
+    Scale contract: distinct-key cardinality is unbounded (the exchange
+    adds buckets by the memory rule; the kernel is fully vectorized —
+    one sort + gather per bucket, no per-group Python). A single HOT
+    group, however, must fit one task: above ``group_cap`` values the
+    reduce raises ``NotImplementedError`` naming the mergeable-sketch
+    path (``group_quantiles_sketch``), never a silent OOM/wrong answer.
+    """
     from ..util import hash_exchange
 
     ds = _rp(sf_dir, "events", columns=["event_type", "value"])
@@ -209,19 +225,33 @@ def group_quantiles(sf_dir: str, ndigits: int = 6):
         order = np.lexsort((vals, codes))
         cs, vs = codes[order], vals[order]
         bounds = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1], True])
-        names, p50s, p95s, ns = [], [], [], []
-        dict_vals = d.dictionary.to_pylist()
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            g = vs[s:e]
-            names.append(dict_vals[cs[s]])
-            ns.append(int(e - s))
-            p50s.append(np.rint(_quantile_cont(g, 0.5) * scale) / scale)
-            p95s.append(np.rint(_quantile_cont(g, 0.95) * scale) / scale)
+        starts, ends = bounds[:-1], bounds[1:]
+        sizes = ends - starts
+        if sizes.max() > group_cap:
+            hot = d.dictionary[int(cs[starts[int(np.argmax(sizes))]])]
+            raise NotImplementedError(
+                f"group_quantiles: group {hot!r} holds {int(sizes.max())} "
+                f"values (> cap {group_cap}); exact quantiles need the "
+                "whole group in one task. Use group_quantiles_sketch "
+                "(mergeable KLL) for hot keys at this scale."
+            )
+
+        def q_at(q: float) -> np.ndarray:
+            # vectorized DuckDB quantile_cont: lower + (upper-lower)*frac
+            # at rank q*(n-1), per group (same math as _quantile_cont)
+            pos = q * (sizes - 1)
+            fl = np.floor(pos)
+            lo = starts + fl.astype(np.int64)
+            frac = pos - fl
+            hi = np.minimum(lo + 1, ends - 1)
+            res = vs[lo] + (vs[hi] - vs[lo]) * frac
+            return np.rint(res * scale) / scale
+
         return pa.table({
-            "event_type": pa.array(names, pa.string()),
-            "n": pa.array(ns, pa.int64()),
-            "p50": pa.array(p50s, pa.float64()),
-            "p95": pa.array(p95s, pa.float64()),
+            "event_type": d.dictionary.take(pa.array(cs[starts])),
+            "n": pa.array(sizes, pa.int64()),
+            "p50": pa.array(q_at(0.5), pa.float64()),
+            "p95": pa.array(q_at(0.95), pa.float64()),
         })
 
     return hash_exchange(ds, key="event_type", num_buckets=8,

