@@ -112,6 +112,14 @@ def _membw_probe(nbytes: int = 256 << 20, reps: int = 3) -> dict:
     return {"membw_gbps": round(best, 1), "load1": load1}
 
 
+def _membw_probe_settled(settle_sec: float = 3.0) -> dict:
+    """Post-run probe: let ray.shutdown()'s worker teardown finish first
+    (measured: probing immediately after shutdown read 5.0 GB/s on an
+    otherwise-16.8 GB/s box — dying workers, not weather)."""
+    time.sleep(settle_sec)
+    return _membw_probe()
+
+
 def _prefault_plasma(total_bytes: int = 6 << 30, chunk: int = 256 << 20,
                      num_workers: int | None = None):
     """Pre-fault the object store and spawn a WARM worker pool BEFORE any
@@ -170,7 +178,7 @@ def run_er_only(num_cpus: int, n_clusters: int = SCALING_CLUSTERS) -> dict:
     pairs = out["scored"].count()
     wall = time.monotonic() - t0
     ray.shutdown()
-    regime_post = _membw_probe()
+    regime_post = _membw_probe_settled()
     return {
         "regime": {"pre": regime_pre, "post": regime_post},
         "metric": "ER pipeline (assemble->block->pair->score->cluster->eval)",
@@ -249,7 +257,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     timed("ann_topk_filtered", lambda: ann.ann_topk_filtered(sf_dir).count())
 
     ray.shutdown()
-    regime_post = _membw_probe()
+    regime_post = _membw_probe_settled()
 
     total = round(sum(timings.values()), 3)
     er_sec = timings["er_pipeline"]
