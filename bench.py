@@ -83,18 +83,26 @@ def _init_ray(num_cpus: int):
     DataContext.get_current().enable_progress_bars = False
 
 
-def _membw_probe(nbytes: int = 256 << 20, reps: int = 3) -> dict:
+def _membw_probe(nbytes: int = 256 << 20, reps: int = 3,
+                 mt_threads: int = 8) -> dict:
     """Self-adjudicating placement/weather probe: single-thread DRAM copy
-    bandwidth (GB/s, best of ``reps``) plus 1-min load average.
+    bandwidth, 8-thread aggregate copy bandwidth (GB/s, best of ``reps``)
+    and 1-min load average.
 
     This box's documented failure mode (BASELINE.md "regime" notes) is
     host-weather / placement windows that inflate the memory-bound ER
     exchange stages 3-4x while leaving compute-bound queries untouched.
-    The probe reading rides along in the bench JSON so a slow leg is
-    distinguishable from a code regression without a re-run: the
-    calibration table in BASELINE.md maps probe GB/s -> expected
-    er_pipeline band on this box.
+    The single-thread number alone does NOT catch it (a slow-placement
+    leg read 16.4 GB/s 1T while its exchange stages ran 4x slow) — the
+    saturated regime shows up as a depressed MULTI-core aggregate, hence
+    ``membw_mt_gbps``. The readings ride along in the bench JSON so a
+    slow leg is distinguishable from a code regression without a re-run:
+    the calibration table in BASELINE.md maps probe GB/s -> expected
+    er_pipeline band on this box. ``load1`` additionally flags a
+    contaminated leg (concurrent work on the box).
     """
+    import threading
+
     import numpy as np
 
     a = np.ones(nbytes, np.uint8)
@@ -105,11 +113,27 @@ def _membw_probe(nbytes: int = 256 << 20, reps: int = 3) -> dict:
         np.copyto(b, a)
         dt = time.perf_counter() - t0
         best = max(best, (2 * nbytes) / dt / 1e9)  # read + write bytes
+    # multi-thread aggregate: np.copyto releases the GIL for large blocks
+    per = nbytes // mt_threads
+    srcs = [a[i * per:(i + 1) * per] for i in range(mt_threads)]
+    dsts = [b[i * per:(i + 1) * per] for i in range(mt_threads)]
+    best_mt = 0.0
+    for _ in range(reps):
+        ts = [threading.Thread(target=np.copyto, args=(d, s))
+              for d, s in zip(dsts, srcs)]
+        t0 = time.perf_counter()
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        dt = time.perf_counter() - t0
+        best_mt = max(best_mt, (2 * per * mt_threads) / dt / 1e9)
     try:
         load1 = round(os.getloadavg()[0], 1)
     except OSError:
         load1 = None
-    return {"membw_gbps": round(best, 1), "load1": load1}
+    return {"membw_gbps": round(best, 1),
+            "membw_mt_gbps": round(best_mt, 1), "load1": load1}
 
 
 def _membw_probe_settled(settle_sec: float = 3.0) -> dict:
