@@ -329,13 +329,25 @@ def run_scaling() -> dict:
     # wall times on a shared box fluctuate ±15-20%; best-of-N per leg
     # (GRAFT_SCALE_REPS) converges on the machine's true capability
     reps = int(os.environ.get("GRAFT_SCALE_REPS", "1"))
+    # settle between legs: a leg started while the previous leg's load is
+    # still decaying reads its regime probe hot (measured load1 8.2 at a
+    # "fresh" 8-cpu leg start) and pays cache/plasma eviction noise
+    settle = int(os.environ.get("GRAFT_SCALE_SETTLE", "45"))
 
-    def best_of(ncpu: int) -> dict:
-        runs = [run_at(ncpu) for _ in range(reps)]
-        return min(runs, key=lambda r: r["value"])
-
-    r_lo = best_of(lo)
-    r_hi = best_of(hi)
+    # INTERLEAVE legs (lo,hi,lo,hi — not lo,lo,hi,hi): host weather moves
+    # in ~hour windows here (BASELINE regime notes), so grouped reps
+    # sample ONE window per leg and a window edge between the groups
+    # skews the ratio in either direction; interleaving gives each leg a
+    # sample from each window and best-of-N then compares like with like
+    runs_lo, runs_hi = [], []
+    for i in range(reps):
+        if i:
+            time.sleep(settle)
+        runs_lo.append(run_at(lo))
+        time.sleep(settle)
+        runs_hi.append(run_at(hi))
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
     tp_lo = r_lo["pairs_scored_per_sec"]
     tp_hi = r_hi["pairs_scored_per_sec"]
     eff = (tp_hi / tp_lo) / (hi / lo)
@@ -350,6 +362,10 @@ def run_scaling() -> dict:
         "pairs_scored": r_hi["pairs_scored"],
         "f1": r_hi["f1"],
         "scaling_efficiency": round(eff, 3),
+        # full per-rep series (interleaved lo,hi,lo,hi order) so the
+        # artifact shows window-to-window spread, not just the best legs
+        "all_legs": {f"cpu{lo}": [r["value"] for r in runs_lo],
+                     f"cpu{hi}": [r["value"] for r in runs_hi]},
         "regime": {f"cpu{lo}": r_lo.get("regime"),
                    f"cpu{hi}": r_hi.get("regime")},
     }
