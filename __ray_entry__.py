@@ -182,6 +182,26 @@ def _q_er_cluster_sizes(sf_dir: str):
     return sizes.groupby("size").aggregate(Count(alias_name="n_entities"))
 
 
+def _q_er_blocking_report(sf_dir: str):
+    """Blocking-quality audit over the flagship run's candidate set:
+    pairs completeness (gold-pair recall of blocking) + reduction ratio
+    vs the all-pairs search space. Oracle re-derives both from the
+    exported candidate ids and the gold table; float fields are raw
+    quotients of exact int64s (bitwise parity, no rounding)."""
+    import os
+
+    import pandas as pd
+    import ray.data as rd
+
+    from ember_ray.stages.evaluate import blocking_report
+
+    out = _export_er_graph(sf_dir)  # exports er_pairs + links gold
+    gold = rd.read_parquet(
+        os.path.join(_er_corpus(sf_dir), "gold_clusters.parquet"),
+        columns=["conv_id", "cluster_id"])
+    return pd.DataFrame([blocking_report(out["scored"], gold)])
+
+
 def _side_link(name: str, target: str) -> None:
     """Atomically (re)point ``_SIDE_DIR/name`` at ``target`` so the static
     oracle SQL can read the per-sf synthetic corpus parquet."""
@@ -571,6 +591,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_deciles": relational.global_deciles,        # oracle-exact
         "key_skew_report": relational.key_skew_report,      # oracle-exact
         "length_histogram": relational.length_histogram,    # oracle-exact
+        "er_blocking_report": _q_er_blocking_report,        # oracle-exact
         "er_scored_pairs": _q_er_scored,              # rows-only (tfidf/score)
         "mm_features": multimodal.mm_features,              # rows-only
         "distinct_count_hll": sketches.distinct_count_hll,  # rows-only sketch
@@ -1070,6 +1091,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT precision, recall, CASE WHEN precision + recall = 0 "
             "THEN 0.0 ELSE 2 * precision * recall / (precision + recall) END "
             "AS f1, tp, fp, fn, tn FROM m"
+        ),
+        "er_blocking_report": (
+            # floats are raw double quotients/subtractions of exact
+            # BIGINTs — bitwise-identical across engines, no rounding
+            # (the er_similarity_verify precedent)
+            "WITH g AS (SELECT conv_id, cluster_id "
+            f"FROM read_parquet('{_SIDE_DIR}/gold_clusters')), "
+            "cand AS (SELECT conv_id_left, conv_id_right "
+            f"FROM read_parquet('{_SIDE_DIR}/er_pairs/*.parquet')), "
+            "n AS (SELECT count(*) AS n_records FROM g), "
+            "nc AS (SELECT count(*) AS n_candidates FROM cand), "
+            "gp AS (SELECT CAST(sum((k * (k - 1)) // 2) AS BIGINT) "
+            "AS n_gold_pairs FROM "
+            "(SELECT count(*) AS k FROM g GROUP BY cluster_id)), "
+            "m AS (SELECT count(*) AS n_matched FROM cand c "
+            "JOIN g gl ON gl.conv_id = c.conv_id_left "
+            "JOIN g gr ON gr.conv_id = c.conv_id_right "
+            "WHERE gl.cluster_id = gr.cluster_id) "
+            "SELECT n_records, n_candidates, n_gold_pairs, n_matched, "
+            "n_matched::DOUBLE / n_gold_pairs AS pairs_completeness, "
+            "1 - (n_candidates::DOUBLE / "
+            "((n_records * (n_records - 1)) // 2)) AS reduction_ratio "
+            "FROM n, nc, gp, m"
         ),
         "bench_scenario_counts": (
             "WITH names AS (SELECT split FROM "

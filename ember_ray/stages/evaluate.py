@@ -112,6 +112,105 @@ def pairwise_confusion(
     return totals
 
 
+def blocking_report(
+    candidate_pairs,
+    gold,
+    num_partitions: int = 32,
+    broadcast_threshold: int = 5_000_000,
+) -> dict:
+    """Blocking-quality audit: pairs completeness (gold-pair recall of the
+    candidate set) and reduction ratio vs the full n·(n−1)/2 search space
+    — the standard blocking metrics (Christen, *Data Matching*, ch. 7).
+
+    The reference evaluates its matcher only on the blocked candidate
+    table (``src/models/matcher.py:14-24``), so blocking recall silently
+    bounds end-to-end recall; this report makes that bound an explicit,
+    oracle-checkable number.
+
+    Distributed shape: gold-pair mass from ONE groupby over the gold
+    table (per-cluster size k → Σ k·(k−1)/2 via one-row per-batch
+    partials); the candidate scan attaches gold labels map-side (same
+    hybrid broadcast/bucketed rule as :func:`pairwise_confusion`) and
+    reduces each batch to two int64s (matched, total). Nothing
+    materializes; the pair table is read once.
+
+    Float fields are raw IEEE quotients of exact int64s (no rounding):
+    both engines perform the identical double division / subtraction, so
+    oracle parity is bitwise (the ``er_similarity_verify`` precedent).
+    """
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Count
+
+    n_records = gold.count()
+
+    sizes = gold.groupby("cluster_id").aggregate(Count(alias_name="k"))
+
+    def gold_mass(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["k"], dtype=np.int64)
+        return pa.table({"gp": pa.array([int(np.sum(k * (k - 1) // 2))],
+                                        pa.int64())})
+
+    n_gold_pairs = sum(
+        r["gp"]
+        for r in sizes.map_batches(gold_mass,
+                                   batch_format="pyarrow").take_all())
+
+    ds = candidate_pairs.select_columns(["conv_id_left", "conv_id_right"])
+    if n_records <= broadcast_threshold:
+        from ..util import build_sharded_index_async, sharded_lookup
+
+        grefs = build_sharded_index_async(
+            gold.select_columns(["conv_id", "cluster_id"]).materialize(),
+            "conv_id", ["cluster_id"], num_shards=8)
+
+        def attach(batch: pa.Table) -> pa.Table:
+            gidx = [ray.get(r) for r in grefs]
+            return pa.table({
+                "cluster_left": sharded_lookup(
+                    gidx, batch["conv_id_left"], "cluster_id"),
+                "cluster_right": sharded_lookup(
+                    gidx, batch["conv_id_right"], "cluster_id"),
+            })
+
+        ds = ds.map_batches(attach, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    else:
+        ds = _attach(ds, gold, ("conv_id_left", "cluster_left"),
+                     "cluster_id", num_partitions)
+        ds = _attach(ds, gold, ("conv_id_right", "cluster_right"),
+                     "cluster_id", num_partitions)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        matched = int(np.sum(np.asarray(batch["cluster_left"])
+                             == np.asarray(batch["cluster_right"])))
+        return pa.table({
+            "matched": pa.array([matched], pa.int64()),
+            "total": pa.array([batch.num_rows], pa.int64()),
+        })
+
+    n_matched = 0
+    n_candidates = 0
+    for row in ds.map_batches(partial,
+                              batch_format="pyarrow").take_all():
+        n_matched += row["matched"]
+        n_candidates += row["total"]
+
+    search_space = n_records * (n_records - 1) // 2
+    return {
+        "n_records": n_records,
+        "n_candidates": n_candidates,
+        "n_gold_pairs": n_gold_pairs,
+        "n_matched": n_matched,
+        "pairs_completeness": (n_matched / n_gold_pairs
+                               if n_gold_pairs else 0.0),
+        "reduction_ratio": (1.0 - (n_candidates / search_space)
+                            if search_space else 0.0),
+    }
+
+
 def prf(confusion: dict) -> dict:
     """Positive-class precision/recall/F1 (matcher.py:14-24 semantics)."""
     tp, fp, fn = confusion["tp"], confusion["fp"], confusion["fn"]

@@ -238,6 +238,41 @@ def test_pairwise_eval_counts(rd):
         assert m["precision"] == 0.5 and m["recall"] == 0.5 and m["f1"] == 0.5
 
 
+def test_blocking_report_counts(rd):
+    """Planted gold {a,b,c}+{d,e}+singleton f → 4 gold pairs; candidates
+    hit 3 of them plus one cross-cluster pair. Both attach paths
+    (broadcast / bucketed) must agree on every field."""
+    from ember_ray.stages.evaluate import blocking_report
+
+    pairs = rd.from_items(
+        [
+            {"conv_id_left": "a", "conv_id_right": "b"},  # gold
+            {"conv_id_left": "a", "conv_id_right": "c"},  # gold
+            {"conv_id_left": "d", "conv_id_right": "e"},  # gold
+            {"conv_id_left": "a", "conv_id_right": "f"},  # cross-cluster
+        ]
+    )
+    gold = rd.from_items(
+        [
+            {"conv_id": "a", "cluster_id": 1},
+            {"conv_id": "b", "cluster_id": 1},
+            {"conv_id": "c", "cluster_id": 1},
+            {"conv_id": "d", "cluster_id": 2},
+            {"conv_id": "e", "cluster_id": 2},
+            {"conv_id": "f", "cluster_id": 3},
+        ]
+    )
+    for thr in (5_000_000, 0):
+        rep = blocking_report(pairs, gold, num_partitions=2,
+                              broadcast_threshold=thr)
+        assert rep["n_records"] == 6
+        assert rep["n_candidates"] == 4
+        assert rep["n_gold_pairs"] == 4  # C(3,2) + C(2,2 choose) = 3 + 1
+        assert rep["n_matched"] == 3
+        assert rep["pairs_completeness"] == 0.75
+        assert rep["reduction_ratio"] == 1.0 - 4 / 15
+
+
 def test_idf_build(rd):
     from ember_ray.stages.scoring import build_idf
 
