@@ -202,6 +202,27 @@ def _q_er_blocking_report(sf_dir: str):
     return pd.DataFrame([blocking_report(out["scored"], gold)])
 
 
+def _q_er_clustering_report(sf_dir: str):
+    """B³ precision/recall/F1 + Adjusted Rand Index of the predicted
+    partition vs gold — the full-partition agreement metrics the
+    candidate-conditioned er_metrics can't see. Oracle re-derives the
+    partition itself (recursive-CTE closure) and both metrics from the
+    same contingency-table SQL; ARI is bitwise (exact int64 inputs,
+    pinned expression), B³ carries the house round-at-1e6."""
+    import os
+
+    import pandas as pd
+    import ray.data as rd
+
+    from ember_ray.stages.evaluate import clustering_agreement
+
+    out = _export_er_graph(sf_dir)  # exports er_edges + links gold
+    gold = rd.read_parquet(
+        os.path.join(_er_corpus(sf_dir), "gold_clusters.parquet"),
+        columns=["conv_id", "cluster_id"])
+    return pd.DataFrame([clustering_agreement(out["entities"], gold)])
+
+
 def _side_link(name: str, target: str) -> None:
     """Atomically (re)point ``_SIDE_DIR/name`` at ``target`` so the static
     oracle SQL can read the per-sf synthetic corpus parquet."""
@@ -592,6 +613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_skew_report": relational.key_skew_report,      # oracle-exact
         "length_histogram": relational.length_histogram,    # oracle-exact
         "er_blocking_report": _q_er_blocking_report,        # oracle-exact
+        "er_clustering_report": _q_er_clustering_report,    # oracle-exact
         "er_scored_pairs": _q_er_scored,              # rows-only (tfidf/score)
         "mm_features": multimodal.mm_features,              # rows-only
         "distinct_count_hll": sketches.distinct_count_hll,  # rows-only sketch
@@ -1114,6 +1136,46 @@ def oracle_sql() -> dict[str, str]:
             "1 - (n_candidates::DOUBLE / "
             "((n_records * (n_records - 1)) // 2)) AS reduction_ratio "
             "FROM n, nc, gp, m"
+        ),
+        "er_clustering_report": (
+            # contingency table of the re-derived closure vs gold; ARI
+            # from exact BIGINT pair masses via a pinned double
+            # expression (bitwise); B³ sums are order-sensitive float
+            # sums → house round-at-1e6 on P/R, F1 a pinned expression
+            # of the two rounded values
+            f"WITH RECURSIVE {_CC_SQL}, "
+            "g AS (SELECT conv_id, cluster_id "
+            f"FROM read_parquet('{_SIDE_DIR}/gold_clusters')), "
+            "j AS (SELECT e.entity_id, g.cluster_id FROM ent e "
+            "JOIN g ON g.conv_id = e.conv_id), "
+            "ct AS (SELECT entity_id, cluster_id, count(*) AS nij "
+            "FROM j GROUP BY entity_id, cluster_id), "
+            "ep AS (SELECT CAST(sum(nij * nij) AS BIGINT) AS s2, "
+            "CAST(sum(nij) AS BIGINT) AS ni FROM ct GROUP BY entity_id), "
+            "cp AS (SELECT CAST(sum(nij * nij) AS BIGINT) AS s2, "
+            "CAST(sum(nij) AS BIGINT) AS mj FROM ct GROUP BY cluster_id), "
+            "te AS (SELECT CAST(sum(ni) AS BIGINT) AS nrec, "
+            "CAST(sum((ni * (ni - 1)) // 2) AS BIGINT) AS si, "
+            "sum(s2::DOUBLE / ni) AS bp FROM ep), "
+            "tc AS (SELECT CAST(sum((mj * (mj - 1)) // 2) AS BIGINT) AS sj, "
+            "sum(s2::DOUBLE / mj) AS br FROM cp), "
+            "tb AS (SELECT CAST(sum((nij * (nij - 1)) // 2) AS BIGINT) "
+            "AS sij FROM ct), "
+            "fin AS (SELECT nrec, si, sj, sij, "
+            "round(bp / nrec * 1000000) / 1000000 AS bcubed_precision, "
+            "round(br / nrec * 1000000) / 1000000 AS bcubed_recall, "
+            "(si::DOUBLE * sj::DOUBLE) / "
+            "(((nrec * (nrec - 1)) // 2)::DOUBLE) AS expv "
+            "FROM te, tc, tb) "
+            "SELECT nrec AS n_records, si AS sum_pairs_pred, "
+            "sj AS sum_pairs_gold, sij AS sum_pairs_both, "
+            "CASE WHEN ((si + sj) / 2.0 - expv) = 0 THEN 1.0 "
+            "ELSE (sij::DOUBLE - expv) / ((si + sj) / 2.0 - expv) END "
+            "AS ari, bcubed_precision, bcubed_recall, "
+            "CASE WHEN bcubed_precision + bcubed_recall = 0 THEN 0.0 "
+            "ELSE 2 * bcubed_precision * bcubed_recall / "
+            "(bcubed_precision + bcubed_recall) END AS bcubed_f1 "
+            "FROM fin"
         ),
         "bench_scenario_counts": (
             "WITH names AS (SELECT split FROM "

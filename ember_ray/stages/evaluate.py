@@ -15,6 +15,7 @@ P/R/F1 — no materialization of the pair table.
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _broadcast_attach(pairs, entities, gold):
@@ -208,6 +209,147 @@ def blocking_report(
                                if n_gold_pairs else 0.0),
         "reduction_ratio": (1.0 - (n_candidates / search_space)
                             if search_space else 0.0),
+    }
+
+
+def clustering_agreement(
+    entities,
+    gold,
+    num_partitions: int = 32,
+    broadcast_threshold: int = 5_000_000,
+) -> dict:
+    """B³ (B-cubed) precision/recall/F1 (Bagga & Baldwin 1998) and the
+    Adjusted Rand Index over the predicted-vs-gold clustering — the two
+    standard clustering-agreement metrics beyond candidate-conditioned
+    pairwise F1 (:func:`pairwise_confusion` evaluates only on blocked
+    pairs; these evaluate the full partition).
+
+    Everything derives from the (entity_id, cluster_id) contingency
+    table: one map-side gold attach (hybrid broadcast/bucketed, same
+    rule as the confusion), one groupby to exact n_ij counts, then two
+    small groupbys OVER the contingency (≪ records) for per-entity /
+    per-cluster marginals. ARI's inputs (Σ C(n_ij,2), Σ C(n_i,2),
+    Σ C(m_j,2), C(N,2)) are exact int64s, so its float expression is
+    computed in a pinned order on both engines — bitwise parity, no
+    rounding. The B³ sums (Σ s2_i/n_i) are order-sensitive float sums,
+    so P and R carry the house round-at-1e6; F1 is then a pinned
+    expression of the two rounded values.
+    """
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = entities.select_columns(["conv_id", "entity_id"])
+    if gold.count() <= broadcast_threshold:
+        from ..util import build_sharded_index_async, sharded_lookup
+
+        grefs = build_sharded_index_async(
+            gold.select_columns(["conv_id", "cluster_id"]).materialize(),
+            "conv_id", ["cluster_id"], num_shards=8)
+
+        def attach(batch: pa.Table) -> pa.Table:
+            gidx = [ray.get(r) for r in grefs]
+            return pa.table({
+                "entity_id": batch["entity_id"],
+                "cluster_id": sharded_lookup(
+                    gidx, batch["conv_id"], "cluster_id"),
+            })
+
+        joined = ds.map_batches(attach, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    else:
+        from ..util import bucketed_join
+
+        joined = bucketed_join(
+            ds, gold.select_columns(["conv_id", "cluster_id"]),
+            on="conv_id", num_buckets=num_partitions,
+        ).select_columns(["entity_id", "cluster_id"])
+
+    def ct_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["entity_id", "cluster_id"]).aggregate(
+            [([], "count_all")])
+        return pa.table({
+            "entity_id": g["entity_id"],
+            "cluster_id": g["cluster_id"],
+            "nij": pc.cast(g["count_all"], pa.int64()),
+        })
+
+    # materialize at the shuffle boundary: the marginal groupbys below
+    # must not pipeline into this exchange (CLAUDE.md all-to-all rule)
+    ct = (joined.map_batches(ct_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+          .groupby(["entity_id", "cluster_id"])
+          .aggregate(Sum("nij", alias_name="nij"))
+          .materialize())
+
+    def marginal(key: str):
+        """One pass over the contingency: per-`key` (Σ nij², Σ nij),
+        then tiny per-batch partials of the B³ float sum + exact pair
+        mass + record count."""
+
+        def pre(batch: pa.Table) -> pa.Table:
+            n = pc.cast(batch["nij"], pa.int64())
+            g = (batch.set_column(
+                    batch.schema.get_field_index("nij"), "nij", n)
+                 .append_column("s2", pc.multiply(n, n))
+                 .group_by([key])
+                 .aggregate([("s2", "sum"), ("nij", "sum")]))
+            return pa.table({key: g[key], "s2": g["s2_sum"],
+                             "size": g["nij_sum"]})
+
+        agg = (ct.map_batches(pre, batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .groupby(key)
+               .aggregate(Sum("s2", alias_name="s2"),
+                          Sum("size", alias_name="size")))
+
+        def fin(batch: pa.Table) -> pa.Table:
+            s2 = np.asarray(batch["s2"], dtype=np.int64)
+            sz = np.asarray(batch["size"], dtype=np.int64)
+            return pa.table({
+                "b3": pa.array([float(np.sum(s2 / sz))], pa.float64()),
+                "pairs": pa.array([int(np.sum(sz * (sz - 1) // 2))],
+                                  pa.int64()),
+                "n": pa.array([int(np.sum(sz))], pa.int64()),
+            })
+
+        b3 = pairs = n = 0
+        for row in agg.map_batches(fin,
+                                   batch_format="pyarrow").take_all():
+            b3 += row["b3"]
+            pairs += row["pairs"]
+            n += row["n"]
+        return b3, pairs, n
+
+    bp_sum, si, n_records = marginal("entity_id")
+    br_sum, sj, _ = marginal("cluster_id")
+
+    def sij_partial(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch["nij"], dtype=np.int64)
+        return pa.table({"sij": pa.array([int(np.sum(n * (n - 1) // 2))],
+                                         pa.int64())})
+
+    sij = sum(r["sij"] for r in ct.map_batches(
+        sij_partial, batch_format="pyarrow").take_all())
+
+    p = float(np.rint(bp_sum / n_records * 1e6) / 1e6)
+    r = float(np.rint(br_sum / n_records * 1e6) / 1e6)
+    f1 = 2 * p * r / (p + r) if p + r else 0.0
+
+    cn2 = n_records * (n_records - 1) // 2
+    exp = (float(si) * float(sj)) / float(cn2)
+    den = (si + sj) / 2.0 - exp
+    ari = (float(sij) - exp) / den if den else 1.0
+
+    return {
+        "n_records": n_records,
+        "sum_pairs_pred": si,
+        "sum_pairs_gold": sj,
+        "sum_pairs_both": sij,
+        "ari": ari,
+        "bcubed_precision": p,
+        "bcubed_recall": r,
+        "bcubed_f1": f1,
     }
 
 

@@ -273,6 +273,47 @@ def test_blocking_report_counts(rd):
         assert rep["reduction_ratio"] == 1.0 - 4 / 15
 
 
+def test_clustering_agreement_planted(rd):
+    """Gold {a,b,c}+{d,e}+{f} vs predicted {a,b}+{c,d,e}+{f}: by hand
+    B³P = B³R = 14/18 ≈ 0.777778 and ARI = (2−16/15)/(4−16/15) = 7/22.
+    Both attach paths must agree."""
+    from ember_ray.stages.evaluate import clustering_agreement
+
+    entities = rd.from_items(
+        [
+            {"conv_id": "a", "entity_id": "e1"},
+            {"conv_id": "b", "entity_id": "e1"},
+            {"conv_id": "c", "entity_id": "e2"},
+            {"conv_id": "d", "entity_id": "e2"},
+            {"conv_id": "e", "entity_id": "e2"},
+            {"conv_id": "f", "entity_id": "e3"},
+        ]
+    )
+    gold = rd.from_items(
+        [
+            {"conv_id": "a", "cluster_id": 1},
+            {"conv_id": "b", "cluster_id": 1},
+            {"conv_id": "c", "cluster_id": 1},
+            {"conv_id": "d", "cluster_id": 2},
+            {"conv_id": "e", "cluster_id": 2},
+            {"conv_id": "f", "cluster_id": 3},
+        ]
+    )
+    for thr in (5_000_000, 0):
+        rep = clustering_agreement(entities, gold, num_partitions=2,
+                                   broadcast_threshold=thr)
+        assert rep["n_records"] == 6
+        assert rep["sum_pairs_pred"] == 4   # C(2,2)+C(3,2)
+        assert rep["sum_pairs_gold"] == 4   # C(3,2)+C(2,2)
+        assert rep["sum_pairs_both"] == 2   # (e1,1)=2 and (e2,2)=2
+        assert rep["bcubed_precision"] == 0.777778  # round-at-1e6
+        assert rep["bcubed_recall"] == 0.777778
+        # pinned expression of the two rounded values (not == p: the
+        # 2pr/(p+r) float round-trip is off by one ulp)
+        assert rep["bcubed_f1"] == 2 * 0.777778 * 0.777778 / (0.777778 + 0.777778)
+        assert rep["ari"] == (2.0 - 16.0 / 15.0) / (4.0 - 16.0 / 15.0)
+
+
 def test_idf_build(rd):
     from ember_ray.stages.scoring import build_idf
 
