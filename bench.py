@@ -128,12 +128,37 @@ def _membw_probe(nbytes: int = 256 << 20, reps: int = 3,
             t.join()
         dt = time.perf_counter() - t0
         best_mt = max(best_mt, (2 * per * mt_threads) / dt / 1e9)
+    # random-gather aggregate: the sequential-copy numbers above are
+    # BLIND to the documented 2026-08-19-boot failure mode (8-cpu
+    # exchange stages 8x slow while both copy numbers read quiet-band —
+    # see BASELINE PROBE CALIBRATION). The exchange's memory pattern is
+    # scattered, not streaming, so probe it directly: 8 threads each
+    # np.take-gathering 8M float64s through a fixed random permutation
+    # (deterministic seed; GB/s counts the random-read side only).
+    n_el = per // 8  # float64 elements per thread from the same buffers
+    rng = np.random.default_rng(0)
+    idx = rng.permutation(n_el)
+    gsrcs = [s.view(np.float64)[:n_el] for s in srcs]
+    gdsts = [d.view(np.float64)[:n_el] for d in dsts]
+    best_sc = 0.0
+    for _ in range(reps):
+        ts = [threading.Thread(target=np.take, args=(s, idx),
+                               kwargs={"out": d})
+              for s, d in zip(gsrcs, gdsts)]
+        t0 = time.perf_counter()
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        dt = time.perf_counter() - t0
+        best_sc = max(best_sc, (8 * n_el * mt_threads) / dt / 1e9)
     try:
         load1 = round(os.getloadavg()[0], 1)
     except OSError:
         load1 = None
     return {"membw_gbps": round(best, 1),
-            "membw_mt_gbps": round(best_mt, 1), "load1": load1}
+            "membw_mt_gbps": round(best_mt, 1),
+            "scatter_mt_gbps": round(best_sc, 1), "load1": load1}
 
 
 def _membw_probe_settled(settle_sec: float = 3.0) -> dict:
