@@ -223,6 +223,18 @@ def _q_er_clustering_report(sf_dir: str):
     return pd.DataFrame([clustering_agreement(out["entities"], gold)])
 
 
+def _q_er_golden_records(sf_dir: str):
+    """Survivorship: one merged golden record per predicted entity
+    (stable-id + most-complete-record + additive rules — see
+    stages/survivorship.py). All-integer/string output; the oracle
+    re-derives the partition via the recursive-CTE closure and the
+    member text masses via the same string_agg assembly."""
+    from ember_ray.stages.survivorship import golden_records
+
+    out = _export_er_graph(sf_dir)  # exports er_edges for _CC_SQL
+    return golden_records(out["conversations"], out["entities"])
+
+
 def _side_link(name: str, target: str) -> None:
     """Atomically (re)point ``_SIDE_DIR/name`` at ``target`` so the static
     oracle SQL can read the per-sf synthetic corpus parquet."""
@@ -614,6 +626,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_histogram": relational.length_histogram,    # oracle-exact
         "er_blocking_report": _q_er_blocking_report,        # oracle-exact
         "er_clustering_report": _q_er_clustering_report,    # oracle-exact
+        "er_golden_records": _q_er_golden_records,          # oracle-exact
         "er_scored_pairs": _q_er_scored,              # rows-only (tfidf/score)
         "mm_features": multimodal.mm_features,              # rows-only
         "distinct_count_hll": sketches.distinct_count_hll,  # rows-only sketch
@@ -1176,6 +1189,33 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 2 * bcubed_precision * bcubed_recall / "
             "(bcubed_precision + bcubed_recall) END AS bcubed_f1 "
             "FROM fin"
+        ),
+        "er_golden_records": (
+            # all-integer/string survivorship — no float recipe; the
+            # partition comes from the same recursive-CTE closure and
+            # the member text masses from the same string_agg assembly
+            # the er_conversations oracle uses
+            f"WITH RECURSIVE {_CC_SQL}, "
+            "cv AS (SELECT conv_id, count(*) AS n_turns, "
+            "length(string_agg(text, chr(10) ORDER BY turn_idx)) "
+            "AS n_chars "
+            f"FROM read_parquet('{_SIDE_DIR}/transcripts/*.parquet') "
+            "GROUP BY conv_id), "
+            "c2 AS (SELECT e.entity_id, c.conv_id, c.n_turns, c.n_chars "
+            "FROM cv c JOIN ent e ON e.conv_id = c.conv_id), "
+            "base AS (SELECT entity_id, "
+            "min(conv_id) AS canonical_conv_id, "
+            "count(*) AS n_conversations, "
+            "CAST(sum(n_turns) AS BIGINT) AS n_turns, "
+            "CAST(sum(n_chars) AS BIGINT) AS n_chars "
+            "FROM c2 GROUP BY entity_id), "
+            "rep AS (SELECT entity_id, conv_id AS rep_conv_id, "
+            "n_chars AS rep_n_chars FROM c2 "
+            "QUALIFY row_number() OVER (PARTITION BY entity_id "
+            "ORDER BY n_chars DESC, conv_id) = 1) "
+            "SELECT b.entity_id, b.canonical_conv_id, b.n_conversations, "
+            "b.n_turns, b.n_chars, r.rep_conv_id, r.rep_n_chars "
+            "FROM base b JOIN rep r ON r.entity_id = b.entity_id"
         ),
         "bench_scenario_counts": (
             "WITH names AS (SELECT split FROM "

@@ -314,6 +314,56 @@ def test_clustering_agreement_planted(rd):
         assert rep["ari"] == (2.0 - 16.0 / 15.0) / (4.0 - 16.0 / 15.0)
 
 
+def test_golden_records_rules(rd):
+    """Survivorship rules: canonical = min conv_id, rep = longest text
+    with ties to the smaller conv_id, masses additive. Both attach
+    paths must agree."""
+    import pandas as pd
+
+    from ember_ray.stages.survivorship import golden_records
+
+    convs = rd.from_items(
+        [
+            {"conv_id": "a", "n_turns": 2, "text": "aaaa"},
+            {"conv_id": "b", "n_turns": 1, "text": "bbbbbb"},
+            {"conv_id": "c", "n_turns": 1, "text": "cc"},
+            {"conv_id": "d", "n_turns": 3, "text": "ddd"},
+            {"conv_id": "e", "n_turns": 1, "text": "eee"},
+        ]
+    )
+    entities = rd.from_items(
+        [
+            {"conv_id": "a", "entity_id": "e1"},
+            {"conv_id": "b", "entity_id": "e1"},
+            {"conv_id": "c", "entity_id": "e2"},
+            {"conv_id": "d", "entity_id": "e3"},
+            {"conv_id": "e", "entity_id": "e3"},
+        ]
+    )
+    for thr in (5_000_000, 0):
+        got = (golden_records(convs, entities, num_partitions=2,
+                              broadcast_threshold=thr)
+               .to_pandas().sort_values("entity_id").reset_index(drop=True))
+        want = pd.DataFrame(
+            {
+                "entity_id": ["e1", "e2", "e3"],
+                "canonical_conv_id": ["a", "c", "d"],
+                "n_conversations": [2, 1, 2],
+                "n_turns": [3, 1, 4],
+                "n_chars": [10, 2, 6],
+                "rep_conv_id": ["b", "c", "d"],  # e3 tie at 3 → min id
+                "rep_n_chars": [6, 2, 3],
+            }
+        )
+        pd.testing.assert_frame_equal(
+            got[want.columns].astype({c: "int64" for c in
+                                      ("n_conversations", "n_turns",
+                                       "n_chars", "rep_n_chars")}),
+            want.astype({c: "int64" for c in
+                         ("n_conversations", "n_turns",
+                          "n_chars", "rep_n_chars")}))
+
+
 def test_idf_build(rd):
     from ember_ray.stages.scoring import build_idf
 
