@@ -235,6 +235,24 @@ def _q_er_golden_records(sf_dir: str):
     return golden_records(out["conversations"], out["entities"])
 
 
+def _q_er_incremental(sf_dir: str):
+    """Incremental ER admission: every NEW conversation (deterministic
+    ``conv_id LIKE '%0'`` stand-in, ≈10%) matched independently against
+    the OLD corpus's entity catalog (closure over old-old edges only).
+    The above-threshold (new, old, score) candidates are exported, so
+    DuckDB independently re-derives the old catalog (recursive-CTE
+    closure over the suffix-filtered edges), the per-new argmax
+    (score DESC, old_id ASC), and the final assignment."""
+    import os
+
+    from ember_ray.pipelines.er_incremental import incremental_match
+
+    out = _export_er_graph(sf_dir)  # exports er_edges + links transcripts
+    return incremental_match(
+        out["scored"], out["conversations"], threshold=_er_cfg().threshold,
+        export_candidates=os.path.join(_SIDE_DIR, "er_inc_cands"))
+
+
 def _side_link(name: str, target: str) -> None:
     """Atomically (re)point ``_SIDE_DIR/name`` at ``target`` so the static
     oracle SQL can read the per-sf synthetic corpus parquet."""
@@ -627,6 +645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_blocking_report": _q_er_blocking_report,        # oracle-exact
         "er_clustering_report": _q_er_clustering_report,    # oracle-exact
         "er_golden_records": _q_er_golden_records,          # oracle-exact
+        "er_incremental": _q_er_incremental,                # oracle-exact
         "er_scored_pairs": _q_er_scored,              # rows-only (tfidf/score)
         "mm_features": multimodal.mm_features,              # rows-only
         "distinct_count_hll": sketches.distinct_count_hll,  # rows-only sketch
@@ -1216,6 +1235,43 @@ def oracle_sql() -> dict[str, str]:
             "SELECT b.entity_id, b.canonical_conv_id, b.n_conversations, "
             "b.n_turns, b.n_chars, r.rep_conv_id, r.rep_n_chars "
             "FROM base b JOIN rep r ON r.entity_id = b.entity_id"
+        ),
+        "er_incremental": (
+            # old catalog = min-label closure over old-old edges only
+            # (the state the previous full run left behind); candidates
+            # are the engine-exported above-threshold (new, old, score)
+            # triples — the same evidentiary standard as er_entities
+            # (engine-scored edges, independently re-derived closure +
+            # argmax + assignment)
+            "WITH RECURSIVE conv0 AS (SELECT DISTINCT conv_id FROM "
+            f"read_parquet('{_SIDE_DIR}/transcripts/*.parquet') "
+            "WHERE conv_id NOT LIKE '%0'), "
+            "e0 AS (SELECT src, dst FROM "
+            f"read_parquet('{_SIDE_DIR}/er_edges/*.parquet') "
+            "WHERE src NOT LIKE '%0' AND dst NOT LIKE '%0'), "
+            "sym0 AS (SELECT src AS a, dst AS b FROM e0 UNION "
+            "SELECT dst AS a, src AS b FROM e0), "
+            "walk0(node, label) AS ("
+            "SELECT conv_id, conv_id FROM conv0 "
+            "UNION "
+            "SELECT s.b, w.label FROM walk0 w JOIN sym0 s ON s.a = w.node "
+            "WHERE w.label < s.b), "
+            "ent0 AS (SELECT node AS conv_id, min(label) AS entity_id "
+            "FROM walk0 GROUP BY node), "
+            "cand AS (SELECT new_id, old_id, score FROM "
+            f"read_parquet('{_SIDE_DIR}/er_inc_cands/*.parquet')), "
+            "best AS (SELECT new_id, old_id FROM cand "
+            "QUALIFY row_number() OVER (PARTITION BY new_id "
+            "ORDER BY score DESC, old_id) = 1), "
+            "nc AS (SELECT DISTINCT conv_id FROM "
+            f"read_parquet('{_SIDE_DIR}/transcripts/*.parquet') "
+            "WHERE conv_id LIKE '%0') "
+            "SELECT n.conv_id, "
+            "CASE WHEN b.old_id IS NOT NULL THEN e.entity_id "
+            "ELSE n.conv_id END AS entity_id, "
+            "coalesce(b.old_id, '') AS matched_conv "
+            "FROM nc n LEFT JOIN best b ON b.new_id = n.conv_id "
+            "LEFT JOIN ent0 e ON e.conv_id = b.old_id"
         ),
         "bench_scenario_counts": (
             "WITH names AS (SELECT split FROM "

@@ -364,6 +364,35 @@ def test_golden_records_rules(rd):
                           "n_chars", "rep_n_chars")}))
 
 
+def test_incremental_match_semantics(rd):
+    """New records x0/y0 vs old catalog {a1,b1}+{c1}+{d1}: x0 ties at
+    0.95 between b1 and d1 → smaller id b1 wins → entity a1 (b1's
+    closure label); y0's only candidate is below threshold → founds its
+    own entity; the new-new pair (x0,y0) must be ignored."""
+    from ember_ray.pipelines.er_incremental import incremental_match
+
+    scored = rd.from_items(
+        [
+            {"conv_id_left": "a1", "conv_id_right": "b1", "score": 0.9},
+            {"conv_id_left": "x0", "conv_id_right": "b1", "score": 0.95},
+            {"conv_id_left": "d1", "conv_id_right": "x0", "score": 0.95},
+            {"conv_id_left": "y0", "conv_id_right": "c1", "score": 0.4},
+            {"conv_id_left": "x0", "conv_id_right": "y0", "score": 0.99},
+        ]
+    )
+    convs = rd.from_items(
+        [{"conv_id": c} for c in ("a1", "b1", "c1", "d1", "x0", "y0")]
+    )
+    got = (incremental_match(scored, convs, threshold=0.5,
+                             num_buckets=2, num_partitions=2)
+           .to_pandas().set_index("conv_id").sort_index())
+    assert list(got.index) == ["x0", "y0"]
+    assert got.loc["x0", "matched_conv"] == "b1"
+    assert got.loc["x0", "entity_id"] == "a1"
+    assert got.loc["y0", "matched_conv"] == ""
+    assert got.loc["y0", "entity_id"] == "y0"
+
+
 def test_idf_build(rd):
     from ember_ray.stages.scoring import build_idf
 
