@@ -642,6 +642,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_deciles": relational.global_deciles,        # oracle-exact
         "key_skew_report": relational.key_skew_report,      # oracle-exact
         "length_histogram": relational.length_histogram,    # oracle-exact
+        "weighted_sample": curation.weighted_sample,        # oracle-exact
         "er_blocking_report": _q_er_blocking_report,        # oracle-exact
         "er_clustering_report": _q_er_clustering_report,    # oracle-exact
         "er_golden_records": _q_er_golden_records,          # oracle-exact
@@ -1478,6 +1479,13 @@ def oracle_sql() -> dict[str, str]:
         "length_histogram": (
             "SELECT (n_chars // 100) * 100 AS bin, count(*) AS n "
             "FROM documents GROUP BY bin"
+        ),
+        "weighted_sample": (
+            # pinned float expression over exact integers (same
+            # divide/multiply order as the kernel) — no rounding needed
+            "SELECT doc_id, n_chars FROM documents WHERE "
+            f"(('0x' || substr(md5({norm}), 1, 13))::BIGINT + 1) "
+            "/ 4503599627370497.0 * 20000.0 < n_chars"
         ),
         "upsert_merge": (
             # the merged table must equal the v2 derivation (same rules

@@ -310,6 +310,47 @@ def stratified_sample(sf_dir: str, fracs: dict | None = None):
                           zero_copy_batch=True)
 
 
+WEIGHTED_SAMPLE_SCALE = 20000.0  # chars: inclusion prob = min(1, n/SCALE)
+
+
+def weighted_sample(sf_dir: str, scale: float = WEIGHTED_SAMPLE_SCALE):
+    """Deterministic weighted Bernoulli sampling: include each document
+    with probability proportional to its length (min(1, n_chars/scale))
+    — the token-budget-proportional corpus-mixing draw (longer documents
+    carry more training tokens, so length-proportional inclusion keeps
+    the sampled TOKEN mass unbiased at a fixed document budget; see
+    Efraimidis & Spirakis 2006 for the weighted-sampling family). The
+    per-doc uniform is content-derived — first 13 hex chars of the
+    normalized-text md5 mapped to (0, 1] — so the draw is reproducible
+    across runs, engines and partitionings (no RNG state), and, like
+    :func:`stratified_sample`, a larger ``scale`` selects a subset of a
+    smaller one.
+
+    Float parity is by PINNED EXPRESSION over exact integers on both
+    engines — keep iff ``((h13 + 1) / (2^52 + 1)) * scale < n_chars``
+    with identical divide/multiply order; no transcendentals, no
+    rounding (the Efraimidis–Spirakis ``u^(1/w)`` key needs ``pow``,
+    whose libm implementations differ across engines — Bernoulli
+    inclusion gives the same proportionality with arithmetic only).
+    Pure streaming map_batches; nothing shuffles, nothing gathers."""
+    from ..functions.text import normalize
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def _keep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_chars": pa.array([], pa.int64())})
+        fp = _md5_fps(normalize(t["text"]))
+        h = np.array([int(s[:13], 16) for s in fp.to_pylist()], np.int64)
+        u = (h + 1) / 4503599627370497.0
+        keep = pa.array(u * scale < np.asarray(t["n_chars"], np.int64))
+        return t.select(["doc_id", "n_chars"]).filter(keep)
+
+    return ds.map_batches(_keep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 NGRAM_DECON_N = 5  # gram width for the fuzzy contamination screen
 
 

@@ -195,6 +195,25 @@ def test_stratified_sample_subset_and_rates(ray_session):
     assert 0.35 < rate < 0.65  # md5 uniformity at corpus size
 
 
+def test_weighted_sample_subset_and_bias(ray_session):
+    """Length-weighted Bernoulli draw: a larger scale (lower inclusion
+    prob) selects a SUBSET of a smaller one, resampling is
+    byte-identical, and the sample is length-biased (mean n_chars above
+    the corpus mean)."""
+    import pyarrow.parquet as pq
+
+    from ember_ray.pipelines.curation import weighted_sample
+
+    lo = weighted_sample(SF_DIR, scale=10_000.0).to_pandas()
+    hi = weighted_sample(SF_DIR, scale=40_000.0).to_pandas()
+    again = weighted_sample(SF_DIR, scale=10_000.0).to_pandas()
+    assert len(hi) and set(hi["doc_id"]) <= set(lo["doc_id"])
+    assert sorted(again["doc_id"]) == sorted(lo["doc_id"])
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet",
+                         columns=["n_chars"]).to_pandas()
+    assert lo["n_chars"].mean() > docs["n_chars"].mean()
+
+
 def test_shuffle_order_partition_invariance(ray_session):
     """The content-hash training order is a permutation (every pos
     exactly once) and must not depend on the input block layout."""
