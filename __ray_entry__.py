@@ -101,7 +101,7 @@ def _export_er_graph(sf_dir: str) -> dict:
     _side_link("gold_clusters", os.path.join(corpus, "gold_clusters.parquet"))
     for name, ds in (
         ("er_pairs", out["scored"].select_columns(
-            ["conv_id_left", "conv_id_right"])),
+            ["conv_id_left", "conv_id_right", "score"])),
         ("er_edges", edges_from_scores(out["scored"],
                                        threshold=_er_cfg().threshold)),
     ):
@@ -251,6 +251,49 @@ def _q_er_incremental(sf_dir: str):
     return incremental_match(
         out["scored"], out["conversations"], threshold=_er_cfg().threshold,
         export_candidates=os.path.join(_SIDE_DIR, "er_inc_cands"))
+
+
+def _q_er_review_queue(sf_dir: str, band: float = 0.1, k: int = 200):
+    """Active-learning review queue: the k candidate pairs whose score
+    lies closest to the decision threshold (within ±band) — the pairs a
+    human labeler or threshold-tuning pass should see first. Per-batch
+    local top-k partials (each batch emits ≤ k rows), one bounded
+    driver merge of k × n_batches rows — the ann_topk shape. The
+    engine-computed scores are exported with er_pairs, so DuckDB
+    re-derives band membership, the uncertainty ordering, and the
+    cut independently; uncertainty = abs(score − τ) is the identical
+    float expression on both engines (no rounding)."""
+    import pandas as pd
+
+    out = _export_er_graph(sf_dir)  # exports er_pairs incl. score
+    tau = _er_cfg().threshold
+    scored = out["scored"].select_columns(
+        ["conv_id_left", "conv_id_right", "score"])
+
+    def part(t: "pa.Table"):
+        import numpy as np
+        import pyarrow as pa
+
+        s = np.asarray(t["score"], np.float64)
+        d = np.abs(s - tau)
+        keep = d <= band
+        tt = t.filter(pa.array(keep))
+        if tt.num_rows == 0:
+            return pa.table({"conv_id_left": pa.array([], pa.string()),
+                             "conv_id_right": pa.array([], pa.string()),
+                             "score": pa.array([], pa.float64()),
+                             "uncertainty": pa.array([], pa.float64())})
+        df = tt.to_pandas()
+        df["uncertainty"] = d[keep]
+        df = df.sort_values(
+            ["uncertainty", "conv_id_left", "conv_id_right"]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = scored.map_batches(part, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+    return (parts.sort_values(["uncertainty", "conv_id_left",
+                               "conv_id_right"])
+            .head(k).reset_index(drop=True))
 
 
 def _side_link(name: str, target: str) -> None:
@@ -647,6 +690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_clustering_report": _q_er_clustering_report,    # oracle-exact
         "er_golden_records": _q_er_golden_records,          # oracle-exact
         "er_incremental": _q_er_incremental,                # oracle-exact
+        "er_review_queue": _q_er_review_queue,              # oracle-exact
         "er_scored_pairs": _q_er_scored,              # rows-only (tfidf/score)
         "mm_features": multimodal.mm_features,              # rows-only
         "distinct_count_hll": sketches.distinct_count_hll,  # rows-only sketch
@@ -1273,6 +1317,16 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(b.old_id, '') AS matched_conv "
             "FROM nc n LEFT JOIN best b ON b.new_id = n.conv_id "
             "LEFT JOIN ent0 e ON e.conv_id = b.old_id"
+        ),
+        "er_review_queue": (
+            # band membership, uncertainty ordering and the cut all
+            # re-derived from the exported engine scores; abs(score-τ)
+            # is the identical float expression on both engines
+            "SELECT conv_id_left, conv_id_right, score, "
+            f"abs(score - {_er_cfg().threshold}) AS uncertainty "
+            f"FROM read_parquet('{_SIDE_DIR}/er_pairs/*.parquet') "
+            f"WHERE abs(score - {_er_cfg().threshold}) <= 0.1 "
+            "ORDER BY uncertainty, conv_id_left, conv_id_right LIMIT 200"
         ),
         "bench_scenario_counts": (
             "WITH names AS (SELECT split FROM "
