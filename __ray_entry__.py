@@ -296,6 +296,24 @@ def _q_er_review_queue(sf_dir: str, band: float = 0.1, k: int = 200):
             .head(k).reset_index(drop=True))
 
 
+def _q_er_score_calibration(sf_dir: str):
+    """Score-bin × gold-label counts over the candidate pairs (floor
+    2%-bins) — the exact-integer calibration table behind threshold
+    selection. DuckDB re-derives bins and both counts from the exported
+    scores + the gold table."""
+    import os
+
+    import ray.data as rd
+
+    from ember_ray.stages.evaluate import score_calibration
+
+    out = _export_er_graph(sf_dir)  # exports er_pairs incl. score
+    gold = rd.read_parquet(
+        os.path.join(_er_corpus(sf_dir), "gold_clusters.parquet"),
+        columns=["conv_id", "cluster_id"])
+    return score_calibration(out["scored"], gold)
+
+
 def _side_link(name: str, target: str) -> None:
     """Atomically (re)point ``_SIDE_DIR/name`` at ``target`` so the static
     oracle SQL can read the per-sf synthetic corpus parquet."""
@@ -691,6 +709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_golden_records": _q_er_golden_records,          # oracle-exact
         "er_incremental": _q_er_incremental,                # oracle-exact
         "er_review_queue": _q_er_review_queue,              # oracle-exact
+        "er_score_calibration": _q_er_score_calibration,    # oracle-exact
         "er_scored_pairs": _q_er_scored,              # rows-only (tfidf/score)
         "mm_features": multimodal.mm_features,              # rows-only
         "distinct_count_hll": sketches.distinct_count_hll,  # rows-only sketch
@@ -1327,6 +1346,18 @@ def oracle_sql() -> dict[str, str]:
             f"FROM read_parquet('{_SIDE_DIR}/er_pairs/*.parquet') "
             f"WHERE abs(score - {_er_cfg().threshold}) <= 0.1 "
             "ORDER BY uncertainty, conv_id_left, conv_id_right LIMIT 200"
+        ),
+        "er_score_calibration": (
+            # one float multiply+floor, then pure integer counts — exact
+            "WITH g AS (SELECT conv_id, cluster_id "
+            f"FROM read_parquet('{_SIDE_DIR}/gold_clusters')) "
+            "SELECT floor(score * 50)::BIGINT AS bin, "
+            "count(*) AS n_pairs, "
+            "sum((gl.cluster_id = gr.cluster_id)::INT)::BIGINT AS n_match "
+            f"FROM read_parquet('{_SIDE_DIR}/er_pairs/*.parquet') p "
+            "JOIN g gl ON gl.conv_id = p.conv_id_left "
+            "JOIN g gr ON gr.conv_id = p.conv_id_right "
+            "GROUP BY bin"
         ),
         "bench_scenario_counts": (
             "WITH names AS (SELECT split FROM "

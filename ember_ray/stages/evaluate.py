@@ -353,6 +353,76 @@ def clustering_agreement(
     }
 
 
+def score_calibration(
+    candidate_pairs,
+    gold,
+    n_bins: int = 50,
+    broadcast_threshold: int = 5_000_000,
+    num_partitions: int = 32,
+):
+    """Score-bin × gold-label counts over the candidate pairs — the
+    calibration table behind threshold selection (cumulate from the top
+    bin down and every candidate threshold's precision/recall falls
+    out). All-integer output: bin = floor(score·n_bins), n_pairs,
+    n_match (gold same-cluster) per bin — exact on both engines (one
+    float multiply+floor, then pure counts).
+
+    One pass over the pair stream: gold labels attach map-side (hybrid
+    broadcast/bucketed, the :func:`pairwise_confusion` rule), each batch
+    pre-counts (bin, is_match) with one Arrow group_by, and a tiny
+    groupby over ≤ 2·n_bins·n_batches partial rows finishes."""
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = candidate_pairs.select_columns(
+        ["conv_id_left", "conv_id_right", "score"])
+    if gold.count() <= broadcast_threshold:
+        from ..util import build_sharded_index_async, sharded_lookup
+
+        grefs = build_sharded_index_async(
+            gold.select_columns(["conv_id", "cluster_id"]).materialize(),
+            "conv_id", ["cluster_id"], num_shards=8)
+
+        def attach(batch: pa.Table) -> pa.Table:
+            gidx = [ray.get(r) for r in grefs]
+            return pa.table({
+                "score": batch["score"],
+                "cluster_left": sharded_lookup(
+                    gidx, batch["conv_id_left"], "cluster_id"),
+                "cluster_right": sharded_lookup(
+                    gidx, batch["conv_id_right"], "cluster_id"),
+            })
+
+        ds = ds.map_batches(attach, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    else:
+        ds = _attach(ds, gold, ("conv_id_left", "cluster_left"),
+                     "cluster_id", num_partitions)
+        ds = _attach(ds, gold, ("conv_id_right", "cluster_right"),
+                     "cluster_id", num_partitions)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch["score"], np.float64)
+        b = np.floor(s * n_bins).astype(np.int64)
+        m = (np.asarray(batch["cluster_left"])
+             == np.asarray(batch["cluster_right"])).astype(np.int64)
+        g = pa.table({"bin": pa.array(b, pa.int64()),
+                      "match": pa.array(m, pa.int64()),
+                      "one": pa.array(np.ones(len(b), np.int64))}
+                     ).group_by("bin").aggregate(
+                         [("one", "sum"), ("match", "sum")])
+        return pa.table({"bin": g["bin"],
+                         "n_pairs": pc.cast(g["one_sum"], pa.int64()),
+                         "n_match": pc.cast(g["match_sum"], pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("bin")
+            .aggregate(Sum("n_pairs", alias_name="n_pairs"),
+                       Sum("n_match", alias_name="n_match")))
+
+
 def prf(confusion: dict) -> dict:
     """Positive-class precision/recall/F1 (matcher.py:14-24 semantics)."""
     tp, fp, fn = confusion["tp"], confusion["fp"], confusion["fn"]

@@ -393,6 +393,37 @@ def test_incremental_match_semantics(rd):
     assert got.loc["y0", "entity_id"] == "y0"
 
 
+def test_score_calibration_bins(rd):
+    """2%-bin × gold-label counts: planted scores land in known bins,
+    matches counted only where gold clusters agree; both attach paths."""
+    from ember_ray.stages.evaluate import score_calibration
+
+    pairs = rd.from_items(
+        [
+            {"conv_id_left": "a", "conv_id_right": "b", "score": 0.91},
+            {"conv_id_left": "a", "conv_id_right": "c", "score": 0.30},
+            {"conv_id_left": "b", "conv_id_right": "d", "score": 0.911},
+            {"conv_id_left": "c", "conv_id_right": "d", "score": 0.62},
+        ]
+    )
+    gold = rd.from_items(
+        [
+            {"conv_id": "a", "cluster_id": 1},
+            {"conv_id": "b", "cluster_id": 1},
+            {"conv_id": "c", "cluster_id": 2},
+            {"conv_id": "d", "cluster_id": 1},
+        ]
+    )
+    for thr in (5_000_000, 0):
+        got = (score_calibration(pairs, gold, broadcast_threshold=thr,
+                                 num_partitions=2)
+               .to_pandas().set_index("bin").sort_index())
+        assert got.loc[15].tolist() == [1, 0]   # 0.30 → bin 15, no match
+        assert got.loc[31].tolist() == [1, 0]   # 0.62 → bin 31, no match
+        assert got.loc[45].tolist() == [2, 2]   # 0.91/0.911 → bin 45
+        assert len(got) == 3
+
+
 def test_idf_build(rd):
     from ember_ray.stages.scoring import build_idf
 
