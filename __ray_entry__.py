@@ -590,21 +590,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # ORDERING CONTRACT (VERDICT r3 #1, ROTATED r5 per VERDICT r4 #5):
     # the driver checks exactly the FIRST 50 keys — all 50 in-window
-    # entries are oracle-exact, ending with the five flagship er_*
-    # queries. Round 5 rotates the window: 25 veterans stay for
-    # continuity, 20 round-4 extension ops that never had driver rows
-    # are promoted, and the demoted veterans sit immediately past the
-    # window (still covered by the full tools/check_oracles.py sweep).
+    # entries are oracle-exact, ending with the eleven er_* queries
+    # (five flagships + the six round-5 ER additions: blocking /
+    # clustering / survivorship / incremental / review-queue /
+    # calibration — this IS the entity_resolution tier, so the new ER
+    # ops earn driver rows). Six r01-r04-green veterans
+    # (filter_project, groupby_count, distinct, semi_join, anti_join,
+    # union_dedup) are demoted to just past the window; they remain in
+    # the full tools/check_oracles.py sweep.
     return {
         # --- kept veterans: core relational (SURVEY §2) -------------------
-        "filter_project": relational.filter_project,        # M2/M4/M10
-        "groupby_count": relational.groupby_count,          # A2
-        "distinct": relational.distinct_values,             # A3
-        "semi_join": relational.semi_join,                  # J4
-        "anti_join": relational.anti_join,                  # J3
         "join_agg": relational.join_agg,                    # J1/J2 analog
         "topk": relational.topk,                            # O3
-        "union_dedup": relational.union_dedup,              # U1/U2
         "assembly": relational.assembly,                    # A1 analog
         "pricing_summary": relational.pricing_summary,      # partial+final agg
         # --- kept veterans: temporal / curation / sketches / text ---------
@@ -651,11 +648,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_entities": _q_er_entities,
         "er_metrics": _q_er_metrics,
         "er_cluster_sizes": _q_er_cluster_sizes,
+        # --- round-5 ER additions (entity_resolution tier flagships) ------
+        "er_blocking_report": _q_er_blocking_report,        # oracle-exact
+        "er_clustering_report": _q_er_clustering_report,    # oracle-exact
+        "er_golden_records": _q_er_golden_records,          # oracle-exact
+        "er_incremental": _q_er_incremental,                # oracle-exact
+        "er_review_queue": _q_er_review_queue,              # oracle-exact
+        "er_score_calibration": _q_er_score_calibration,    # oracle-exact
         # ==== past the driver's 50-key window (slots 1-50 above are ALL ====
         # ==== oracle-exact): r5-demoted veterans (green driver rows in  ====
         # ==== r01-r04, still swept by tools/check_oracles.py), then the ====
         # ==== remaining oracle-exact entries, then rows-only entries    ====
         # ==== whose verify companions are oracle-checked.               ====
+        "filter_project": relational.filter_project,        # M2/M4/M10 (r04 green)
+        "groupby_count": relational.groupby_count,          # A2 (r04 green)
+        "distinct": relational.distinct_values,             # A3 (r04 green)
+        "semi_join": relational.semi_join,                  # J4 (r04 green)
+        "anti_join": relational.anti_join,                  # J3 (r04 green)
+        "union_dedup": relational.union_dedup,              # U1/U2 (r04 green)
         "group_size_filter": relational.group_size_filter,  # M5 (r04 green)
         "group_topk": relational.group_topk,                # O1/O2 (r04 green)
         "deterministic_split": relational.deterministic_split,  # O5 (r04 green)
@@ -704,12 +714,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_skew_report": relational.key_skew_report,      # oracle-exact
         "length_histogram": relational.length_histogram,    # oracle-exact
         "weighted_sample": curation.weighted_sample,        # oracle-exact
-        "er_blocking_report": _q_er_blocking_report,        # oracle-exact
-        "er_clustering_report": _q_er_clustering_report,    # oracle-exact
-        "er_golden_records": _q_er_golden_records,          # oracle-exact
-        "er_incremental": _q_er_incremental,                # oracle-exact
-        "er_review_queue": _q_er_review_queue,              # oracle-exact
-        "er_score_calibration": _q_er_score_calibration,    # oracle-exact
         "er_scored_pairs": _q_er_scored,              # rows-only (tfidf/score)
         "mm_features": multimodal.mm_features,              # rows-only
         "distinct_count_hll": sketches.distinct_count_hll,  # rows-only sketch
