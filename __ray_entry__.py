@@ -296,6 +296,44 @@ def _q_er_review_queue(sf_dir: str, band: float = 0.1, k: int = 200):
             .head(k).reset_index(drop=True))
 
 
+def _q_er_consistency_report(sf_dir: str):
+    """Per-entity cohesion audit: intra-entity candidate pairs split into
+    direct edges (score ≥ τ) vs transitivity-forced merges (score < τ),
+    with order-independent min/max scores (stages/evaluate.py
+    entity_cohesion). DuckDB re-derives the partition via the
+    recursive-CTE closure and every count/extremum from the exported
+    pair scores — all-int64 counts + bitwise float extrema, no
+    rounding."""
+    from ember_ray.stages.evaluate import entity_cohesion
+
+    out = _export_er_graph(sf_dir)  # exports er_pairs + er_edges
+    return entity_cohesion(out["scored"], out["entities"],
+                           threshold=_er_cfg().threshold)
+
+
+def _q_er_match_weights(sf_dir: str):
+    """Fellegi–Sunter m/u agreement probabilities per comparison feature
+    (stages/evaluate.py match_weights): supervised counts over the
+    candidate pairs with gold labels — exact int64 counts + raw int64
+    quotients (bitwise; log-weights left to the consumer because
+    transcendentals are not bit-stable across engines). DuckDB
+    recomputes all three features from the raw transcripts via the
+    bitwise er_similarity_verify recipe."""
+    import os
+
+    import ray.data as rd
+
+    from ember_ray.stages.evaluate import match_weights
+
+    out = _export_er_graph(sf_dir)  # exports er_pairs + links gold
+    gold = rd.read_parquet(
+        os.path.join(_er_corpus(sf_dir), "gold_clusters.parquet"),
+        columns=["conv_id", "cluster_id"])
+    return match_weights(
+        out["scored"], gold,
+        cutoffs={"jaccard": 0.5, "jaro_winkler": 0.9, "levenshtein": 0.8})
+
+
 def _q_er_score_calibration(sf_dir: str):
     """Score-bin × gold-label counts over the candidate pairs (floor
     2%-bins) — the exact-integer calibration table behind threshold
@@ -613,8 +651,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_count": sketches.distinct_count,
         "group_quantiles": sketches.group_quantiles,
         "token_count": textops.token_count,
-        "lang_id": textops.lang_id,
-        "fingerprints": textops.fingerprints,
         # --- kept veterans: dedup / ANN -----------------------------------
         "dedup_exact": dedup.dedup_exact,
         "dedup_substring": dedup.dedup_substring,           # oracle-exact
@@ -655,6 +691,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_incremental": _q_er_incremental,                # oracle-exact
         "er_review_queue": _q_er_review_queue,              # oracle-exact
         "er_score_calibration": _q_er_score_calibration,    # oracle-exact
+        "er_consistency_report": _q_er_consistency_report,  # oracle-exact
+        "er_match_weights": _q_er_match_weights,            # oracle-exact
         # ==== past the driver's 50-key window (slots 1-50 above are ALL ====
         # ==== oracle-exact): r5-demoted veterans (green driver rows in  ====
         # ==== r01-r04, still swept by tools/check_oracles.py), then the ====
@@ -676,6 +714,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "left_join_counts": relational.left_join_counts,    # r04 green
         "concat_cols": relational.concat_cols,              # M7/F4 (r04 green)
         "group_distinct_count": sketches.group_distinct_count,  # r04 green
+        "lang_id": textops.lang_id,                         # r04 green (r5 demoted)
+        "fingerprints": textops.fingerprints,               # r04 green (r5 demoted)
         "quality_scores": textops.quality_scores,           # r04 green
         "quality_by_lang": textops.quality_by_lang,         # r04 green
         "dedup_minhash_verify": _q_dedup_minhash_verify,    # r04 green
@@ -1350,6 +1390,81 @@ def oracle_sql() -> dict[str, str]:
             f"FROM read_parquet('{_SIDE_DIR}/er_pairs/*.parquet') "
             f"WHERE abs(score - {_er_cfg().threshold}) <= 0.1 "
             "ORDER BY uncertainty, conv_id_left, conv_id_right LIMIT 200"
+        ),
+        "er_consistency_report": (
+            # partition re-derived via the recursive-CTE closure; counts
+            # are exact BIGINTs and min/max are order-independent reads
+            # of the exported engine scores — bitwise, no rounding
+            f"WITH RECURSIVE {_CC_SQL}, "
+            "p AS (SELECT conv_id_left, conv_id_right, score FROM "
+            f"read_parquet('{_SIDE_DIR}/er_pairs/*.parquet')), "
+            "j AS (SELECT el.entity_id AS entity_id, p.score FROM p "
+            "JOIN ent el ON el.conv_id = p.conv_id_left "
+            "JOIN ent er ON er.conv_id = p.conv_id_right "
+            "WHERE el.entity_id = er.entity_id) "
+            "SELECT entity_id, count(*) AS n_pairs, "
+            f"sum((score >= {_er_cfg().threshold})::INT)::BIGINT AS n_direct, "
+            f"(count(*) - sum((score >= {_er_cfg().threshold})::INT))::BIGINT "
+            "AS n_forced, "
+            "min(score) AS min_score, max(score) AS max_score "
+            "FROM j GROUP BY entity_id"
+        ),
+        "er_match_weights": (
+            # Fellegi–Sunter m/u agreement probabilities: all three
+            # comparison features recomputed from the raw transcripts
+            # (the bitwise er_similarity_verify recipe), labels from
+            # gold; counts are exact BIGINTs and the probabilities raw
+            # int64 quotients — bitwise parity, no rounding
+            "WITH conv AS (SELECT conv_id, "
+            "string_agg(text, chr(10) ORDER BY turn_idx) AS text "
+            f"FROM read_parquet('{_SIDE_DIR}/transcripts/*.parquet') "
+            "GROUP BY conv_id), "
+            f"p AS (SELECT * FROM read_parquet('{_SIDE_DIR}/er_pairs/*.parquet')), "
+            "s AS (SELECT p.conv_id_left, p.conv_id_right, "
+            "substring(a.text, 1, 128) AS ta, substring(b.text, 1, 128) AS tb, "
+            f"{toks.replace('text', 'a.text')} AS ka, "
+            f"{toks.replace('text', 'b.text')} AS kb "
+            "FROM p JOIN conv a ON a.conv_id = p.conv_id_left "
+            "JOIN conv b ON b.conv_id = p.conv_id_right), "
+            "f AS (SELECT conv_id_left, conv_id_right, "
+            "coalesce(len(list_intersect(ka, kb)) * 1.0 / "
+            "nullif(len(ka) + len(kb) - len(list_intersect(ka, kb)), 0), 0.0)"
+            " AS jaccard, "
+            "CASE WHEN ta = tb THEN 1.0 "
+            "ELSE jaro_winkler_similarity(ta, tb) END AS jaro_winkler, "
+            "CASE WHEN greatest(length(ta), length(tb)) = 0 THEN 1.0 "
+            "ELSE 1.0 - levenshtein(ta, tb)::DOUBLE / "
+            "greatest(length(ta), length(tb)) END AS levenshtein FROM s), "
+            "g AS (SELECT conv_id, cluster_id "
+            f"FROM read_parquet('{_SIDE_DIR}/gold_clusters')), "
+            "lab AS (SELECT f.jaccard, f.jaro_winkler, f.levenshtein, "
+            "(gl.cluster_id = gr.cluster_id) AS im FROM f "
+            "JOIN g gl ON gl.conv_id = f.conv_id_left "
+            "JOIN g gr ON gr.conv_id = f.conv_id_right), "
+            "cj AS (SELECT sum(im::INT)::BIGINT AS nm, "
+            "sum((NOT im)::INT)::BIGINT AS nu, "
+            "sum((im AND jaccard >= 0.5)::INT)::BIGINT AS am, "
+            "sum((NOT im AND jaccard >= 0.5)::INT)::BIGINT AS au FROM lab), "
+            "cw AS (SELECT sum(im::INT)::BIGINT AS nm, "
+            "sum((NOT im)::INT)::BIGINT AS nu, "
+            "sum((im AND jaro_winkler >= 0.9)::INT)::BIGINT AS am, "
+            "sum((NOT im AND jaro_winkler >= 0.9)::INT)::BIGINT AS au "
+            "FROM lab), "
+            "cl AS (SELECT sum(im::INT)::BIGINT AS nm, "
+            "sum((NOT im)::INT)::BIGINT AS nu, "
+            "sum((im AND levenshtein >= 0.8)::INT)::BIGINT AS am, "
+            "sum((NOT im AND levenshtein >= 0.8)::INT)::BIGINT AS au "
+            "FROM lab) "
+            "SELECT 'jaccard' AS feature, nm AS n_match, nu AS n_unmatch, "
+            "am AS n_agree_match, au AS n_agree_unmatch, "
+            "CASE WHEN nm = 0 THEN 0.0 ELSE am / nm END AS m_prob, "
+            "CASE WHEN nu = 0 THEN 0.0 ELSE au / nu END AS u_prob FROM cj "
+            "UNION ALL SELECT 'jaro_winkler', nm, nu, am, au, "
+            "CASE WHEN nm = 0 THEN 0.0 ELSE am / nm END, "
+            "CASE WHEN nu = 0 THEN 0.0 ELSE au / nu END FROM cw "
+            "UNION ALL SELECT 'levenshtein', nm, nu, am, au, "
+            "CASE WHEN nm = 0 THEN 0.0 ELSE am / nm END, "
+            "CASE WHEN nu = 0 THEN 0.0 ELSE au / nu END FROM cl"
         ),
         "er_score_calibration": (
             # one float multiply+floor, then pure integer counts — exact

@@ -423,6 +423,203 @@ def score_calibration(
                        Sum("n_match", alias_name="n_match")))
 
 
+def entity_cohesion(
+    candidate_pairs,
+    entities,
+    threshold: float,
+    broadcast_threshold: int = 5_000_000,
+    num_partitions: int = 32,
+):
+    """Per-entity cohesion audit over the candidate pairs: for every
+    predicted entity containing at least one scored candidate pair, the
+    intra-entity pair count, how many of those pairs are direct edges
+    (score ≥ threshold) vs glued together purely by transitive closure
+    (score < threshold — "forced merges"), and the min/max intra-entity
+    scores. The standard cluster-consistency diagnostic for
+    threshold-based ER: a large n_forced with a low min_score flags a
+    chained over-merge the pairwise F1 can't localize (the reference
+    audits merges only globally via its label stats, stat_ali.py).
+
+    Distributed shape: entity ids attach map-side to both pair sides
+    (hybrid broadcast/bucketed — the :func:`pairwise_confusion` rule),
+    each batch filters to same-entity rows and pre-aggregates with one
+    Arrow group_by, and one small groupby over the per-batch partials
+    finishes (Σ counts are exact int64; min/max are order-independent,
+    so every float in the output is bitwise-reproducible — no rounding).
+    """
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = candidate_pairs.select_columns(
+        ["conv_id_left", "conv_id_right", "score"])
+    if entities.count() <= broadcast_threshold:
+        from ..util import build_sharded_index_async, sharded_lookup
+
+        erefs = build_sharded_index_async(
+            entities.select_columns(["conv_id", "entity_id"]).materialize(),
+            "conv_id", ["entity_id"], num_shards=8)
+
+        def attach(batch: pa.Table) -> pa.Table:
+            eidx = [ray.get(r) for r in erefs]
+            return pa.table({
+                "score": batch["score"],
+                "entity_left": sharded_lookup(
+                    eidx, batch["conv_id_left"], "entity_id"),
+                "entity_right": sharded_lookup(
+                    eidx, batch["conv_id_right"], "entity_id"),
+            })
+
+        ds = ds.map_batches(attach, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    else:
+        ds = _attach(ds, entities, ("conv_id_left", "entity_left"),
+                     "entity_id", num_partitions)
+        ds = _attach(ds, entities, ("conv_id_right", "entity_right"),
+                     "entity_id", num_partitions)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        same = pc.equal(batch["entity_left"], batch["entity_right"])
+        t = batch.filter(same)
+        direct = pc.cast(pc.greater_equal(t["score"], threshold), pa.int64())
+        g = (pa.table({"entity_id": t["entity_left"],
+                       "score": t["score"],
+                       "direct": direct})
+             .group_by("entity_id")
+             .aggregate([("score", "count"), ("direct", "sum"),
+                         ("score", "min"), ("score", "max")]))
+        return pa.table({
+            "entity_id": g["entity_id"],
+            "n_pairs": pc.cast(g["score_count"], pa.int64()),
+            "n_direct": pc.cast(g["direct_sum"], pa.int64()),
+            "min_score": g["score_min"],
+            "max_score": g["score_max"],
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("entity_id")
+           .aggregate(Sum("n_pairs", alias_name="n_pairs"),
+                      Sum("n_direct", alias_name="n_direct"),
+                      Min("min_score", alias_name="min_score"),
+                      Max("max_score", alias_name="max_score")))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        np_ = np.asarray(batch["n_pairs"], np.int64)
+        nd = np.asarray(batch["n_direct"], np.int64)
+        return pa.table({
+            "entity_id": batch["entity_id"],
+            "n_pairs": pa.array(np_, pa.int64()),
+            "n_direct": pa.array(nd, pa.int64()),
+            "n_forced": pa.array(np_ - nd, pa.int64()),
+            "min_score": batch["min_score"],
+            "max_score": batch["max_score"],
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def match_weights(
+    candidate_pairs,
+    gold,
+    cutoffs: dict[str, float],
+    broadcast_threshold: int = 5_000_000,
+    num_partitions: int = 32,
+):
+    """Fellegi–Sunter m/u parameter estimation over the candidate pairs:
+    for each comparison feature f with agreement cutoff c_f,
+    m_f = P(feature ≥ c_f | gold match) and
+    u_f = P(feature ≥ c_f | gold non-match) — the agreement-probability
+    table behind probabilistic record linkage (Fellegi & Sunter 1969;
+    the log2(m/u) match weights fall out of these two columns). With
+    gold labels available this is a supervised count, not EM: every
+    output is either an exact int64 count or a raw IEEE quotient of two
+    exact int64s, so oracle parity is bitwise (no rounding; the log
+    itself is left to the consumer precisely because transcendentals
+    are not bit-stable across engines).
+
+    One pass over the pair stream: gold labels attach map-side (the
+    :func:`pairwise_confusion` hybrid rule), each batch reduces to one
+    row per feature (4 int64 counts), and the driver sums |features| ×
+    n_batches tiny partials."""
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    feats = sorted(cutoffs)
+    ds = candidate_pairs.select_columns(
+        ["conv_id_left", "conv_id_right", *feats])
+    if gold.count() <= broadcast_threshold:
+        from ..util import build_sharded_index_async, sharded_lookup
+
+        grefs = build_sharded_index_async(
+            gold.select_columns(["conv_id", "cluster_id"]).materialize(),
+            "conv_id", ["cluster_id"], num_shards=8)
+
+        def attach(batch: pa.Table) -> pa.Table:
+            gidx = [ray.get(r) for r in grefs]
+            return batch.select(feats).append_column(
+                "cluster_left", sharded_lookup(
+                    gidx, batch["conv_id_left"], "cluster_id")
+            ).append_column(
+                "cluster_right", sharded_lookup(
+                    gidx, batch["conv_id_right"], "cluster_id"))
+
+        ds = ds.map_batches(attach, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    else:
+        ds = _attach(ds, gold, ("conv_id_left", "cluster_left"),
+                     "cluster_id", num_partitions)
+        ds = _attach(ds, gold, ("conv_id_right", "cluster_right"),
+                     "cluster_id", num_partitions)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = (np.asarray(batch["cluster_left"])
+             == np.asarray(batch["cluster_right"]))
+        rows = {"feature": [], "n_match": [], "n_unmatch": [],
+                "n_agree_match": [], "n_agree_unmatch": []}
+        for f in feats:
+            a = np.asarray(batch[f], np.float64) >= cutoffs[f]
+            rows["feature"].append(f)
+            rows["n_match"].append(int(np.sum(m)))
+            rows["n_unmatch"].append(int(np.sum(~m)))
+            rows["n_agree_match"].append(int(np.sum(a & m)))
+            rows["n_agree_unmatch"].append(int(np.sum(a & ~m)))
+        return pa.table({
+            "feature": pa.array(rows["feature"], pa.string()),
+            "n_match": pa.array(rows["n_match"], pa.int64()),
+            "n_unmatch": pa.array(rows["n_unmatch"], pa.int64()),
+            "n_agree_match": pa.array(rows["n_agree_match"], pa.int64()),
+            "n_agree_unmatch": pa.array(rows["n_agree_unmatch"],
+                                        pa.int64()),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("feature")
+           .aggregate(Sum("n_match", alias_name="n_match"),
+                      Sum("n_unmatch", alias_name="n_unmatch"),
+                      Sum("n_agree_match", alias_name="n_agree_match"),
+                      Sum("n_agree_unmatch",
+                          alias_name="n_agree_unmatch")))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        nm = np.asarray(batch["n_match"], np.int64)
+        nu = np.asarray(batch["n_unmatch"], np.int64)
+        am = np.asarray(batch["n_agree_match"], np.int64)
+        au = np.asarray(batch["n_agree_unmatch"], np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mp = np.where(nm > 0, am / nm, 0.0)
+            up = np.where(nu > 0, au / nu, 0.0)
+        return batch.append_column(
+            "m_prob", pa.array(mp, pa.float64())
+        ).append_column("u_prob", pa.array(up, pa.float64()))
+
+    return agg.map_batches(fin, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def prf(confusion: dict) -> dict:
     """Positive-class precision/recall/F1 (matcher.py:14-24 semantics)."""
     tp, fp, fn = confusion["tp"], confusion["fp"], confusion["fn"]

@@ -424,6 +424,89 @@ def test_score_calibration_bins(rd):
         assert len(got) == 3
 
 
+def test_entity_cohesion_planted(rd):
+    """Planted chain a–b–c (edges a-b 0.9, b-c 0.85 ≥ τ=0.8; a-c 0.5
+    forced in by transitivity) + an isolated below-threshold pair d-e:
+    per-entity counts, forced-merge split and min/max scores are exact;
+    both attach paths agree."""
+    from ember_ray.stages.evaluate import entity_cohesion
+
+    pairs = rd.from_items(
+        [
+            {"conv_id_left": "a", "conv_id_right": "b", "score": 0.9},
+            {"conv_id_left": "b", "conv_id_right": "c", "score": 0.85},
+            {"conv_id_left": "a", "conv_id_right": "c", "score": 0.5},
+            {"conv_id_left": "d", "conv_id_right": "e", "score": 0.4},
+        ]
+    )
+    entities = rd.from_items(
+        [
+            {"conv_id": "a", "entity_id": "a"},
+            {"conv_id": "b", "entity_id": "a"},
+            {"conv_id": "c", "entity_id": "a"},
+            {"conv_id": "d", "entity_id": "d"},
+            {"conv_id": "e", "entity_id": "e"},
+        ]
+    )
+    for thr in (5_000_000, 0):
+        got = (entity_cohesion(pairs, entities, threshold=0.8,
+                               broadcast_threshold=thr, num_partitions=2)
+               .to_pandas().set_index("entity_id").sort_index())
+        # d-e crosses two entities → not intra-entity anywhere
+        assert len(got) == 1
+        row = got.loc["a"]
+        assert row["n_pairs"] == 3
+        assert row["n_direct"] == 2
+        assert row["n_forced"] == 1
+        assert row["min_score"] == 0.5
+        assert row["max_score"] == 0.9
+
+
+def test_match_weights_planted(rd):
+    """Fellegi–Sunter m/u from planted features + gold: agreement counts
+    conditioned on gold match/non-match are exact on both attach paths."""
+    from ember_ray.stages.evaluate import match_weights
+
+    pairs = rd.from_items(
+        [
+            {"conv_id_left": "a", "conv_id_right": "b",
+             "jaccard": 0.6, "jaro_winkler": 0.95, "levenshtein": 0.9},
+            {"conv_id_left": "a", "conv_id_right": "c",
+             "jaccard": 0.4, "jaro_winkler": 0.95, "levenshtein": 0.7},
+            {"conv_id_left": "b", "conv_id_right": "d",
+             "jaccard": 0.55, "jaro_winkler": 0.5, "levenshtein": 0.85},
+            {"conv_id_left": "c", "conv_id_right": "e",
+             "jaccard": 0.1, "jaro_winkler": 0.2, "levenshtein": 0.1},
+        ]
+    )
+    gold = rd.from_items(
+        [
+            {"conv_id": "a", "cluster_id": 1},
+            {"conv_id": "b", "cluster_id": 1},
+            {"conv_id": "c", "cluster_id": 2},
+            {"conv_id": "d", "cluster_id": 1},
+            {"conv_id": "e", "cluster_id": 3},
+        ]
+    )
+    cutoffs = {"jaccard": 0.5, "jaro_winkler": 0.9, "levenshtein": 0.8}
+    for thr in (5_000_000, 0):
+        got = (match_weights(pairs, gold, cutoffs, broadcast_threshold=thr,
+                             num_partitions=2)
+               .to_pandas().set_index("feature").sort_index())
+        assert len(got) == 3
+        assert (got["n_match"] == 2).all() and (got["n_unmatch"] == 2).all()
+        assert got.loc["jaccard"][["n_agree_match", "n_agree_unmatch"]
+                                  ].tolist() == [2, 0]
+        assert got.loc["jaro_winkler"][["n_agree_match", "n_agree_unmatch"]
+                                       ].tolist() == [1, 1]
+        assert got.loc["levenshtein"][["n_agree_match", "n_agree_unmatch"]
+                                      ].tolist() == [2, 0]
+        assert got.loc["jaccard", "m_prob"] == 1.0
+        assert got.loc["jaccard", "u_prob"] == 0.0
+        assert got.loc["jaro_winkler", "m_prob"] == 0.5
+        assert got.loc["jaro_winkler", "u_prob"] == 0.5
+
+
 def test_idf_build(rd):
     from ember_ray.stages.scoring import build_idf
 
