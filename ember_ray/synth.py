@@ -247,7 +247,6 @@ def ensure_corpus(cfg: SynthConfig, root: str = "/tmp/ember_ray_synth") -> str:
         return out
     transcripts, gold_t = generate(cfg)
     perm = np.random.default_rng(cfg.seed + 1).permutation(len(transcripts))
-    transcripts = transcripts.take(pa.array(perm))
     tmp = out + ".tmp"
     os.makedirs(os.path.join(tmp, "transcripts.parquet"), exist_ok=True)
     # many files, not one: read parallelism (and hence every downstream
@@ -256,8 +255,15 @@ def ensure_corpus(cfg: SynthConfig, root: str = "/tmp/ember_ray_synth") -> str:
     n_files = max(1, min(64, transcripts.num_rows // 50_000))
     rows_per = -(-transcripts.num_rows // n_files)
     for i in range(n_files):
+        # take each file's permutation slice directly rather than
+        # shuffling the whole table first: a global take concatenates
+        # >2 GiB of text into single 32-bit-offset string chunks and
+        # dies with "offset overflow" at ~480k clusters (and holds 2×
+        # the corpus in memory). Per-slice takes are byte-identical —
+        # file i still contains rows perm[i*rows_per:(i+1)*rows_per].
+        idx = pa.array(perm[i * rows_per:(i + 1) * rows_per])
         pq.write_table(
-            transcripts.slice(i * rows_per, rows_per),
+            transcripts.take(idx),
             os.path.join(tmp, "transcripts.parquet", f"part-{i:03d}.parquet"),
         )
     pq.write_table(gold_t, os.path.join(tmp, "gold_clusters.parquet"))
