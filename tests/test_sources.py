@@ -65,3 +65,27 @@ def test_plain_csv_roundtrip(ray_session, workdir):
         f.write("pair_id,score\n1,0.5\n2,0.9\n")
     ds = rd.read_csv(p)
     assert ds.count() == 2 and sorted(ds.schema().names) == ["pair_id", "score"]
+
+
+def test_synth_per_slice_shuffle_matches_global(tmp_path):
+    """ensure_corpus writes each file as a permutation-slice take (the
+    global whole-table take overflowed 32-bit string offsets past ~3.5M
+    conversations); the written corpus must stay byte-identical to the
+    old global-shuffle-then-slice layout."""
+    import glob
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ember_ray.synth import SynthConfig, ensure_corpus, generate
+
+    cfg = SynthConfig(n_clusters=120, max_cluster_size=5,
+                      distractors_per_cluster=1, n_singletons=60, seed=977)
+    out = ensure_corpus(cfg, root=str(tmp_path))
+    t, _ = generate(cfg)
+    perm = np.random.default_rng(cfg.seed + 1).permutation(len(t))
+    ref = t.take(pa.array(perm)).combine_chunks()
+    files = sorted(glob.glob(out + "/transcripts.parquet/part-*.parquet"))
+    got = pa.concat_tables(pq.read_table(f) for f in files).combine_chunks()
+    assert got.equals(ref)
