@@ -254,16 +254,24 @@ def ensure_corpus(cfg: SynthConfig, root: str = "/tmp/ember_ray_synth") -> str:
     # file caps the whole pipeline at a handful of tasks
     n_files = max(1, min(64, transcripts.num_rows // 50_000))
     rows_per = -(-transcripts.num_rows // n_files)
+    # take() on a chunked table concatenates the SOURCE chunks per call;
+    # past ~3.5M conversations the text column exceeds 2 GiB and the
+    # 32-bit string offsets overflow ("offset overflow while
+    # concatenating arrays"). Widen string columns to large_string
+    # (64-bit offsets) and combine chunks ONCE, gather each file's
+    # permutation slice from the single-chunk source, and cast the
+    # (< 2 GiB) slice back — byte-identical files, bounded memory.
+    orig_schema = transcripts.schema
+    wide = pa.schema([
+        pa.field(f.name, pa.large_string()) if f.type == pa.string() else f
+        for f in orig_schema
+    ])
+    src = transcripts.cast(wide).combine_chunks()
+    del transcripts
     for i in range(n_files):
-        # take each file's permutation slice directly rather than
-        # shuffling the whole table first: a global take concatenates
-        # >2 GiB of text into single 32-bit-offset string chunks and
-        # dies with "offset overflow" at ~480k clusters (and holds 2×
-        # the corpus in memory). Per-slice takes are byte-identical —
-        # file i still contains rows perm[i*rows_per:(i+1)*rows_per].
         idx = pa.array(perm[i * rows_per:(i + 1) * rows_per])
         pq.write_table(
-            transcripts.take(idx),
+            src.take(idx).cast(orig_schema),
             os.path.join(tmp, "transcripts.parquet", f"part-{i:03d}.parquet"),
         )
     pq.write_table(gold_t, os.path.join(tmp, "gold_clusters.parquet"))
