@@ -76,8 +76,16 @@ def _er_cfg(num_cpus: int):
 def _init_ray(num_cpus: int):
     import ray
 
+    kw = {}
+    # Ray's default object store is ~30% of node RAM; corpora past ~4x
+    # the scaling default exceed that live and spill to disk (this box's
+    # disk quota then trips OutOfDiskError long before shm fills).
+    # RAY_GRAFT_OBJ_GB lifts the store into the idle /dev/shm headroom.
+    obj_gb = os.environ.get("RAY_GRAFT_OBJ_GB")
+    if obj_gb:
+        kw["object_store_memory"] = int(float(obj_gb) * (1 << 30))
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR", **kw)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
