@@ -327,10 +327,18 @@ def run_er(
     return out
 
 
-ATTACH_BROADCAST_THRESHOLD = 4_000_000  # rows; above → bucketed join path.
-# Sized for a 128 GB node: 4M conversations ≈ 3 GB of text+tokens index —
-# comfortably broadcastable; the join path is for genuinely cluster-scale
-# corpora where the conversation table exceeds a node's memory.
+ATTACH_BROADCAST_THRESHOLD = 8_000_000  # rows; above → bucketed join path.
+# Sized for a 128 GB node: the sharded index holds the 128-char prefix +
+# thash/ttf ≈ 2 KB/conversation, built distributed (build_side_index_async)
+# and read zero-copy from plasma — 8M conversations ≈ 16 GB of shards
+# shared across all workers, no per-task copies. The join path beyond it
+# is for genuinely cluster-scale corpora where even the compact index
+# exceeds a node's store; note it materializes per-PAIR payloads through
+# the bucket exchange (~6× the per-conversation bytes at avg pair degree
+# 5-6 — measured OutOfDisk at 22M pairs on this box), so its next
+# frontier is fusing scoring into the bucket merge. Measured at 960k
+# clusters / 6.9M convs: the broadcast path completes where the join
+# path exhausts store + spill.
 
 
 def _score_stage(pairs, convs, cfg: ERConfig, idf_ref, checkpointer, base_fp,
@@ -344,13 +352,52 @@ def _score_stage(pairs, convs, cfg: ERConfig, idf_ref, checkpointer, base_fp,
     """
     import ray.data as rd
 
+    # giant-corpus join path (no broadcast index, default scorer): ship
+    # the SAME compact payload the broadcast index holds — the
+    # MAX_SIM_CHARS text prefix plus the prehashed thash/ttf lists,
+    # binary-packed so they ride the Acero bucket joins (pack_hash_list)
+    # — instead of full conversation text. At the 960k-cluster corpus
+    # full text is ~900 B avg × 2 sides × 22M pairs ≈ 40 GB through two
+    # exchanges (the measured single-node OutOfDisk); the compact payload
+    # is ~7× smaller and the scorer skips re-tokenization entirely.
+    # Registry scorers keep full text (they may read it raw — ADVICE r3
+    # #2), as does the old-schema (no thash) checkpoint-resume fallback.
+    conv_sch3 = convs.schema()
+    compact_join = (
+        scorer_cls is None and side_index_ref is None
+        and conv_sch3 is not None
+        and "thash" in conv_sch3.names and "ttf" in conv_sch3.names
+    )
+    if compact_join:
+        import pyarrow.compute as pc
+
+        from ..functions.similarity import MAX_SIM_CHARS
+        from ..stages.pairs import pack_hash_list
+
+        def _compact(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "conv_id": batch["conv_id"],
+                "text": pc.utf8_slice_codeunits(
+                    batch["text"], 0, MAX_SIM_CHARS),
+                "thashb": pack_hash_list(batch["thash"], np.uint64),
+                "ttfb": pack_hash_list(batch["ttf"], np.int32),
+            })
+
+        side_src = convs.select_columns(
+            ["conv_id", "text", "thash", "ttf"]).map_batches(
+            _compact, batch_format="pyarrow", zero_copy_batch=True)
+        attach_cols = ("text", "thashb", "ttfb")
+    else:
+        side_src, attach_cols = convs, ("text",)
+
     def attach_and_score(p):
         if pool is not None:  # pre-warmed raw actor pool (attach + score)
             from ..stages.scoring import score_with_pool
 
             return score_with_pool(p, pool)
-        with_sides = attach_sides(p, convs, num_partitions=cfg.num_partitions,
-                                  columns=("text",),
+        with_sides = attach_sides(p, side_src,
+                                  num_partitions=cfg.num_partitions,
+                                  columns=attach_cols,
                                   broadcast_threshold=ATTACH_BROADCAST_THRESHOLD,
                                   prebuilt_index_ref=side_index_ref)
         return score_pairs(

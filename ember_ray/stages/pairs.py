@@ -261,6 +261,48 @@ def sim_prefix_prepare(tbl: pa.Table) -> pa.Table:
         i, "text", pc.utf8_slice_codeunits(tbl["text"], 0, MAX_SIM_CHARS))
 
 
+def pack_hash_list(col, dtype) -> pa.Array:
+    """list<int> column → flat ``binary`` column carrying the same bytes
+    (value i = the little-endian ``dtype`` words of row i's list).
+
+    Why: the giant-corpus attach joins per-bucket in Arrow Acero, which
+    cannot carry nested types — shipping ``thash``/``ttf`` as binary lets
+    the join path move the prehashed token payload (~8 B/token) instead
+    of full conversation text (~900 B avg), the same compaction the
+    broadcast index already does. Encoded from the exact
+    ``hash_list_arrays`` (values, offsets) convention the scorer kernels
+    consume, so ``unpack_hash_bin`` round-trips bit-exactly."""
+    import numpy as np
+
+    from ..functions.minhash import hash_list_arrays
+
+    vals, off = hash_list_arrays(col, dtype=dtype)
+    width = np.dtype(dtype).itemsize
+    boff = (off * width).astype(np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(), len(off) - 1,
+        [None, pa.py_buffer(boff.tobytes()), pa.py_buffer(vals.tobytes())])
+
+
+def unpack_hash_bin(col, dtype):
+    """Inverse of :func:`pack_hash_list`: binary column → (flat values as
+    ``dtype``, int64 element offsets) — the ``hash_list_arrays`` shape the
+    prehashed scorer kernels take. Handles sliced arrays (exchange bucket
+    slices carry an array offset) by windowing the offsets buffer; the
+    data buffer stays whole, offsets are absolute into it."""
+    import numpy as np
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if arr.null_count:
+        raise ValueError("packed hash column must be non-null")
+    width = np.dtype(dtype).itemsize
+    bufs = arr.buffers()
+    boff = np.frombuffer(bufs[1], np.int32)[arr.offset:arr.offset + len(arr) + 1]
+    vals = (np.frombuffer(bufs[2], dtype=dtype)
+            if bufs[2] is not None else np.empty(0, dtype))
+    return vals, (boff // width).astype(np.int64)
+
+
 def attach_sides(pairs, conversations, num_partitions: int = 32,
                  columns: tuple[str, ...] = ("text",),
                  broadcast_threshold: int = 1_000_000,

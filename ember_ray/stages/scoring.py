@@ -177,7 +177,11 @@ class PairScorer:
         tl, tr = col("text_left"), col("text_right")
         names = batch.schema.names
         prehashed = "thash_left" in names and "ttf_left" in names
-        if prehashed:
+        # binary-packed variant of the same payload (giant-corpus join
+        # path: Acero buckets can't carry list columns, so thash/ttf
+        # arrive as pack_hash_list binary)
+        packed = "thashb_left" in names and "ttfb_left" in names
+        if prehashed or packed:
             kl = kr = None  # hashes precomputed at assembly — no tokenize
         elif "tokens_left" in names and "tokens_right" in names:
             kl, kr = col("tokens_left"), col("tokens_right")
@@ -190,7 +194,7 @@ class PairScorer:
             kl, kr = tokenize_array(tl), tokenize_array(tr)
         _t1 = _time.monotonic()
         if self.token_sequence_sim:
-            if prehashed:
+            if prehashed or packed:
                 raise ValueError(
                     "token_sequence_sim needs token strings — incompatible "
                     "with the prehashed (thash) attach columns")
@@ -200,14 +204,23 @@ class PairScorer:
         else:
             jw, lev = self.kernel(tl, tr)
         _t2 = _time.monotonic()
-        if prehashed:
-            from ..functions.minhash import hash_list_arrays
+        if prehashed or packed:
             from ..functions.similarity import token_pair_scores_prehashed
 
-            lh, lo = hash_list_arrays(col("thash_left"))
-            rh, ro = hash_list_arrays(col("thash_right"))
-            ltf, _ = hash_list_arrays(col("ttf_left"), dtype=np.int32)
-            rtf, _ = hash_list_arrays(col("ttf_right"), dtype=np.int32)
+            if packed:
+                from .pairs import unpack_hash_bin
+
+                lh, lo = unpack_hash_bin(col("thashb_left"), np.uint64)
+                rh, ro = unpack_hash_bin(col("thashb_right"), np.uint64)
+                ltf, _ = unpack_hash_bin(col("ttfb_left"), np.int32)
+                rtf, _ = unpack_hash_bin(col("ttfb_right"), np.int32)
+            else:
+                from ..functions.minhash import hash_list_arrays
+
+                lh, lo = hash_list_arrays(col("thash_left"))
+                rh, ro = hash_list_arrays(col("thash_right"))
+                ltf, _ = hash_list_arrays(col("ttf_left"), dtype=np.int32)
+                rtf, _ = hash_list_arrays(col("ttf_right"), dtype=np.int32)
             jac, cos = token_pair_scores_prehashed(
                 lh, lo, ltf, rh, ro, rtf, self.idf, IDF_NUM_FEATURES)
         else:

@@ -158,3 +158,57 @@ def test_er_no_matches_all_singletons(ray_session, er_cfg):
     m = out["metrics"]
     assert m["tp"] == 0 and m["fn"] == 0 and m["fp"] == 0
     assert m["f1"] == 0.0  # degenerate-by-construction, must not raise
+
+
+def test_pack_hash_list_roundtrip(ray_session):
+    """pack_hash_list → unpack_hash_bin reproduces the exact
+    hash_list_arrays (values, offsets) the scorer kernels consume,
+    including through a table slice (exchange buckets carry offsets)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ember_ray.functions.minhash import hash_list_arrays
+    from ember_ray.stages.pairs import pack_hash_list, unpack_hash_bin
+
+    lists = [[1, 2, 3], [], [2**63, 7], [5]]
+    col = pa.array(lists, pa.list_(pa.uint64()))
+    packed = pack_hash_list(col, np.uint64)
+    v0, o0 = hash_list_arrays(col)
+    v1, o1 = unpack_hash_bin(packed, np.uint64)
+    rows0 = [v0[o0[i]:o0[i + 1]].tolist() for i in range(len(lists))]
+    rows1 = [v1[o1[i]:o1[i + 1]].tolist() for i in range(len(lists))]
+    assert rows0 == rows1 == [list(map(int, r)) for r in lists]
+    # sliced (bucket-slice analog): decode must window the offsets
+    t = pa.table({"b": packed}).slice(1, 2)
+    v2, o2 = unpack_hash_bin(t["b"], np.uint64)
+    rows2 = [v2[o2[i]:o2[i + 1]].tolist() for i in range(2)]
+    assert rows2 == [[], [2**63, 7]]
+    # int32 variant (the ttf payload)
+    ci = pa.array([[3, 1], [2]], pa.list_(pa.int32()))
+    vi, oi = unpack_hash_bin(pack_hash_list(ci, np.int32), np.int32)
+    assert [vi[oi[i]:oi[i + 1]].tolist() for i in range(2)] == [[3, 1], [2]]
+
+
+def test_er_join_attach_path_parity(ray_session, tiny_corpus, er_cfg,
+                                    monkeypatch):
+    """Forcing the giant-corpus bucketed-join attach (broadcast threshold
+    0 → no side index, pool killed, compact binary-packed payload) must
+    produce bitwise-identical scores and identical entities to the
+    default broadcast-index path."""
+    import ember_ray.pipelines.er as er
+
+    base = er.run_er(tiny_corpus, er_cfg)
+    ref = (base["scored"].to_pandas()
+           .sort_values(["conv_id_left", "conv_id_right"])
+           .reset_index(drop=True))
+
+    monkeypatch.setattr(er, "ATTACH_BROADCAST_THRESHOLD", 0)
+    out = er.run_er(tiny_corpus, er_cfg)
+    got = (out["scored"].to_pandas()
+           .sort_values(["conv_id_left", "conv_id_right"])
+           .reset_index(drop=True))
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got[ref.columns], ref, check_exact=True)
+    assert out["metrics"]["f1"] == base["metrics"]["f1"]
