@@ -395,6 +395,22 @@ def _score_stage(pairs, convs, cfg: ERConfig, idf_ref, checkpointer, base_fp,
             from ..stages.scoring import score_with_pool
 
             return score_with_pool(p, pool)
+        if compact_join:
+            # fused attach+score: the scorer runs INSIDE the second
+            # bucket join's reduce task (bucketed_join post hook), so
+            # the per-pair side payloads never enter the object store —
+            # only (ids, features, score) rows do. This is what lets the
+            # join path survive corpora whose per-pair payload mass
+            # exceeds store + spill (the 960k OutOfDisk).
+            from ..stages.scoring import make_fused_scorer
+
+            return attach_sides(
+                p, side_src, num_partitions=cfg.num_partitions,
+                columns=attach_cols,
+                broadcast_threshold=ATTACH_BROADCAST_THRESHOLD,
+                prebuilt_index_ref=side_index_ref,
+                post=make_fused_scorer(idf_ref=idf_ref, weights=cfg.weights,
+                                       batch_size=cfg.scorer_batch_size))
         with_sides = attach_sides(p, side_src,
                                   num_partitions=cfg.num_partitions,
                                   columns=attach_cols,

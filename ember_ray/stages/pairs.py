@@ -296,6 +296,8 @@ def unpack_hash_bin(col, dtype):
     if arr.null_count:
         raise ValueError("packed hash column must be non-null")
     width = np.dtype(dtype).itemsize
+    if len(arr) == 0:  # empty arrays may carry no buffers at all
+        return np.empty(0, dtype), np.zeros(1, np.int64)
     bufs = arr.buffers()
     boff = np.frombuffer(bufs[1], np.int32)[arr.offset:arr.offset + len(arr) + 1]
     vals = (np.frombuffer(bufs[2], dtype=dtype)
@@ -306,7 +308,7 @@ def unpack_hash_bin(col, dtype):
 def attach_sides(pairs, conversations, num_partitions: int = 32,
                  columns: tuple[str, ...] = ("text",),
                  broadcast_threshold: int = 1_000_000,
-                 prebuilt_index_ref=None):
+                 prebuilt_index_ref=None, post=None):
     """Join conversation payloads onto both pair sides.
 
     Hybrid (the small-side rule): when the conversation payload table fits
@@ -319,9 +321,10 @@ def attach_sides(pairs, conversations, num_partitions: int = 32,
     ``build_side_index_async`` — skips any driver-side gather (the sharded
     build overlapped the upstream shuffle).
 
-    In the bucketed-join fallback only ``text`` is shipped — re-deriving
-    tokens vectorized in the scorer is cheaper than doubling the shuffle
-    bytes with a token column.
+    ``post``: optional table→table consumer fused into the final attach
+    step (the ``bucketed_join(post=...)`` hook on the join path, a lazy
+    map elsewhere) — with a scorer here the per-pair side payloads never
+    materialize in the object store; only the reduced rows do.
     """
     from ..util import bucketed_join
 
@@ -329,7 +332,7 @@ def attach_sides(pairs, conversations, num_partitions: int = 32,
     if hashed:
         return _attach_sides_hashed(pairs, conversations, num_partitions,
                                     columns, broadcast_threshold,
-                                    prebuilt_index_ref)
+                                    prebuilt_index_ref, post=post)
     cols = ["conv_id", *columns]
     if prebuilt_index_ref is not None or conversations.count() <= broadcast_threshold:
         import ray
@@ -361,8 +364,12 @@ def attach_sides(pairs, conversations, num_partitions: int = 32,
                 )
             return pa.table(out)
 
-        return pairs.map_batches(attach, batch_format="pyarrow",
-                                 zero_copy_batch=True)
+        attached = pairs.map_batches(attach, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+        if post is not None:
+            attached = attached.map_batches(post, batch_format="pyarrow",
+                                            zero_copy_batch=True)
+        return attached
 
     left = conversations.select_columns(cols).rename_columns(
         {c: f"{c}_left" for c in cols}
@@ -373,11 +380,12 @@ def attach_sides(pairs, conversations, num_partitions: int = 32,
     out = bucketed_join(pairs, left, on="conv_id_left",
                         num_buckets=num_partitions)
     return bucketed_join(out, right, on="conv_id_right",
-                         num_buckets=num_partitions)
+                         num_buckets=num_partitions, post=post)
 
 
 def _attach_sides_hashed(pairs, conversations, num_partitions, columns,
-                         broadcast_threshold, prebuilt_index_ref):
+                         broadcast_threshold, prebuilt_index_ref,
+                         post=None):
     """attach_sides for uint64 hash pairs (``hl``/``hr``): resolve conv_id
     strings + payloads from the sharded index (broadcast path) or via two
     bucketed joins on a derived ``cid`` column (giant-corpus path), then
@@ -422,8 +430,12 @@ def _attach_sides_hashed(pairs, conversations, num_partitions, columns,
                 )
             return pa.table(out)
 
-        return pairs.map_batches(attach, batch_format="pyarrow",
-                                 zero_copy_batch=True)
+        attached = pairs.map_batches(attach, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+        if post is not None:
+            attached = attached.map_batches(post, batch_format="pyarrow",
+                                            zero_copy_batch=True)
+        return attached
 
     from ..util import bucketed_join, stable_hash64
 
@@ -441,7 +453,6 @@ def _attach_sides_hashed(pairs, conversations, num_partitions, columns,
         add_cid("hr"), batch_format="pyarrow", zero_copy_batch=True
     ).rename_columns({c: f"{c}_right" for c in cols})
     out = bucketed_join(pairs, left, on="hl", num_buckets=num_partitions)
-    out = bucketed_join(out, right, on="hr", num_buckets=num_partitions)
 
     def finish(batch: pa.Table) -> pa.Table:
         l_id, r_id = batch["conv_id_left"], batch["conv_id_right"]
@@ -459,5 +470,12 @@ def _attach_sides_hashed(pairs, conversations, num_partitions, columns,
             out[f"{c}_right"] = batch[f"{c}_right"]
         return pa.table(out)
 
+    # with a fused consumer, finish + post run INSIDE the second join's
+    # reduce task — the per-pair payload table never enters the store
+    fin_post = (lambda t: post(finish(t))) if post is not None else None
+    out = bucketed_join(out, right, on="hr", num_buckets=num_partitions,
+                        post=fin_post)
+    if fin_post is not None:
+        return out
     return out.map_batches(finish, batch_format="pyarrow",
                            zero_copy_batch=True)

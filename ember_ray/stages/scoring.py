@@ -529,6 +529,38 @@ def score_with_pool(pairs, pool):
     return rd.from_arrow_refs(outs)
 
 
+_FUSED_SCORERS: dict = {}
+
+
+def make_fused_scorer(idf_ref=None, weights=None, batch_size: int = 2048):
+    """Table→table scoring callable for ``bucketed_join(post=...)`` — the
+    fused giant-corpus path: each joined bucket is scored INSIDE the
+    reduce task, so the per-pair side payloads never enter the object
+    store; only (ids, features, score) rows do (~100 B/pair vs ~2 KB).
+
+    The underlying :class:`PairScorer` (DuckDB connection, fetched IDF
+    table) is cached per worker PROCESS keyed by (idf_ref, weights), so
+    n_workers constructions, not n_buckets. Handles empty buckets (the
+    ``post`` contract) and slices big buckets to ``batch_size`` to bound
+    kernel temporaries (the CLAUDE.md whole-block page-fault tax)."""
+
+    wkey = tuple(sorted(weights.items())) if weights else None
+
+    def fused(tbl: pa.Table) -> pa.Table:
+        key = (idf_ref, wkey, "fused")
+        sc = _FUSED_SCORERS.get(key)
+        if sc is None:
+            sc = PairScorer(idf_ref=idf_ref, weights=weights)
+            _FUSED_SCORERS[key] = sc
+        if tbl.num_rows <= batch_size:
+            return sc(tbl)
+        outs = [sc(tbl.slice(s, batch_size))
+                for s in range(0, tbl.num_rows, batch_size)]
+        return pa.concat_tables(outs)
+
+    return fused
+
+
 def score_pairs(
     pairs_with_sides,
     idf_ref=None,

@@ -481,10 +481,19 @@ def bucketed_join(
     how: str = "inner",
     num_buckets: int | None = 64,
     seed: int = _HASH_SEED,
+    post=None,
 ):
     """Single-shuffle hash join: side-tag + pad both inputs to a common
     schema, union, shuffle once on ``hash(key) % num_buckets``, and merge
     each bucket with one vectorized pandas ``merge``.
+
+    ``post``: optional table→table callable applied to each joined bucket
+    INSIDE the reduce task — the fused-consumer hook. When the join's
+    per-row output is wide but its consumer reduces it (e.g. pair-side
+    payload attach → scoring), fusing the consumer here means only the
+    reduced rows ever enter the object store instead of the full joined
+    table. ``post`` must handle an empty input table (empty buckets pass
+    through it so every part shares the post-schema).
 
     Rationale vs ``Dataset.join``: Ray 2.49's join needs the
     empty-block workaround (``compact_nonempty`` = one extra materialize +
@@ -560,16 +569,19 @@ def bucketed_join(
             # running the pad fn, so a fully-empty bucket can arrive with
             # the PRE-pad schema (no __side) — seen when the right side
             # has empty blocks (tiny vocab over many buckets)
-            return out_schema.empty_table()
+            empty = out_schema.empty_table()
+            return post(empty) if post is not None else empty
         mask = pc.equal(tbl["__side"], 0)
         l = tbl.filter(mask).select([on, *lpay])
         r = tbl.filter(pc.invert(mask)).select([on, *rpay])
         if nested_payload:
             out = l.to_pandas().merge(r.to_pandas(), on=on, how=pd_how)
-            return pa.Table.from_pandas(out, schema=out_schema,
-                                        preserve_index=False)
-        joined = l.join(r, keys=on, join_type=acero_how)
-        return joined.select(out_schema.names).cast(out_schema)
+            joined = pa.Table.from_pandas(out, schema=out_schema,
+                                          preserve_index=False)
+        else:
+            joined = l.join(r, keys=on, join_type=acero_how)
+            joined = joined.select(out_schema.names).cast(out_schema)
+        return post(joined) if post is not None else joined
 
     return hash_exchange(both, on, num_buckets, merge_bucket, seed=seed,
                          arrow=True)
