@@ -311,6 +311,42 @@ def _q_er_consistency_report(sf_dir: str):
                            threshold=_er_cfg().threshold)
 
 
+def _q_er_summary(sf_dir: str):
+    """Resolution summary card: conversation/entity/singleton counts,
+    max cluster size, and mean cluster size (raw int64 quotient —
+    bitwise). One groupby to sizes + one-row per-batch partials; the
+    oracle re-derives everything through the recursive-CTE closure."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Count
+
+    ents = _export_er_graph(sf_dir)["entities"]
+    sizes = ents.groupby("entity_id").aggregate(Count(alias_name="size"))
+
+    def part(t: "pa.Table") -> "pa.Table":
+        s = np.asarray(t["size"], np.int64)
+        return pa.table({
+            "n_conversations": pa.array([int(s.sum())], pa.int64()),
+            "n_entities": pa.array([len(s)], pa.int64()),
+            "n_singletons": pa.array([int(np.sum(s == 1))], pa.int64()),
+            "max_cluster_size": pa.array(
+                [int(s.max()) if len(s) else 0], pa.int64()),
+        })
+
+    tot = {"n_conversations": 0, "n_entities": 0, "n_singletons": 0,
+           "max_cluster_size": 0}
+    for row in sizes.map_batches(part, batch_format="pyarrow",
+                                 zero_copy_batch=True).take_all():
+        for k in ("n_conversations", "n_entities", "n_singletons"):
+            tot[k] += row[k]
+        tot["max_cluster_size"] = max(tot["max_cluster_size"],
+                                      row["max_cluster_size"])
+    tot["mean_cluster_size"] = (tot["n_conversations"] / tot["n_entities"]
+                                if tot["n_entities"] else 0.0)
+    return pd.DataFrame([tot])
+
+
 def _q_er_match_weights(sf_dir: str):
     """Fellegi–Sunter m/u agreement probabilities per comparison feature
     (stages/evaluate.py match_weights): supervised counts over the
@@ -698,6 +734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ==== r01-r04, still swept by tools/check_oracles.py), then the ====
         # ==== remaining oracle-exact entries, then rows-only entries    ====
         # ==== whose verify companions are oracle-checked.               ====
+        "er_summary": _q_er_summary,                        # oracle-exact
         "filter_project": relational.filter_project,        # M2/M4/M10 (r04 green)
         "groupby_count": relational.groupby_count,          # A2 (r04 green)
         "distinct": relational.distinct_values,             # A3 (r04 green)
@@ -1408,6 +1445,18 @@ def oracle_sql() -> dict[str, str]:
             "AS n_forced, "
             "min(score) AS min_score, max(score) AS max_score "
             "FROM j GROUP BY entity_id"
+        ),
+        "er_summary": (
+            # all-int64 counts + one raw int64 quotient — bitwise
+            f"WITH RECURSIVE {_CC_SQL}, "
+            "sizes AS (SELECT entity_id, count(*) AS size FROM ent "
+            "GROUP BY entity_id) "
+            "SELECT CAST(sum(size) AS BIGINT) AS n_conversations, "
+            "count(*) AS n_entities, "
+            "sum((size = 1)::INT)::BIGINT AS n_singletons, "
+            "CAST(max(size) AS BIGINT) AS max_cluster_size, "
+            "CAST(sum(size) AS BIGINT)::DOUBLE / count(*) "
+            "AS mean_cluster_size FROM sizes"
         ),
         "er_match_weights": (
             # Fellegi–Sunter m/u agreement probabilities: all three
