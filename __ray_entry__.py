@@ -388,6 +388,26 @@ def _q_er_score_calibration(sf_dir: str):
     return score_calibration(out["scored"], gold)
 
 
+def _q_er_threshold_sweep(sf_dir: str):
+    """Pair-level precision/recall at every candidate threshold k/50
+    (stages/evaluate.py threshold_sweep): suffix sums over the exact
+    calibration bin table + a gold C(n,2) denominator. All-integer counts
+    and single-division ratios — bitwise on both engines. DuckDB
+    re-derives bins, suffix sums and all three ratios from the exported
+    scores + the gold table."""
+    import os
+
+    import ray.data as rd
+
+    from ember_ray.stages.evaluate import threshold_sweep
+
+    out = _export_er_graph(sf_dir)  # exports er_pairs incl. score
+    gold = rd.read_parquet(
+        os.path.join(_er_corpus(sf_dir), "gold_clusters.parquet"),
+        columns=["conv_id", "cluster_id"])
+    return threshold_sweep(out["scored"], gold)
+
+
 def _side_link(name: str, target: str) -> None:
     """Atomically (re)point ``_SIDE_DIR/name`` at ``target`` so the static
     oracle SQL can read the per-sf synthetic corpus parquet."""
@@ -735,6 +755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ==== remaining oracle-exact entries, then rows-only entries    ====
         # ==== whose verify companions are oracle-checked.               ====
         "er_summary": _q_er_summary,                        # oracle-exact
+        "er_threshold_sweep": _q_er_threshold_sweep,        # oracle-exact
         "filter_project": relational.filter_project,        # M2/M4/M10 (r04 green)
         "groupby_count": relational.groupby_count,          # A2 (r04 green)
         "distinct": relational.distinct_values,             # A3 (r04 green)
@@ -1526,6 +1547,35 @@ def oracle_sql() -> dict[str, str]:
             "JOIN g gl ON gl.conv_id = p.conv_id_left "
             "JOIN g gr ON gr.conv_id = p.conv_id_right "
             "GROUP BY bin"
+        ),
+        "er_threshold_sweep": (
+            # integer suffix sums over the calibration bins + single
+            # IEEE divisions of exact integers — bitwise on both engines
+            "WITH g AS (SELECT conv_id, cluster_id "
+            f"FROM read_parquet('{_SIDE_DIR}/gold_clusters')), "
+            "lab AS (SELECT floor(score * 50)::BIGINT AS bin, "
+            "(gl.cluster_id = gr.cluster_id) AS im "
+            f"FROM read_parquet('{_SIDE_DIR}/er_pairs/*.parquet') p "
+            "JOIN g gl ON gl.conv_id = p.conv_id_left "
+            "JOIN g gr ON gr.conv_id = p.conv_id_right), "
+            "bins AS (SELECT bin, count(*)::BIGINT AS np, "
+            "sum(im::INT)::BIGINT AS nm FROM lab GROUP BY bin), "
+            "tot AS (SELECT coalesce(sum(nm), 0)::BIGINT AS all_match "
+            "FROM bins), "
+            "gp AS (SELECT coalesce(sum(n * (n - 1) // 2), 0)::BIGINT "
+            "AS gold_pairs FROM (SELECT count(*)::BIGINT AS n FROM g "
+            "GROUP BY cluster_id)), "
+            "k AS (SELECT range::BIGINT AS t FROM range(0, 50)), "
+            "cum AS (SELECT k.t, coalesce(sum(b.np), 0)::BIGINT AS n_pred, "
+            "coalesce(sum(b.nm), 0)::BIGINT AS n_tp "
+            "FROM k LEFT JOIN bins b ON b.bin >= k.t GROUP BY k.t) "
+            "SELECT t AS threshold_bin, n_pred, n_tp, "
+            "CASE WHEN n_pred = 0 THEN 0.0 ELSE n_tp / n_pred END "
+            "AS precision_t, "
+            "CASE WHEN all_match = 0 THEN 0.0 ELSE n_tp / all_match END "
+            "AS recall_cand, "
+            "CASE WHEN gold_pairs = 0 THEN 0.0 ELSE n_tp / gold_pairs END "
+            "AS recall_gold FROM cum, tot, gp"
         ),
         "bench_scenario_counts": (
             "WITH names AS (SELECT split FROM "

@@ -423,6 +423,81 @@ def score_calibration(
                        Sum("n_match", alias_name="n_match")))
 
 
+def threshold_sweep(
+    candidate_pairs,
+    gold,
+    n_bins: int = 50,
+    broadcast_threshold: int = 5_000_000,
+    num_partitions: int = 32,
+):
+    """Pair-level precision/recall at EVERY candidate threshold t =
+    k/n_bins — the operating-point curve behind cutoff selection
+    (reference analog: the matcher's single fixed 0.5 cutoff,
+    ``src/models/matcher.py:26-42``; this shows what every other cutoff
+    would have done before re-running anything).
+
+    Cost model: one pass over the scored pair stream via
+    :func:`score_calibration`'s exact-integer bin table (≤ n_bins+1 rows
+    leave the cluster), plus one ``groupby(cluster_id)`` count over the
+    gold table for the absolute-recall denominator (blocking misses count
+    against ``recall_gold``, not just scorer misses). The sweep itself is
+    a suffix sum over the bin table on the driver — bounded by n_bins,
+    never by data size. All counts are int64; the three ratios are single
+    IEEE divisions of exact integers (bit-stable across engines — the
+    :func:`match_weights` rule), so no rounding is needed.
+
+    Row k reads: "at threshold score ≥ k/n_bins" (⇔ floor(score·n_bins)
+    ≥ k, pure-integer on both engines): predicted-positive pairs, true
+    positives, precision, recall within the candidate set, recall against
+    all C(n,2) gold pairs."""
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    cal = score_calibration(candidate_pairs, gold, n_bins=n_bins,
+                            broadcast_threshold=broadcast_threshold,
+                            num_partitions=num_partitions)
+    rows = cal.take_all()  # ≤ n_bins+1 rows by construction
+
+    # absolute-recall denominator: Σ_clusters C(n,2), via per-batch
+    # partials over the (tiny) per-cluster count table
+    def part(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch["n"], dtype=np.int64)
+        return pa.table({"p": pa.array([int(np.sum(n * (n - 1) // 2))],
+                                       pa.int64())})
+
+    gold_pairs = sum(
+        r["p"] for r in gold.groupby("cluster_id")
+        .aggregate(Count(alias_name="n"))
+        .map_batches(part, batch_format="pyarrow").take_all())
+
+    bins = np.array([int(r["bin"]) for r in rows], dtype=np.int64)
+    b_pairs = np.array([int(r["n_pairs"]) for r in rows], dtype=np.int64)
+    b_match = np.array([int(r["n_match"]) for r in rows], dtype=np.int64)
+    all_match = int(b_match.sum())
+
+    t = np.arange(n_bins, dtype=np.int64)
+    mask = bins[None, :] >= t[:, None]          # (n_bins, ≤n_bins+1)
+    n_pred = mask @ b_pairs
+    n_tp = mask @ b_match
+
+    def ratio(num: np.ndarray, den) -> np.ndarray:
+        den_arr = np.broadcast_to(np.asarray(den, np.float64), num.shape)
+        out = np.zeros(num.shape, np.float64)
+        np.divide(num.astype(np.float64), den_arr, out=out,
+                  where=den_arr != 0)
+        return out
+
+    return pd.DataFrame({
+        "threshold_bin": t,
+        "n_pred": n_pred,
+        "n_tp": n_tp,
+        "precision_t": ratio(n_tp, n_pred),
+        "recall_cand": ratio(n_tp, float(all_match)),
+        "recall_gold": ratio(n_tp, float(gold_pairs)),
+    })
+
+
 def entity_cohesion(
     candidate_pairs,
     entities,

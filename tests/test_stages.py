@@ -424,6 +424,45 @@ def test_score_calibration_bins(rd):
         assert len(got) == 3
 
 
+def test_threshold_sweep_planted(rd):
+    """Suffix sums over planted bins: with pairs in bins 15/31/45 (two
+    matches in 45) and gold clusters {a,b,d},{c}, the curve must read
+    n_pred/n_tp = (4,2) up to t=15, (3,2) up to t=31, (2,2) up to t=45,
+    then (0,0); recall_gold uses C(3,2)=3 gold pairs (blocking missed
+    b–d is NOT in the candidates and counts against it)."""
+    from ember_ray.stages.evaluate import threshold_sweep
+
+    pairs = rd.from_items(
+        [
+            {"conv_id_left": "a", "conv_id_right": "b", "score": 0.91},
+            {"conv_id_left": "a", "conv_id_right": "c", "score": 0.30},
+            {"conv_id_left": "b", "conv_id_right": "d", "score": 0.911},
+            {"conv_id_left": "c", "conv_id_right": "d", "score": 0.62},
+        ]
+    )
+    gold = rd.from_items(
+        [
+            {"conv_id": "a", "cluster_id": 1},
+            {"conv_id": "b", "cluster_id": 1},
+            {"conv_id": "c", "cluster_id": 2},
+            {"conv_id": "d", "cluster_id": 1},
+        ]
+    )
+    got = threshold_sweep(pairs, gold, num_partitions=2).set_index(
+        "threshold_bin")
+    assert len(got) == 50
+    assert got.loc[0, ["n_pred", "n_tp"]].tolist() == [4, 2]
+    assert got.loc[16, ["n_pred", "n_tp"]].tolist() == [3, 2]
+    assert got.loc[32, ["n_pred", "n_tp"]].tolist() == [2, 2]
+    assert got.loc[46, ["n_pred", "n_tp"]].tolist() == [0, 0]
+    # single-division ratios: a–b 0.91 and b–d 0.911 are gold matches,
+    # a–d is gold but was never a candidate → recall_gold = 2/3 at t=0
+    assert got.loc[0, "precision_t"] == 2 / 4
+    assert got.loc[0, "recall_cand"] == 1.0
+    assert got.loc[0, "recall_gold"] == 2 / 3
+    assert got.loc[46, "precision_t"] == 0.0
+
+
 def test_entity_cohesion_planted(rd):
     """Planted chain a–b–c (edges a-b 0.9, b-c 0.85 ≥ τ=0.8; a-c 0.5
     forced in by transitivity) + an isolated below-threshold pair d-e:
