@@ -408,6 +408,35 @@ def _q_er_threshold_sweep(sf_dir: str):
     return threshold_sweep(out["scored"], gold)
 
 
+_ER_FS_CUTOFFS = {"jaccard": 0.5, "jaro_winkler": 0.9, "levenshtein": 0.8}
+
+
+def _q_er_agreement_patterns(sf_dir: str):
+    """Counts of the 2^3 feature-agreement patterns over the candidate
+    pairs (stages/evaluate.py agreement_patterns) — the Fellegi–Sunter
+    sufficient statistic, computed with NO gold labels. Pure int64;
+    DuckDB recomputes all three features bitwise from the raw
+    transcripts and packs the same bits."""
+    from ember_ray.stages.evaluate import agreement_patterns
+
+    out = _export_er_graph(sf_dir)  # exports er_pairs + transcripts
+    return agreement_patterns(out["scored"], cutoffs=_ER_FS_CUTOFFS)
+
+
+def _q_er_em_weights(sf_dir: str):
+    """Unsupervised Fellegi–Sunter m/u/λ via EM over the agreement
+    patterns (stages/evaluate.py em_weights — the Splink-style core; no
+    gold anywhere). Iterative float math is not SQL-expressible →
+    rows-only; the pattern-count input has its own bitwise oracle
+    (er_agreement_patterns) and EM accuracy is pinned by a
+    planted-mixture pytest."""
+    from ember_ray.stages.evaluate import agreement_patterns, em_weights
+
+    out = _export_er_graph(sf_dir)
+    pats = agreement_patterns(out["scored"], cutoffs=_ER_FS_CUTOFFS)
+    return em_weights(pats.to_pandas(), feats=sorted(_ER_FS_CUTOFFS))
+
+
 def _side_link(name: str, target: str) -> None:
     """Atomically (re)point ``_SIDE_DIR/name`` at ``target`` so the static
     oracle SQL can read the per-sf synthetic corpus parquet."""
@@ -756,6 +785,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ==== whose verify companions are oracle-checked.               ====
         "er_summary": _q_er_summary,                        # oracle-exact
         "er_threshold_sweep": _q_er_threshold_sweep,        # oracle-exact
+        "er_agreement_patterns": _q_er_agreement_patterns,  # oracle-exact
+        "er_em_weights": _q_er_em_weights,                  # rows-only (EM)
         "filter_project": relational.filter_project,        # M2/M4/M10 (r04 green)
         "groupby_count": relational.groupby_count,          # A2 (r04 green)
         "distinct": relational.distinct_values,             # A3 (r04 green)
@@ -1576,6 +1607,35 @@ def oracle_sql() -> dict[str, str]:
             "AS recall_cand, "
             "CASE WHEN gold_pairs = 0 THEN 0.0 ELSE n_tp / gold_pairs END "
             "AS recall_gold FROM cum, tot, gp"
+        ),
+        "er_agreement_patterns": (
+            # Fellegi–Sunter sufficient statistic: all three comparison
+            # features recomputed bitwise from the raw transcripts (the
+            # er_similarity_verify recipe), one bit per feature in
+            # sorted name order, pure BIGINT counts — bitwise parity
+            "WITH conv AS (SELECT conv_id, "
+            "string_agg(text, chr(10) ORDER BY turn_idx) AS text "
+            f"FROM read_parquet('{_SIDE_DIR}/transcripts/*.parquet') "
+            "GROUP BY conv_id), "
+            f"p AS (SELECT * FROM read_parquet('{_SIDE_DIR}/er_pairs/*.parquet')), "
+            "s AS (SELECT p.conv_id_left, p.conv_id_right, "
+            "substring(a.text, 1, 128) AS ta, substring(b.text, 1, 128) AS tb, "
+            f"{toks.replace('text', 'a.text')} AS ka, "
+            f"{toks.replace('text', 'b.text')} AS kb "
+            "FROM p JOIN conv a ON a.conv_id = p.conv_id_left "
+            "JOIN conv b ON b.conv_id = p.conv_id_right), "
+            "f AS (SELECT "
+            "coalesce(len(list_intersect(ka, kb)) * 1.0 / "
+            "nullif(len(ka) + len(kb) - len(list_intersect(ka, kb)), 0), 0.0)"
+            " AS jaccard, "
+            "CASE WHEN ta = tb THEN 1.0 "
+            "ELSE jaro_winkler_similarity(ta, tb) END AS jaro_winkler, "
+            "CASE WHEN greatest(length(ta), length(tb)) = 0 THEN 1.0 "
+            "ELSE 1.0 - levenshtein(ta, tb)::DOUBLE / "
+            "greatest(length(ta), length(tb)) END AS levenshtein FROM s) "
+            "SELECT ((jaccard >= 0.5)::INT + 2 * (jaro_winkler >= 0.9)::INT "
+            "+ 4 * (levenshtein >= 0.8)::INT)::BIGINT AS pattern, "
+            "count(*)::BIGINT AS n_pairs FROM f GROUP BY pattern"
         ),
         "bench_scenario_counts": (
             "WITH names AS (SELECT split FROM "

@@ -695,6 +695,104 @@ def match_weights(
                            zero_copy_batch=True)
 
 
+def agreement_patterns(
+    candidate_pairs,
+    cutoffs: dict[str, float],
+):
+    """Counts of the 2^F feature-agreement patterns over the candidate
+    pairs — the Fellegi–Sunter sufficient statistic (Fellegi & Sunter
+    1969): under conditional independence, these ≤ 2^F integers are ALL
+    that unsupervised m/u/λ estimation (:func:`em_weights`) needs; no
+    gold labels touched. Pattern id packs one bit per feature in sorted
+    name order (bit i set ⇔ feature_i ≥ its cutoff).
+
+    One pass over the pair stream, no attach at all: each batch reduces
+    to ≤ 2^F (pattern, count) rows via one Arrow group_by, then a tiny
+    groupby sums the partials. Output is pure int64 — oracle parity is
+    bitwise (DuckDB re-derives every feature from the raw transcripts
+    via the er_similarity_verify recipe, then packs the same bits)."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    feats = sorted(cutoffs)
+    ds = candidate_pairs.select_columns(feats)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pat = np.zeros(len(batch), np.int64)
+        for i, f in enumerate(feats):
+            pat |= (np.asarray(batch[f], np.float64)
+                    >= cutoffs[f]).astype(np.int64) << i
+        g = pa.table({
+            "pattern": pa.array(pat, pa.int64()),
+            "one": pa.array(np.ones(len(pat), np.int64)),
+        }).group_by("pattern").aggregate([("one", "sum")])
+        return pa.table({"pattern": g["pattern"],
+                         "n_pairs": pc.cast(g["one_sum"], pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("pattern")
+            .aggregate(Sum("n_pairs", alias_name="n_pairs")))
+
+
+def em_weights(
+    pattern_counts,
+    feats: list[str],
+    iters: int = 100,
+    lam0: float = 0.1,
+    m0: float = 0.9,
+    u0: float = 0.1,
+):
+    """Unsupervised Fellegi–Sunter parameter estimation: EM over the
+    :func:`agreement_patterns` table (the Splink-style core — no gold
+    labels anywhere). Conditional-independence mixture of two Bernoulli
+    products; E-step assigns each pattern a match responsibility, M-step
+    re-estimates λ (match prevalence) and per-feature m_f / u_f. The
+    entire loop runs on ≤ 2^F integer rows on the driver — the data-size
+    work was already done by the one distributed pass that produced the
+    counts. Deterministic: fixed init, fixed iteration count, no RNG.
+
+    ``pattern_counts`` is the materialized pattern table (list of dicts
+    or DataFrame with columns pattern/n_pairs); ``feats`` gives the bit
+    order (sorted feature names, bit i ⇔ feats[i]). Returns one row per
+    feature (m_prob / u_prob) plus a ``_lambda`` row carrying the match
+    prevalence in both columns. Iterative transcendental-free float math
+    — not SQL-expressible, so this op is rows-only by design; accuracy
+    is pinned by a planted-mixture pytest instead."""
+    import numpy as np
+    import pandas as pd
+
+    rows = (pattern_counts.to_dict("records")
+            if hasattr(pattern_counts, "to_dict") else list(pattern_counts))
+    pats = np.array([int(r["pattern"]) for r in rows], np.int64)
+    n = np.array([int(r["n_pairs"]) for r in rows], np.float64)
+    F = len(feats)
+    a = ((pats[:, None] >> np.arange(F)[None, :]) & 1).astype(np.float64)
+
+    lam, m, u = lam0, np.full(F, m0), np.full(F, u0)
+    eps = 1e-12
+    for _ in range(iters):
+        # E-step in log space for numerical safety at F features
+        lm = (a * np.log(np.clip(m, eps, 1 - eps))
+              + (1 - a) * np.log(np.clip(1 - m, eps, 1 - eps))).sum(1)
+        lu = (a * np.log(np.clip(u, eps, 1 - eps))
+              + (1 - a) * np.log(np.clip(1 - u, eps, 1 - eps))).sum(1)
+        pm = lam * np.exp(lm)
+        pu = (1 - lam) * np.exp(lu)
+        w = pm / np.clip(pm + pu, eps, None)
+        # M-step over the weighted integer counts
+        wm, wu = n * w, n * (1 - w)
+        lam = float(wm.sum() / n.sum())
+        m = (a * wm[:, None]).sum(0) / np.clip(wm.sum(), eps, None)
+        u = (a * wu[:, None]).sum(0) / np.clip(wu.sum(), eps, None)
+
+    return pd.DataFrame({
+        "feature": list(feats) + ["_lambda"],
+        "m_prob": np.append(m, lam),
+        "u_prob": np.append(u, lam),
+    })
+
+
 def prf(confusion: dict) -> dict:
     """Positive-class precision/recall/F1 (matcher.py:14-24 semantics)."""
     tp, fp, fn = confusion["tp"], confusion["fp"], confusion["fn"]

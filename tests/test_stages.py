@@ -463,6 +463,52 @@ def test_threshold_sweep_planted(rd):
     assert got.loc[46, "precision_t"] == 0.0
 
 
+def test_agreement_patterns_planted(rd):
+    """Bit packing in sorted feature order (a→bit0, b→bit1): planted
+    feature vectors land in known pattern cells with exact counts."""
+    from ember_ray.stages.evaluate import agreement_patterns
+
+    pairs = rd.from_items(
+        [
+            {"a": 0.9, "b": 0.9},   # both agree   → pattern 3
+            {"a": 0.9, "b": 0.1},   # a only       → pattern 1
+            {"a": 0.1, "b": 0.9},   # b only       → pattern 2
+            {"a": 0.1, "b": 0.1},   # neither      → pattern 0
+            {"a": 0.5, "b": 0.9},   # a at cutoff (>=) counts → 3
+        ]
+    )
+    got = (agreement_patterns(pairs, cutoffs={"a": 0.5, "b": 0.5})
+           .to_pandas().set_index("pattern")["n_pairs"].sort_index())
+    assert got.to_dict() == {0: 1, 1: 1, 2: 1, 3: 2}
+
+
+def test_em_weights_recovers_planted_mixture():
+    """EM over exact pattern counts from a known two-class mixture
+    (λ=0.2, m=(0.95,0.9,0.8), u=(0.05,0.1,0.2), N=10^7 expected counts)
+    recovers all seven parameters to <0.01 — the unsupervised
+    Fellegi–Sunter core, pinned without gold labels. Three features are
+    the identifiability floor (2^F cells must be ≥ 2F+1 free params;
+    F=2 gives 4 cells vs 5 params and EM lands on a nearby ridge)."""
+    import numpy as np
+
+    from ember_ray.stages.evaluate import em_weights
+
+    lam = 0.2
+    m, u = np.array([0.95, 0.9, 0.8]), np.array([0.05, 0.1, 0.2])
+    rows = []
+    for pat in range(8):
+        a = np.array([(pat >> i) & 1 for i in range(3)], np.float64)
+        pm = np.prod(m ** a * (1 - m) ** (1 - a))
+        pu = np.prod(u ** a * (1 - u) ** (1 - a))
+        rows.append({"pattern": pat,
+                     "n_pairs": int(round(1e7 * (lam * pm + (1 - lam) * pu)))})
+    got = em_weights(rows, feats=["f0", "f1", "f2"]).set_index("feature")
+    assert abs(got.loc["_lambda", "m_prob"] - lam) < 0.01
+    for i, f in enumerate(("f0", "f1", "f2")):
+        assert abs(got.loc[f, "m_prob"] - m[i]) < 0.01
+        assert abs(got.loc[f, "u_prob"] - u[i]) < 0.01
+
+
 def test_entity_cohesion_planted(rd):
     """Planted chain a–b–c (edges a-b 0.9, b-c 0.85 ≥ τ=0.8; a-c 0.5
     forced in by transitivity) + an isolated below-threshold pair d-e:
