@@ -437,6 +437,32 @@ def _q_er_em_weights(sf_dir: str):
     return em_weights(pats.to_pandas(), feats=sorted(_ER_FS_CUTOFFS))
 
 
+def _q_er_fs_scores(sf_dir: str):
+    """Per-pair Fellegi–Sunter log-odds from the UNSUPERVISED EM weights
+    (stages/evaluate.py fs_scores) — the full Splink-style linkage loop:
+    pattern counts → EM m/u/λ → log2 weight table (driver, exported as
+    doubles) → fixed-order weighted sum per pair. The oracle recomputes
+    the features bitwise, reads the exported weights and writes the
+    identical left-associated sum — bitwise parity with no
+    transcendental evaluated per pair on either side."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ember_ray.stages.evaluate import (agreement_patterns, em_weights,
+                                           fs_scores, fs_weight_table)
+
+    out = _export_er_graph(sf_dir)  # exports er_pairs + transcripts
+    pats = agreement_patterns(out["scored"], cutoffs=_ER_FS_CUTOFFS)
+    em = em_weights(pats.to_pandas(), feats=sorted(_ER_FS_CUTOFFS))
+    w = fs_weight_table(em)
+    os.makedirs(_SIDE_DIR, exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(w, preserve_index=False),
+                   os.path.join(_SIDE_DIR, "er_fs_weights.parquet"))
+    return fs_scores(out["scored"], w, cutoffs=_ER_FS_CUTOFFS)
+
+
 def _side_link(name: str, target: str) -> None:
     """Atomically (re)point ``_SIDE_DIR/name`` at ``target`` so the static
     oracle SQL can read the per-sf synthetic corpus parquet."""
@@ -787,6 +813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_threshold_sweep": _q_er_threshold_sweep,        # oracle-exact
         "er_agreement_patterns": _q_er_agreement_patterns,  # oracle-exact
         "er_em_weights": _q_er_em_weights,                  # rows-only (EM)
+        "er_fs_scores": _q_er_fs_scores,                    # oracle-exact
         "filter_project": relational.filter_project,        # M2/M4/M10 (r04 green)
         "groupby_count": relational.groupby_count,          # A2 (r04 green)
         "distinct": relational.distinct_values,             # A3 (r04 green)
@@ -1636,6 +1663,46 @@ def oracle_sql() -> dict[str, str]:
             "SELECT ((jaccard >= 0.5)::INT + 2 * (jaro_winkler >= 0.9)::INT "
             "+ 4 * (levenshtein >= 0.8)::INT)::BIGINT AS pattern, "
             "count(*)::BIGINT AS n_pairs FROM f GROUP BY pattern"
+        ),
+        "er_fs_scores": (
+            # FS log-odds: features recomputed bitwise, log2 weights
+            # read back as the exact exported doubles, and the SAME
+            # left-associated sum prior+t_jac+t_jw+t_lev as the kernel
+            # — bitwise parity, no transcendental evaluated here
+            "WITH conv AS (SELECT conv_id, "
+            "string_agg(text, chr(10) ORDER BY turn_idx) AS text "
+            f"FROM read_parquet('{_SIDE_DIR}/transcripts/*.parquet') "
+            "GROUP BY conv_id), "
+            f"p AS (SELECT * FROM read_parquet('{_SIDE_DIR}/er_pairs/*.parquet')), "
+            "s AS (SELECT p.conv_id_left, p.conv_id_right, "
+            "substring(a.text, 1, 128) AS ta, substring(b.text, 1, 128) AS tb, "
+            f"{toks.replace('text', 'a.text')} AS ka, "
+            f"{toks.replace('text', 'b.text')} AS kb "
+            "FROM p JOIN conv a ON a.conv_id = p.conv_id_left "
+            "JOIN conv b ON b.conv_id = p.conv_id_right), "
+            "f AS (SELECT conv_id_left, conv_id_right, "
+            "coalesce(len(list_intersect(ka, kb)) * 1.0 / "
+            "nullif(len(ka) + len(kb) - len(list_intersect(ka, kb)), 0), 0.0)"
+            " AS jaccard, "
+            "CASE WHEN ta = tb THEN 1.0 "
+            "ELSE jaro_winkler_similarity(ta, tb) END AS jaro_winkler, "
+            "CASE WHEN greatest(length(ta), length(tb)) = 0 THEN 1.0 "
+            "ELSE 1.0 - levenshtein(ta, tb)::DOUBLE / "
+            "greatest(length(ta), length(tb)) END AS levenshtein FROM s), "
+            "w AS (SELECT "
+            "max(CASE WHEN feature = 'jaccard' THEN w_agree END) AS ja, "
+            "max(CASE WHEN feature = 'jaccard' THEN w_disagree END) AS jd, "
+            "max(CASE WHEN feature = 'jaro_winkler' THEN w_agree END) AS wa, "
+            "max(CASE WHEN feature = 'jaro_winkler' THEN w_disagree END) AS wd, "
+            "max(CASE WHEN feature = 'levenshtein' THEN w_agree END) AS la, "
+            "max(CASE WHEN feature = 'levenshtein' THEN w_disagree END) AS ld, "
+            "max(CASE WHEN feature = '_prior' THEN w_agree END) AS pr "
+            f"FROM read_parquet('{_SIDE_DIR}/er_fs_weights.parquet')) "
+            "SELECT f.conv_id_left, f.conv_id_right, "
+            "w.pr + (CASE WHEN f.jaccard >= 0.5 THEN w.ja ELSE w.jd END) "
+            "+ (CASE WHEN f.jaro_winkler >= 0.9 THEN w.wa ELSE w.wd END) "
+            "+ (CASE WHEN f.levenshtein >= 0.8 THEN w.la ELSE w.ld END) "
+            "AS log_odds FROM f, w"
         ),
         "bench_scenario_counts": (
             "WITH names AS (SELECT split FROM "

@@ -793,6 +793,75 @@ def em_weights(
     })
 
 
+def fs_weight_table(em_df, eps: float = 1e-12):
+    """Turn :func:`em_weights` output into the Fellegi–Sunter log2
+    weight table: per feature w_agree = log2(m/u), w_disagree =
+    log2((1−m)/(1−u)), plus a ``_prior`` row carrying log2(λ/(1−λ)).
+    The transcendentals happen HERE — once, on the driver, over ≤ F+1
+    tiny rows — and the resulting doubles are what both the engine and
+    the oracle consume, so downstream scoring stays bit-stable (the
+    repo's no-transcendentals-in-oracles rule)."""
+    import numpy as np
+    import pandas as pd
+
+    d = em_df.set_index("feature")
+    lam = float(np.clip(d.loc["_lambda", "m_prob"], eps, 1 - eps))
+    rows = []
+    for f in d.index:
+        if f == "_lambda":
+            continue
+        m = float(np.clip(d.loc[f, "m_prob"], eps, 1 - eps))
+        u = float(np.clip(d.loc[f, "u_prob"], eps, 1 - eps))
+        rows.append({"feature": f,
+                     "w_agree": float(np.log2(m / u)),
+                     "w_disagree": float(np.log2((1 - m) / (1 - u)))})
+    pr = float(np.log2(lam / (1 - lam)))
+    rows.append({"feature": "_prior", "w_agree": pr, "w_disagree": pr})
+    return pd.DataFrame(rows)
+
+
+def fs_scores(
+    candidate_pairs,
+    weights,
+    cutoffs: dict[str, float],
+):
+    """Per-pair Fellegi–Sunter log-odds over the candidate pairs —
+    the full unsupervised probabilistic-record-linkage scoring loop
+    (Fellegi & Sunter 1969; the Splink decision rule): log_odds =
+    prior + Σ_f (w_agree_f if feature_f ≥ c_f else w_disagree_f),
+    with every weight a precomputed double from :func:`fs_weight_table`
+    (no transcendental evaluated per pair, by either engine).
+
+    One stateless vectorized pass; the ≤ 2F+1 weight doubles ride the
+    closure (plain floats — no broadcast object needed). The sum is
+    accumulated in sorted feature order starting from the prior, so an
+    oracle writing the identical left-associated expression matches
+    bitwise."""
+    import numpy as np
+
+    feats = sorted(cutoffs)
+    w = weights.set_index("feature")
+    wa = {f: float(w.loc[f, "w_agree"]) for f in feats}
+    wd = {f: float(w.loc[f, "w_disagree"]) for f in feats}
+    prior = float(w.loc["_prior", "w_agree"])
+    ds = candidate_pairs.select_columns(
+        ["conv_id_left", "conv_id_right", *feats])
+
+    def kern(batch: pa.Table) -> pa.Table:
+        lo = np.full(len(batch), prior, np.float64)
+        for f in feats:
+            a = np.asarray(batch[f], np.float64) >= cutoffs[f]
+            lo = lo + np.where(a, wa[f], wd[f])
+        return pa.table({
+            "conv_id_left": batch["conv_id_left"],
+            "conv_id_right": batch["conv_id_right"],
+            "log_odds": pa.array(lo, pa.float64()),
+        })
+
+    return ds.map_batches(kern, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def prf(confusion: dict) -> dict:
     """Positive-class precision/recall/F1 (matcher.py:14-24 semantics)."""
     tp, fp, fn = confusion["tp"], confusion["fp"], confusion["fn"]

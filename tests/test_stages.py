@@ -509,6 +509,40 @@ def test_em_weights_recovers_planted_mixture():
         assert abs(got.loc[f, "u_prob"] - u[i]) < 0.01
 
 
+def test_fs_scores_planted(rd):
+    """Weight table from known m/u/λ, then per-pair log-odds: each of
+    the four agreement patterns lands exactly on prior + its two fixed
+    weights (left-associated, same order as the oracle expression)."""
+    import numpy as np
+    import pandas as pd
+
+    from ember_ray.stages.evaluate import fs_scores, fs_weight_table
+
+    em = pd.DataFrame({
+        "feature": ["a", "b", "_lambda"],
+        "m_prob": [0.8, 0.9, 0.25],
+        "u_prob": [0.2, 0.1, 0.25],
+    })
+    w = fs_weight_table(em).set_index("feature")
+    assert w.loc["a", "w_agree"] == np.log2(0.8 / 0.2)
+    assert w.loc["a", "w_disagree"] == np.log2((1 - 0.8) / (1 - 0.2))
+    assert w.loc["_prior", "w_agree"] == np.log2(0.25 / 0.75)
+
+    pairs = rd.from_items(
+        [
+            {"conv_id_left": "p", "conv_id_right": "q", "a": 0.9, "b": 0.9},
+            {"conv_id_left": "r", "conv_id_right": "s", "a": 0.9, "b": 0.1},
+            {"conv_id_left": "t", "conv_id_right": "u", "a": 0.1, "b": 0.1},
+        ]
+    )
+    got = (fs_scores(pairs, w.reset_index(), cutoffs={"a": 0.5, "b": 0.5})
+           .to_pandas().set_index("conv_id_left")["log_odds"])
+    pr = w.loc["_prior", "w_agree"]
+    assert got["p"] == (pr + w.loc["a", "w_agree"]) + w.loc["b", "w_agree"]
+    assert got["r"] == (pr + w.loc["a", "w_agree"]) + w.loc["b", "w_disagree"]
+    assert got["t"] == (pr + w.loc["a", "w_disagree"]) + w.loc["b", "w_disagree"]
+
+
 def test_entity_cohesion_planted(rd):
     """Planted chain a–b–c (edges a-b 0.9, b-c 0.85 ≥ τ=0.8; a-c 0.5
     forced in by transitivity) + an isolated below-threshold pair d-e:
