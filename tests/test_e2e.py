@@ -212,3 +212,37 @@ def test_er_join_attach_path_parity(ray_session, tiny_corpus, er_cfg,
     pd.testing.assert_frame_equal(
         got[ref.columns], ref, check_exact=True)
     assert out["metrics"]["f1"] == base["metrics"]["f1"]
+
+
+def test_run_er_cli_entrypoint(ray_session, tiny_corpus, tmp_path):
+    """The `ray job submit` surface (tools/run_er.py): in-process main()
+    attaches to the live session (owns_session False → no shutdown),
+    writes entities.parquet + metrics.json with P/R/F1, timings, config
+    echo and checkpoint manifests; --set overrides reach ERConfig; a
+    second identical invocation resumes from the same checkpoint root."""
+    from tools.run_er import main
+
+    out = str(tmp_path / "out")
+    rc = main(["--input", tiny_corpus, "--output", out,
+               "--checkpoint-dir", os.path.join(out, "ckpt"),
+               "--set", "score_parts=4", "--set", "threshold=0.7"])
+    assert rc == 0
+    m = json.load(open(os.path.join(out, "metrics.json")))
+    assert {"f1", "precision", "recall", "timings", "config"} <= set(m)
+    assert m["config"]["score_parts"] == 4
+    assert m["config"]["threshold"] == 0.7
+    assert os.path.isdir(os.path.join(out, "entities.parquet"))
+    assert os.path.isdir(os.path.join(out, "ckpt"))
+
+    # resume: second run against the same checkpoint root stays green
+    assert main(["--input", tiny_corpus, "--output", out,
+                 "--checkpoint-dir", os.path.join(out, "ckpt"),
+                 "--set", "score_parts=4", "--set", "threshold=0.7"]) == 0
+
+    # --no-gold view: no eval keys, entities still written
+    out2 = str(tmp_path / "out2")
+    assert main(["--input", tiny_corpus, "--output", out2,
+                 "--no-gold", "--set", "score_parts=4"]) == 0
+    m2 = json.load(open(os.path.join(out2, "metrics.json")))
+    assert "f1" not in m2
+    assert os.path.isdir(os.path.join(out2, "entities.parquet"))
