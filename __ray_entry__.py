@@ -463,6 +463,22 @@ def _q_er_fs_scores(sf_dir: str):
     return fs_scores(out["scored"], w, cutoffs=_ER_FS_CUTOFFS)
 
 
+def _q_er_threshold_stability(sf_dir: str):
+    """Entity-count + split/merge sensitivity at τ±0.05
+    (stages/cluster.py threshold_stability): the same scored pairs
+    clustered at 0.65/0.70/0.75 (τ=0.7 is the flagship cfg threshold;
+    the grid is hardcoded to keep the literals identical to the static
+    oracle SQL). All-int64 one-row card. DuckDB re-derives all three
+    partitions via recursive-CTE closures over the exported scores and
+    recomputes both refinement counts."""
+    from ember_ray.stages.cluster import threshold_stability
+
+    out = _export_er_graph(sf_dir)  # exports er_pairs incl. score
+    return threshold_stability(
+        out["scored"], out["conversations"].count(),
+        thresholds=(0.65, 0.7, 0.75))
+
+
 def _side_link(name: str, target: str) -> None:
     """Atomically (re)point ``_SIDE_DIR/name`` at ``target`` so the static
     oracle SQL can read the per-sf synthetic corpus parquet."""
@@ -814,6 +830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_agreement_patterns": _q_er_agreement_patterns,  # oracle-exact
         "er_em_weights": _q_er_em_weights,                  # rows-only (EM)
         "er_fs_scores": _q_er_fs_scores,                    # oracle-exact
+        "er_threshold_stability": _q_er_threshold_stability,  # oracle-exact
         "filter_project": relational.filter_project,        # M2/M4/M10 (r04 green)
         "groupby_count": relational.groupby_count,          # A2 (r04 green)
         "distinct": relational.distinct_values,             # A3 (r04 green)
@@ -1703,6 +1720,52 @@ def oracle_sql() -> dict[str, str]:
             "+ (CASE WHEN f.jaro_winkler >= 0.9 THEN w.wa ELSE w.wd END) "
             "+ (CASE WHEN f.levenshtein >= 0.8 THEN w.la ELSE w.ld END) "
             "AS log_odds FROM f, w"
+        ),
+        "er_threshold_stability": (
+            # three min-label closures (recursive CTE, the _CC_SQL
+            # pattern) over the exported scores at 0.65/0.70/0.75 +
+            # distinct (parent,child) label pairs per adjacent tier —
+            # pure integer counts
+            "WITH RECURSIVE conv AS (SELECT DISTINCT conv_id "
+            f"FROM read_parquet('{_SIDE_DIR}/transcripts/*.parquet')), "
+            "p AS (SELECT conv_id_left, conv_id_right, score "
+            f"FROM read_parquet('{_SIDE_DIR}/er_pairs/*.parquet')), "
+            "sym65 AS (SELECT conv_id_left AS a, conv_id_right AS b FROM p "
+            "WHERE score >= 0.65 UNION SELECT conv_id_right, conv_id_left "
+            "FROM p WHERE score >= 0.65), "
+            "walk65(node, label) AS (SELECT conv_id, conv_id FROM conv "
+            "UNION SELECT s.b, w.label FROM walk65 w JOIN sym65 s "
+            "ON s.a = w.node WHERE w.label < s.b), "
+            "e65 AS (SELECT node, min(label) AS lab FROM walk65 "
+            "GROUP BY node), "
+            "sym70 AS (SELECT conv_id_left AS a, conv_id_right AS b FROM p "
+            "WHERE score >= 0.7 UNION SELECT conv_id_right, conv_id_left "
+            "FROM p WHERE score >= 0.7), "
+            "walk70(node, label) AS (SELECT conv_id, conv_id FROM conv "
+            "UNION SELECT s.b, w.label FROM walk70 w JOIN sym70 s "
+            "ON s.a = w.node WHERE w.label < s.b), "
+            "e70 AS (SELECT node, min(label) AS lab FROM walk70 "
+            "GROUP BY node), "
+            "sym75 AS (SELECT conv_id_left AS a, conv_id_right AS b FROM p "
+            "WHERE score >= 0.75 UNION SELECT conv_id_right, conv_id_left "
+            "FROM p WHERE score >= 0.75), "
+            "walk75(node, label) AS (SELECT conv_id, conv_id FROM conv "
+            "UNION SELECT s.b, w.label FROM walk75 w JOIN sym75 s "
+            "ON s.a = w.node WHERE w.label < s.b), "
+            "e75 AS (SELECT node, min(label) AS lab FROM walk75 "
+            "GROUP BY node), "
+            "m1 AS (SELECT l.lab AS pp, m.lab AS cc FROM e65 l "
+            "JOIN e70 m USING (node) GROUP BY 1, 2), "
+            "mm AS (SELECT pp FROM m1 GROUP BY pp HAVING count(*) > 1), "
+            "s1 AS (SELECT m.lab AS pp, h.lab AS cc FROM e70 m "
+            "JOIN e75 h USING (node) GROUP BY 1, 2), "
+            "ss AS (SELECT pp FROM s1 GROUP BY pp HAVING count(*) > 1) "
+            "SELECT (SELECT count(*) FROM conv)::BIGINT AS n_conversations, "
+            "(SELECT count(DISTINCT lab) FROM e65)::BIGINT AS n_entities_lo, "
+            "(SELECT count(DISTINCT lab) FROM e70)::BIGINT AS n_entities_mid, "
+            "(SELECT count(DISTINCT lab) FROM e75)::BIGINT AS n_entities_hi, "
+            "(SELECT count(*) FROM mm)::BIGINT AS n_merge_lo_from_mid, "
+            "(SELECT count(*) FROM ss)::BIGINT AS n_split_mid_at_hi"
         ),
         "bench_scenario_counts": (
             "WITH names AS (SELECT split FROM "

@@ -510,3 +510,104 @@ def assign_entities(conversations, components, num_partitions: int = 32,
         return pa.table({"conv_id": batch["conv_id"], "entity_id": ent})
 
     return joined.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def threshold_stability(
+    scored,
+    n_conversations: int,
+    thresholds: tuple = (0.65, 0.7, 0.75),
+    num_buckets: int = 32,
+    num_partitions: int = 32,
+    driver_threshold: int = 2_000_000,
+):
+    """Sensitivity of the entity partition to the decision threshold:
+    cluster the SAME scored candidate pairs at (τ−δ, τ, τ+δ) and report
+    entity counts plus the split/merge structure between adjacent tiers
+    — the standard what-if audit before committing a cutoff (raising τ
+    only ever splits entities, lowering it only ever merges, because the
+    edge sets are nested).
+
+    All-int64 one-row output: n_conversations, n_entities_{lo,mid,hi},
+    n_merge_lo_from_mid (lo-entities that are merges of >1 mid-entity),
+    n_split_mid_at_hi (mid-entities that fragment into >1 hi-entity).
+
+    Scale shape: three fused closures over the materialized scored
+    blocks (each `connected_components_from_scored` — driver union-find
+    below `driver_threshold` edges, distributed min-label above); entity
+    counts need NO shuffle (min-label invariant: a component's label is
+    its own min member, so #components = Σ(label == node) per block, and
+    #entities = n_conversations − #edge_nodes + #components); the two
+    refinement counts attach the child tier's labels map-side (zero-copy
+    sharded broadcast index; missing node ⇒ singleton ⇒ its own label)
+    and pre-distinct per batch, so only distinct (parent, child) label
+    pairs — bounded by #edge_nodes, not pairs — cross each exchange."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Count
+
+    from ..util import build_sharded_index_async, sharded_lookup
+
+    comps = {
+        t: connected_components_from_scored(
+            scored, t, num_buckets=num_buckets,
+            num_partitions=num_partitions,
+            driver_threshold=driver_threshold).materialize()
+        for t in thresholds
+    }
+
+    def counts_of(c):
+        def part(batch: pa.Table) -> pa.Table:
+            eq = pc.sum(pc.cast(pc.equal(batch["node"], batch["label"]),
+                                pa.int64())).as_py() or 0
+            return pa.table({"n": pa.array([batch.num_rows], pa.int64()),
+                             "c": pa.array([int(eq)], pa.int64())})
+
+        n = ncomp = 0
+        for r in c.map_batches(part, batch_format="pyarrow",
+                               zero_copy_batch=True).take_all():
+            n += r["n"]
+            ncomp += r["c"]
+        return n, ncomp
+
+    def refinement(parent, child):
+        """#parent labels whose nodes carry >1 distinct child label."""
+        refs = build_sharded_index_async(child, "node", ["label"],
+                                         num_shards=8)
+
+        def att(batch: pa.Table) -> pa.Table:
+            idx = [ray.get(r) for r in refs]
+            ch = sharded_lookup(idx, batch["node"], "label")
+            ch = pc.coalesce(ch, batch["node"])  # absent ⇒ singleton self
+            return pa.table({"p": batch["label"], "c": ch}).group_by(
+                ["p", "c"]).aggregate([])  # per-batch pre-distinct
+
+        dist = (parent.map_batches(att, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+                .groupby(["p", "c"]).aggregate(Count(alias_name="x"))
+                .materialize())  # shuffle boundary: don't pipeline into
+        per_p = dist.groupby("p").aggregate(Count(alias_name="k"))
+
+        def gt1(batch: pa.Table) -> pa.Table:
+            m = np.asarray(batch["k"], np.int64) > 1
+            return pa.table({"s": pa.array([int(m.sum())], pa.int64())})
+
+        return sum(r["s"] for r in per_p.map_batches(
+            gt1, batch_format="pyarrow").take_all())
+
+    lo, mid, hi = thresholds
+    ents = {}
+    for t in thresholds:
+        n_nodes, n_comp = counts_of(comps[t])
+        ents[t] = n_conversations - n_nodes + n_comp
+
+    import pandas as pd
+
+    return pd.DataFrame([{
+        "n_conversations": n_conversations,
+        "n_entities_lo": ents[lo],
+        "n_entities_mid": ents[mid],
+        "n_entities_hi": ents[hi],
+        "n_merge_lo_from_mid": refinement(comps[lo], comps[mid]),
+        "n_split_mid_at_hi": refinement(comps[mid], comps[hi]),
+    }])

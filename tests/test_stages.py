@@ -273,6 +273,31 @@ def test_blocking_report_counts(rd):
         assert rep["reduction_ratio"] == 1.0 - 4 / 15
 
 
+def test_threshold_stability_planted(rd):
+    """Planted chain a–b(0.8)–c(0.72)–d(0.66) + never-edge e–f(0.5) over
+    7 conversations (g isolated): entities 4/5/6 at τ=0.65/0.70/0.75,
+    exactly one lo-merge ({abcd} = {abc}+{d}) and one mid-split
+    ({abc} → {ab}+{c}); nested edge sets ⇒ counts are exact."""
+    from ember_ray.stages.cluster import threshold_stability
+
+    scored = rd.from_items(
+        [
+            {"conv_id_left": "a", "conv_id_right": "b", "score": 0.8},
+            {"conv_id_left": "b", "conv_id_right": "c", "score": 0.72},
+            {"conv_id_left": "c", "conv_id_right": "d", "score": 0.66},
+            {"conv_id_left": "e", "conv_id_right": "f", "score": 0.5},
+        ]
+    )
+    got = threshold_stability(scored, 7,
+                              thresholds=(0.65, 0.7, 0.75)).iloc[0]
+    assert got["n_conversations"] == 7
+    assert got["n_entities_lo"] == 4
+    assert got["n_entities_mid"] == 5
+    assert got["n_entities_hi"] == 6
+    assert got["n_merge_lo_from_mid"] == 1
+    assert got["n_split_mid_at_hi"] == 1
+
+
 def test_clustering_agreement_planted(rd):
     """Gold {a,b,c}+{d,e}+{f} vs predicted {a,b}+{c,d,e}+{f}: by hand
     B³P = B³R = 14/18 ≈ 0.777778 and ARI = (2−16/15)/(4−16/15) = 7/22.
