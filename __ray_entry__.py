@@ -755,26 +755,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # ORDERING CONTRACT (VERDICT r3 #1, ROTATED r5 per VERDICT r4 #5):
     # the driver checks exactly the FIRST 50 keys — all 50 in-window
-    # entries are oracle-exact, ending with the eleven er_* queries
-    # (five flagships + the six round-5 ER additions: blocking /
-    # clustering / survivorship / incremental / review-queue /
-    # calibration — this IS the entity_resolution tier, so the new ER
-    # ops earn driver rows). Six r01-r04-green veterans
-    # (filter_project, groupby_count, distinct, semi_join, anti_join,
-    # union_dedup) are demoted to just past the window; they remain in
-    # the full tools/check_oracles.py sweep.
+    # entries are oracle-exact, ending with the sixteen er_* queries
+    # (five flagships + the round-5 ER additions: blocking / clustering
+    # / survivorship / incremental / review-queue / calibration /
+    # consistency / match-weights / summary / threshold-sweep /
+    # agreement-patterns / fs-scores / threshold-stability — this IS
+    # the entity_resolution tier, so the new ER ops earn driver rows).
+    # Eleven r01-r04-green veterans (filter_project, groupby_count,
+    # distinct, semi_join, anti_join, union_dedup, asof_join,
+    # range_join, sessionize, quality_filter, shard_pack) are demoted
+    # to just past the window; they remain in the full
+    # tools/check_oracles.py sweep.
     return {
         # --- kept veterans: core relational (SURVEY §2) -------------------
         "join_agg": relational.join_agg,                    # J1/J2 analog
         "topk": relational.topk,                            # O3
         "assembly": relational.assembly,                    # A1 analog
         "pricing_summary": relational.pricing_summary,      # partial+final agg
-        # --- kept veterans: temporal / curation / sketches / text ---------
-        "asof_join": temporal.asof_join,                    # as-of join
-        "range_join": temporal.range_join,                  # time-range join
-        "sessionize": temporal.sessionize,                  # session windows
-        "quality_filter": curation.quality_filter,
-        "shard_pack": curation.shard_pack,
+        # --- kept veterans: sketches / text -------------------------------
         "distinct_count": sketches.distinct_count,
         "group_quantiles": sketches.group_quantiles,
         "token_count": textops.token_count,
@@ -828,9 +826,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_summary": _q_er_summary,                        # oracle-exact
         "er_threshold_sweep": _q_er_threshold_sweep,        # oracle-exact
         "er_agreement_patterns": _q_er_agreement_patterns,  # oracle-exact
-        "er_em_weights": _q_er_em_weights,                  # rows-only (EM)
         "er_fs_scores": _q_er_fs_scores,                    # oracle-exact
         "er_threshold_stability": _q_er_threshold_stability,  # oracle-exact
+        # --- just past the window: rows-only EM + demoted r04-green vets --
+        "er_em_weights": _q_er_em_weights,                  # rows-only (EM)
+        "asof_join": temporal.asof_join,                    # r04 green
+        "range_join": temporal.range_join,                  # r04 green
+        "sessionize": temporal.sessionize,                  # r04 green
+        "quality_filter": curation.quality_filter,          # r04 green
+        "shard_pack": curation.shard_pack,                  # r04 green
         "filter_project": relational.filter_project,        # M2/M4/M10 (r04 green)
         "groupby_count": relational.groupby_count,          # A2 (r04 green)
         "distinct": relational.distinct_values,             # A3 (r04 green)
