@@ -479,6 +479,45 @@ def _q_er_threshold_stability(sf_dir: str):
         thresholds=(0.65, 0.7, 0.75))
 
 
+def _q_er_blocking_sweep(sf_dir: str):
+    """Blocking-parameter sweep (stages/evaluate.py blocking_sweep):
+    the same conversations re-blocked at 8/16/32 LSH bands (r = 8/4/2
+    rows per band over 64 perms), one blocking_report row per config —
+    the candidates-vs-recall tuning table. Per-config candidate pairs
+    are exported so DuckDB re-derives every count and both
+    single-division ratios from the exports + gold (the er_incremental
+    evidence pattern: generation engine-side, arithmetic oracle-side)."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ember_ray.stages.evaluate import blocking_sweep
+
+    out = _export_er_graph(sf_dir)  # links gold_clusters for the oracle
+    gold = rd.read_parquet(
+        os.path.join(_er_corpus(sf_dir), "gold_clusters.parquet"),
+        columns=["conv_id", "cluster_id"])
+    df, exports = blocking_sweep(out["conversations"], gold,
+                                 band_grid=(8, 16, 32),
+                                 seed=_er_cfg().seed,
+                                 max_block_size=_er_cfg().max_block_size)
+    for nb, ds in exports.items():
+        path = os.path.join(_SIDE_DIR, f"blocking_sweep_b{nb}")
+        shutil.rmtree(path, ignore_errors=True)
+        ds.write_parquet(path)
+        if not any(f.endswith(".parquet") for f in os.listdir(path)):
+            # empty candidate set: write a schema'd empty file so the
+            # oracle's glob still resolves
+            pq.write_table(
+                pa.schema([("conv_id_left", pa.string()),
+                           ("conv_id_right", pa.string())]).empty_table(),
+                os.path.join(path, "empty.parquet"))
+    return df
+
+
 def _side_link(name: str, target: str) -> None:
     """Atomically (re)point ``_SIDE_DIR/name`` at ``target`` so the static
     oracle SQL can read the per-sf synthetic corpus parquet."""
@@ -829,6 +868,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_fs_scores": _q_er_fs_scores,                    # oracle-exact
         "er_threshold_stability": _q_er_threshold_stability,  # oracle-exact
         # --- just past the window: rows-only EM + demoted r04-green vets --
+        "er_blocking_sweep": _q_er_blocking_sweep,          # oracle-exact
         "er_em_weights": _q_er_em_weights,                  # rows-only (EM)
         "asof_join": temporal.asof_join,                    # r04 green
         "range_join": temporal.range_join,                  # r04 green
@@ -998,6 +1038,38 @@ def oracle_sql() -> dict[str, str]:
     toks = (
         "list_distinct(list_filter(string_split(" + norm + ", ' '), "
         "x -> x <> ''))"
+    )
+
+    # er_blocking_sweep: per-config counts from the exported candidate
+    # sets + single-division ratios written exactly as the Python side
+    # computes them (the er_incremental evidence pattern)
+    _bs_ctes = "".join(
+        f"c{b} AS (SELECT count(*)::BIGINT AS cand, "
+        "coalesce(sum((gl.cluster_id = gr.cluster_id)::INT), 0)::BIGINT "
+        f"AS m FROM read_parquet('{_SIDE_DIR}/blocking_sweep_b{b}/*.parquet') p "
+        "JOIN g gl ON gl.conv_id = p.conv_id_left "
+        "JOIN g gr ON gr.conv_id = p.conv_id_right), "
+        for b in (8, 16, 32)
+    )
+    _bs_selects = " UNION ALL ".join(
+        f"SELECT {b}::BIGINT AS num_bands, {64 // b}::BIGINT AS rows_per_band, "
+        "nr.n AS n_records, c.cand AS n_candidates, "
+        "gp.gold_pairs AS n_gold_pairs, c.m AS n_matched, "
+        "CASE WHEN gp.gold_pairs = 0 THEN 0.0 ELSE c.m / gp.gold_pairs END "
+        "AS pairs_completeness, "
+        "CASE WHEN nr.n * (nr.n - 1) // 2 = 0 THEN 0.0 "
+        "ELSE 1.0 - (c.cand / (nr.n * (nr.n - 1) // 2)) END "
+        f"AS reduction_ratio FROM c{b} c, gp, nr"
+        for b in (8, 16, 32)
+    )
+    blocking_sweep_sql = (
+        "WITH g AS (SELECT conv_id, cluster_id "
+        f"FROM read_parquet('{_SIDE_DIR}/gold_clusters')), "
+        "nr AS (SELECT count(*)::BIGINT AS n FROM g), "
+        "gp AS (SELECT coalesce(sum(k * (k - 1) // 2), 0)::BIGINT "
+        "AS gold_pairs FROM (SELECT count(*)::BIGINT AS k FROM g "
+        "GROUP BY cluster_id)), "
+        + _bs_ctes.rstrip(", ") + " " + _bs_selects
     )
 
     from ember_ray.pipelines.textops import LangId
@@ -1771,6 +1843,7 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT count(*) FROM mm)::BIGINT AS n_merge_lo_from_mid, "
             "(SELECT count(*) FROM ss)::BIGINT AS n_split_mid_at_hi"
         ),
+        "er_blocking_sweep": blocking_sweep_sql,
         "bench_scenario_counts": (
             "WITH names AS (SELECT split FROM "
             f"read_parquet('{_SIDE_DIR}/bench_split_names.parquet')), "

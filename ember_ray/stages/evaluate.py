@@ -212,6 +212,54 @@ def blocking_report(
     }
 
 
+def blocking_sweep(
+    conversations,
+    gold,
+    band_grid: tuple = (8, 16, 32),
+    num_perm: int = 64,
+    seed: int = 142,
+    max_block_size: int = 64,
+    num_buckets: int = 64,
+    on_oversize: str = "drop",
+    num_partitions: int = 32,
+    broadcast_threshold: int = 5_000_000,
+):
+    """Blocking-parameter sweep: re-block the SAME conversations at each
+    LSH band count b (r = num_perm/b rows per band) and report the
+    :func:`blocking_report` metrics per configuration — the
+    candidates-vs-recall tuning table (more bands / fewer rows ⇒ more
+    candidates ⇒ higher completeness, lower reduction; Christen ch. 7's
+    parameter-selection procedure, and the sweep the reference's fixed
+    SIMILAR_CLUSTER_NUM fan-out never exposes).
+
+    One MinHash+pair+report pass per grid point over the conversations'
+    precomputed ``thash`` token hashes (no re-tokenization; signatures
+    are recomputed per b because band keys hash r-perm slices). The
+    same oversize stop-key policy applies at every point, so the table
+    reflects what the engine would actually generate. Returns
+    ``(report_df, {b: materialized candidate pairs})`` — the exports
+    let an oracle re-derive every count and both single-division
+    ratios."""
+    import pandas as pd
+
+    from .blocking import make_blocks
+    from .pairs import generate_pairs
+
+    rows, exports = [], {}
+    for nb in band_grid:
+        blocks = make_blocks(conversations, num_perm=num_perm,
+                             num_bands=nb, seed=seed)
+        pairs = generate_pairs(blocks, max_block_size=max_block_size,
+                               num_buckets=num_buckets,
+                               on_oversize=on_oversize).materialize()
+        rep = blocking_report(pairs, gold, num_partitions=num_partitions,
+                              broadcast_threshold=broadcast_threshold)
+        rows.append({"num_bands": nb, "rows_per_band": num_perm // nb,
+                     **rep})
+        exports[nb] = pairs
+    return pd.DataFrame(rows), exports
+
+
 def clustering_agreement(
     entities,
     gold,

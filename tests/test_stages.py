@@ -273,6 +273,41 @@ def test_blocking_report_counts(rd):
         assert rep["reduction_ratio"] == 1.0 - 4 / 15
 
 
+def test_blocking_sweep_planted(rd):
+    """Identical token sets (a,b) share every band key at EVERY config
+    (minhash is set-determined), disjoint c never collides (uint64 band
+    keys): each grid row must read exactly 1 candidate = 1 gold match,
+    completeness 1.0, reduction 1 - 1/3, with the right b / r labels."""
+    from ember_ray.stages.evaluate import blocking_sweep
+
+    toks = ["alpha", "beta", "gamma", "delta"]
+    convs = rd.from_items(
+        [
+            {"conv_id": "a", "tokens": toks},
+            {"conv_id": "b", "tokens": list(toks)},
+            {"conv_id": "c", "tokens": ["zeta", "eta", "theta", "iota"]},
+        ]
+    )
+    gold = rd.from_items(
+        [
+            {"conv_id": "a", "cluster_id": 1},
+            {"conv_id": "b", "cluster_id": 1},
+            {"conv_id": "c", "cluster_id": 2},
+        ]
+    )
+    df, exports = blocking_sweep(convs, gold, band_grid=(8, 16, 32),
+                                 num_buckets=4, num_partitions=2)
+    assert df["num_bands"].tolist() == [8, 16, 32]
+    assert df["rows_per_band"].tolist() == [8, 4, 2]
+    assert df["n_candidates"].tolist() == [1, 1, 1]
+    assert df["n_matched"].tolist() == [1, 1, 1]
+    assert df["n_gold_pairs"].tolist() == [1, 1, 1]
+    assert (df["pairs_completeness"] == 1.0).all()
+    assert (df["reduction_ratio"] == 1.0 - (1 / 3)).all()
+    got = exports[16].to_pandas()
+    assert sorted(map(tuple, got.values.tolist())) == [("a", "b")]
+
+
 def test_threshold_stability_planted(rd):
     """Planted chain a–b(0.8)–c(0.72)–d(0.66) + never-edge e–f(0.5) over
     7 conversations (g isolated): entities 4/5/6 at τ=0.65/0.70/0.75,
