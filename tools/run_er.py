@@ -98,6 +98,7 @@ def main(argv: list[str]) -> int:
     # may itself be a directory of parts, so the view keeps the corpus-dir
     # shape and with it the fused parquet read path)
     src = args.input
+    view = None
     if args.no_gold and os.path.isdir(src):
         inner = os.path.join(src, "transcripts.parquet")
         if os.path.exists(inner):
@@ -129,6 +130,11 @@ def main(argv: list[str]) -> int:
     print(json.dumps({k: metrics[k] for k in metrics
                       if k not in ("config",)}, default=str))
 
+    if view is not None:
+        # outputs are fully written by now; drop the symlink view
+        import shutil
+
+        shutil.rmtree(view, ignore_errors=True)
     if owns_session:
         ray.shutdown()
     return 0
