@@ -519,6 +519,7 @@ def threshold_stability(
     num_buckets: int = 32,
     num_partitions: int = 32,
     driver_threshold: int = 2_000_000,
+    broadcast_threshold: int = 5_000_000,
 ):
     """Sensitivity of the entity partition to the decision threshold:
     cluster the SAME scored candidate pairs at (τ−δ, τ, τ+δ) and report
@@ -571,19 +572,42 @@ def threshold_stability(
         return n, ncomp
 
     def refinement(parent, child):
-        """#parent labels whose nodes carry >1 distinct child label."""
-        refs = build_sharded_index_async(child, "node", ["label"],
-                                         num_shards=8)
+        """#parent labels whose nodes carry >1 distinct child label.
+        Child labels attach by the hybrid rule: sharded zero-copy
+        broadcast below ``broadcast_threshold`` nodes, bucketed
+        left-outer join above (a 10^9-node label table outgrows any
+        broadcast budget); both paths coalesce absent ⇒ singleton
+        self and are pinned equal by a path-parity pytest."""
+        if child.count() <= broadcast_threshold:
+            refs = build_sharded_index_async(child, "node", ["label"],
+                                             num_shards=8)
 
-        def att(batch: pa.Table) -> pa.Table:
-            idx = [ray.get(r) for r in refs]
-            ch = sharded_lookup(idx, batch["node"], "label")
-            ch = pc.coalesce(ch, batch["node"])  # absent ⇒ singleton self
-            return pa.table({"p": batch["label"], "c": ch}).group_by(
-                ["p", "c"]).aggregate([])  # per-batch pre-distinct
+            def att(batch: pa.Table) -> pa.Table:
+                idx = [ray.get(r) for r in refs]
+                ch = sharded_lookup(idx, batch["node"], "label")
+                ch = pc.coalesce(ch, batch["node"])  # absent ⇒ self
+                return pa.table({"p": batch["label"], "c": ch}).group_by(
+                    ["p", "c"]).aggregate([])  # per-batch pre-distinct
 
-        dist = (parent.map_batches(att, batch_format="pyarrow",
-                                   zero_copy_batch=True)
+            pairs = parent.map_batches(att, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+        else:
+            from ..util import bucketed_join
+
+            joined = bucketed_join(
+                parent,
+                child.rename_columns({"label": "clab"}),
+                on="node", how="left_outer", num_buckets=num_buckets)
+
+            def fin(batch: pa.Table) -> pa.Table:
+                ch = pc.coalesce(batch["clab"], batch["node"])
+                return pa.table({"p": batch["label"], "c": ch}).group_by(
+                    ["p", "c"]).aggregate([])
+
+            pairs = joined.map_batches(fin, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+
+        dist = (pairs
                 .groupby(["p", "c"]).aggregate(Count(alias_name="x"))
                 .materialize())  # shuffle boundary: don't pipeline into
         per_p = dist.groupby("p").aggregate(Count(alias_name="k"))

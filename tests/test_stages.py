@@ -323,14 +323,17 @@ def test_threshold_stability_planted(rd):
             {"conv_id_left": "e", "conv_id_right": "f", "score": 0.5},
         ]
     )
-    got = threshold_stability(scored, 7,
-                              thresholds=(0.65, 0.7, 0.75)).iloc[0]
-    assert got["n_conversations"] == 7
-    assert got["n_entities_lo"] == 4
-    assert got["n_entities_mid"] == 5
-    assert got["n_entities_hi"] == 6
-    assert got["n_merge_lo_from_mid"] == 1
-    assert got["n_split_mid_at_hi"] == 1
+    # both refinement attach paths (broadcast index / bucketed join)
+    # must produce the identical card — the hybrid-rule parity pin
+    for thr in (5_000_000, 0):
+        got = threshold_stability(scored, 7, thresholds=(0.65, 0.7, 0.75),
+                                  broadcast_threshold=thr).iloc[0]
+        assert got["n_conversations"] == 7
+        assert got["n_entities_lo"] == 4
+        assert got["n_entities_mid"] == 5
+        assert got["n_entities_hi"] == 6
+        assert got["n_merge_lo_from_mid"] == 1
+        assert got["n_split_mid_at_hi"] == 1
 
 
 def test_clustering_agreement_planted(rd):
